@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core relational operator queries over the TPC-H-ish test tables.
+  *
+  * Each entry exercises operator families from SURVEY.md §2 (projection,
+  * filter, aggregation, join, window, sort/limit, set-op) and ships with a
+  * DuckDB oracle in [[graft.SparkEntry.oracleSql]]. All final outputs use
+  * lowercase aliases and a deterministic ORDER BY so Spark and the oracle
+  * hash identically.
+  *
+  * Scale notes: aggregations are partial-agg friendly (plain hash
+  * aggregates over codegen'd expressions); dimension joins broadcast the
+  * small side explicitly.
+  */
+object RelationalQueries {
+
+  /** A-family aggregate sweep (SURVEY §2.4): grouped sums/avgs/counts with
+    * arithmetic projections (P2). TPC-H Q1 shape — map-side partial
+    * aggregation keeps the shuffle at |groups| ≈ 6 rows.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q01Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 2) AS sum_qty,
+      | round(sum(l_extendedprice), 2) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      | round(avg(l_quantity), 4) AS avg_qty,
+      | round(avg(l_discount), 4) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** J-family (SURVEY §2.3): multi-way equi-joins with small dimensions
+    * broadcast (region/nation/customer are tiny next to orders at any SF)
+    * plus equality filters pushed to the scans (P4).
+    */
+  def q02MarketRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir)
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("r_name").as("region_name"), col("c_mktsegment").as("mktsegment"))
+      .agg(
+        round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("region_name"), col("mktsegment"))
+  }
+
+  val q02Oracle: String =
+    """SELECT r_name AS region_name, c_mktsegment AS mktsegment,
+      | round(sum(o_totalprice), 2) AS revenue,
+      | count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY r_name, c_mktsegment
+      |ORDER BY region_name, mktsegment""".stripMargin
+
+  /** W-family windows (SURVEY §2.5 W1/W3) on a business relation: top-2
+    * orders per customer by price via dense_rank, then a semi-join-shaped
+    * filter. Window partitions by customer → shuffles once on o_custkey.
+    */
+  def q03TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2)
+      .filter(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        col("rk"))
+      .orderBy(col("custkey"), col("rk"), col("orderkey"))
+  }
+
+  val q03Oracle: String =
+    """SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      | round(o_totalprice, 2) AS totalprice, rk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    dense_rank() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 2 AND custkey % 100 = 0
+      |ORDER BY custkey, rk, orderkey""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_market_revenue" -> (q02MarketRevenue _),
+    "q03_top_orders_per_customer" -> (q03TopOrdersPerCustomer _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Oracle,
+    "q02_market_revenue" -> q02Oracle,
+    "q03_top_orders_per_customer" -> q03Oracle
+  )
+}
