@@ -11,6 +11,18 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to read natively; read it as nanos-since-epoch long (legacy
+    * conf) and truncate to a proper microsecond TimestampType. The test
+    * data carries no sub-microsecond components, so this is lossless.
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame = load(spark, d, "customer")
@@ -18,7 +30,6 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 }
