@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.{BackupHistoryDerivation, ExtractTransform, MsdbDerivation}
+import graft.maintenance.Retention
+import graft.store.ConsolidatedStore
+
+/** Oracle-checked queries for the ETL surface: the extract join topology
+  * (S1/J1-J5/P1-P3/O1), dedup-on-write (S5), retention (S7/A3) and the
+  * incremental watermark window (P3/A1).
+  */
+object EtlQueries {
+
+  /** S1: the full extract transform — 5-way join, decorrelated JSON file
+    * aggregation, watermark filter, type decode, MB arithmetic.
+    */
+  def q14Extract(spark: SparkSession, dir: String): DataFrame = {
+    val since = java.sql.Timestamp.valueOf("2000-05-31 23:55:00") // wm - 5min
+    val out = ExtractTransform.extract(MsdbDerivation.sources(spark, dir), since)
+    BackupHistoryDerivation.lowercase(out)
+      .orderBy(col("database_name"), col("last_lsn"), col("physical_device_name"))
+  }
+
+  val q14Oracle: String = MsdbDerivation.oracle(
+    """, fileinfo AS (
+      |  SELECT backup_set_id,
+      |         '[' || string_agg(
+      |           '{"logical_name":"' || logical_name
+      |             || '","physical_drive":"' || physical_drive
+      |             || '","physical_name":"' || physical_name
+      |             || '","file_type":"' || file_type
+      |             || '","file_number":' || file_number || '}',
+      |           ',' ORDER BY file_number, logical_name) || ']'
+      |           AS db_file_information
+      |  FROM msdb_backupfile WHERE state <> 8
+      |  GROUP BY backup_set_id
+      |)
+      |SELECT s.database_name,
+      |  CASE s.type WHEN 'D' THEN 'Full' WHEN 'I' THEN 'Diff'
+      |              WHEN 'L' THEN 'Log' END AS backup_type,
+      |  m.physical_device_name,
+      |  s.backup_start_date, s.backup_finish_date,
+      |  s.server_name, g.ag_name, s.recovery_model,
+      |  s.first_lsn, s.last_lsn,
+      |  CAST(floor(s.backup_size / 1048576) AS INT) AS uncompressed_size_mb,
+      |  CAST(floor(s.compressed_backup_size / 1048576) AS INT) AS compressed_size_mb,
+      |  s.is_copy_only, s.encryptor_type, s.key_algorithm,
+      |  m.device_type, s.position,
+      |  fi.db_file_information
+      |FROM msdb_backupset s
+      |JOIN msdb_backupmediafamily m ON s.media_set_id = m.media_set_id
+      |LEFT JOIN msdb_databases d ON d.name = s.database_name
+      |LEFT JOIN msdb_replica_states rs
+      |  ON rs.database_id = d.database_id AND rs.is_local = 1
+      |LEFT JOIN msdb_ags g ON g.group_id = rs.group_id
+      |LEFT JOIN fileinfo fi ON fi.backup_set_id = s.backup_set_id
+      |WHERE s.backup_finish_date >= TIMESTAMP '2000-05-31 23:55:00'
+      |ORDER BY s.database_name, s.last_lsn, m.physical_device_name""".stripMargin)
+
+  /** S5: idempotent dedup-on-write — re-ingesting the whole history over
+    * itself must be a no-op; per-database counts prove it.
+    */
+  def q15DedupIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir)
+    val incoming = bh.drop("LogID") // re-extracted rows arrive without ids
+    val survivors = ConsolidatedStore.mergeNew(existing = bh, incoming = incoming)
+    val merged = bh.select("database_name").union(survivors.select("database_name"))
+    merged.groupBy("database_name")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("database_name")
+  }
+
+  val q15Oracle: String = BackupHistoryDerivation.oracle(
+    // every incoming key already exists → union adds nothing
+    """SELECT database_name, count(*) AS n_rows
+      |FROM backup_history
+      |GROUP BY database_name
+      |ORDER BY database_name""".stripMargin)
+
+  /** S7+A3: retention cleanup — cutoff is the newest start date older
+    * than (anchor - 14 days); survivors are >= cutoff. Anchored to the
+    * data's max date so the query is deterministic at any wall-clock.
+    */
+  def q16Retention(spark: SparkSession, dir: String): DataFrame = {
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir)
+    val anchor = bh.agg(max("backup_start_date")).head().getTimestamp(0)
+    Retention.retained(bh, retentionDays = 14, now = anchor)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_retained"),
+        min("backup_start_date").as("oldest_kept"))
+      .orderBy("database_name")
+  }
+
+  val q16Oracle: String = BackupHistoryDerivation.oracle(
+    """, anchor AS (SELECT max(backup_start_date) AS a FROM backup_history),
+      |cutoff AS (
+      |  SELECT max(b.backup_start_date) AS c
+      |  FROM backup_history b, anchor
+      |  WHERE b.backup_start_date < anchor.a - INTERVAL 14 DAY
+      |)
+      |SELECT database_name, count(*) AS n_retained,
+      |       min(backup_start_date) AS oldest_kept
+      |FROM backup_history b, cutoff
+      |WHERE cutoff.c IS NULL OR b.backup_start_date >= cutoff.c
+      |GROUP BY database_name
+      |ORDER BY database_name""".stripMargin)
+
+  /** P3+A1 vectorized: per-server incremental window — rows inside the
+    * lookback window of each server's own max(backup_finish_date), the
+    * shape of every watermarked re-extract.
+    */
+  def q17WatermarkWindow(spark: SparkSession, dir: String): DataFrame = {
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir)
+    val wm = bh.groupBy("server_name")
+      .agg(max("backup_finish_date").as("wm"))
+    bh.join(broadcast(wm), Seq("server_name"))
+      .filter(col("backup_finish_date") >= col("wm") - expr("INTERVAL 3 DAY"))
+      .groupBy("server_name")
+      .agg(
+        count(lit(1)).as("n_window"),
+        min("backup_finish_date").as("window_start"),
+        max("backup_finish_date").as("window_end"))
+      .orderBy("server_name")
+  }
+
+  val q17Oracle: String = BackupHistoryDerivation.oracle(
+    """, wm AS (
+      |  SELECT server_name, max(backup_finish_date) AS wm
+      |  FROM backup_history GROUP BY server_name
+      |)
+      |SELECT b.server_name, count(*) AS n_window,
+      |       min(b.backup_finish_date) AS window_start,
+      |       max(b.backup_finish_date) AS window_end
+      |FROM backup_history b
+      |JOIN wm ON b.server_name = wm.server_name
+      |WHERE b.backup_finish_date >= wm.wm - INTERVAL 3 DAY
+      |GROUP BY b.server_name
+      |ORDER BY b.server_name""".stripMargin)
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_extract_consolidated" -> (q14Extract _),
+    "q15_dedup_idempotent" -> (q15DedupIdempotent _),
+    "q16_retention_cleanup" -> (q16Retention _),
+    "q17_watermark_window" -> (q17WatermarkWindow _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q14_extract_consolidated" -> q14Oracle,
+    "q15_dedup_idempotent" -> q15Oracle,
+    "q16_retention_cleanup" -> q16Oracle,
+    "q17_watermark_window" -> q17Oracle
+  )
+}

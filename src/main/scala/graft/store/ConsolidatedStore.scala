@@ -1,0 +1,76 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Persistence for the consolidated backup-history table
+  * (`Utility.SQLBackupHistoryConsolidated`, reference sql:7-39), on
+  * immutable parquet instead of a mutable heap.
+  *
+  * The reference's write-side contract is its unique index
+  * `(last_lsn, first_lsn, database_name, physical_device_name)` with
+  * `ignore_dup_key = on` (sql:33): duplicate rows re-extracted by the
+  * overlapping watermark window are silently dropped, making the
+  * at-least-once extract idempotent. Here that is an explicit
+  * dedup + left-anti join before every append ([[mergeNew]]).
+  *
+  * Scale notes: the anti-join only needs the 4 key columns of the
+  * existing table (column-pruned scan), and the incoming batch is tiny
+  * next to the table — Catalyst/AQE turns it into a broadcast of the
+  * batch keys, so the big side never shuffles. LogID assignment windows
+  * over the *batch*, not the table.
+  */
+object ConsolidatedStore {
+
+  val dedupKey: Seq[String] = Schemas.dedupKey
+
+  /** Batch-internal dedup + drop rows already present (sql:33 semantics). */
+  def mergeNew(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val existingKeys = existing.select(dedupKey.map(col): _*)
+    incoming
+      .dropDuplicates(dedupKey)
+      .join(existingKeys, dedupKey, "left_anti")
+  }
+
+  /** Identity-column emulation (reference sql:9; SURVEY §7 hard-part 3):
+    * continue LogIDs from the existing max, numbering the deduped batch
+    * in a deterministic order. Only stability/uniqueness matter — the one
+    * consumer is the striped-log canonicalization (W2, sql:1049), which
+    * needs a stable min per (first_lsn, last_lsn).
+    */
+  def withLogIds(existing: DataFrame, freshBatch: DataFrame): DataFrame = {
+    val maxRow = existing.agg(max("LogID")).head()
+    val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val order = Window.orderBy(
+      col("backup_finish_date"), col("database_name"), col("last_lsn"),
+      col("physical_device_name"))
+    freshBatch.withColumn(
+      "LogID", (row_number().over(order) + lit(base)).cast("long"))
+      .select("LogID", freshBatch.columns.toIndexedSeq: _*)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.consolidated)
+    if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
+  }
+
+  /** Idempotent append: dedup against the table, assign LogIDs, append.
+    * Returns the number of rows actually written.
+    */
+  def append(spark: SparkSession, path: String, incoming: DataFrame): Long = {
+    val existing = read(spark, path)
+    val fresh = mergeNew(existing, incoming).cache()
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        withLogIds(existing, fresh)
+          .write.mode(SaveMode.Append).parquet(path)
+      }
+      n
+    } finally fresh.unpersist()
+  }
+}
