@@ -59,7 +59,9 @@ final case class DbFileInfo(
 )
 
 /** One step of a generated restore plan (mirrors `#AllBackupsToRestore`,
-  * reference sql:514-531).
+  * reference sql:514-531). `from_clause` is the multi-device FROM list
+  * (one line per stripe); `stop_at`, when set, is the STOPAT literal the
+  * command carries (last two log restores, reference sql:1262-1273).
   */
 final case class RestoreStep(
     RestoreID: Long,
@@ -68,6 +70,8 @@ final case class RestoreStep(
     backup_start_date: Timestamp,
     first_lsn: BigDecimal,
     last_lsn: BigDecimal,
+    from_clause: String,
+    stop_at: Option[String],
     RestoreCommand: String
 )
 
