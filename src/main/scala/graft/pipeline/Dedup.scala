@@ -1,0 +1,172 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis.{fingerprint, tokens}
+
+/** Deduplication operators for training-data pipelines, all built from
+  * codegen'd expressions + hash-partitioned joins/aggregations — the
+  * shapes that survive a 100 TB corpus:
+  *
+  *  - exact dedup: one hash-aggregate on a text fingerprint;
+  *  - n-gram Jaccard: shingle-explode + self-join on shingle (bounded by
+  *    a document-frequency cap that drops stop-shingles — the classic
+  *    fanout guard);
+  *  - MinHash + LSH: k md5-min signature components (portable string
+  *    mins, engine-independent), banded into buckets so candidate
+  *    generation is an equi-join on (band, band_hash) instead of a
+  *    quadratic cross join;
+  *  - SimHash: bit-majority fingerprint, one aggregation per document.
+  *
+  * Every hash is md5-hex-string based so a SQL oracle (DuckDB) can
+  * reproduce results byte-for-byte.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => concat_ws(" ",
+        (0 until n).map(j => element_at(w, (i + lit(j)).cast("int"))): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  /** Exact-duplicate groups: fingerprint → (canonical doc, group size).
+    * One map-side-combinable aggregation; no join.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("group_size"))
+
+  /** Document pairs with n-gram Jaccard similarity >= minSim.
+    *
+    * Shingles occurring in more than `maxShingleDocFreq` documents are
+    * dropped before the self-join: they are stop-shingles that contribute
+    * little discrimination but dominate join fanout (at 100 TB this cap
+    * is the difference between a linear and a quadratic stage).
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minSim: Double = 0.5,
+      maxShingleDocFreq: Long = 100): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("df") <= maxShingleDocFreq)
+      .drop("df")
+    val inter = rare.as("a")
+      .join(rare.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minSim)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash component i of a shingle: md5 over a seeded prefix; the
+    * signature takes the lexicographic MIN of the hex strings — portable
+    * across engines, unlike numeric murmur hashes.
+    */
+  def minhashComponent(sh: Column, seed: Int): Column =
+    md5(concat(lit(s"$seed|"), sh))
+
+  /** Per-document k-component MinHash signature (columns mh0..mh{k-1}). */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val aggs = (0 until k).map(i => min(minhashComponent(col("sh"), i)).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: k components split into `bands` bands of k/bands rows;
+    * band hash = md5 of the joined components. Output: (doc_id, band,
+    * band_hash) — bucket join key.
+    */
+  def lshBands(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          (b * r until (b + 1) * r).map(i => col(s"mh$i")): _*)).as("band_hash"))
+    }
+    signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+      .select(col("doc_id"), col("bh.band"), col("bh.band_hash"))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: bucket-join candidates, then score
+    * by the fraction of matching signature components (the MinHash
+    * Jaccard estimator), keeping pairs >= minEstSim.
+    */
+  def minhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5,
+      n: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, n).cache()
+    val bandsDf = lshBands(sigs, k, bands)
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val sa = sigs.columns.filter(_.startsWith("mh"))
+      .foldLeft(sigs)((d, c) => d.withColumnRenamed(c, c + "_a"))
+      .withColumnRenamed("doc_id", "id_a")
+    val sb = sigs.columns.filter(_.startsWith("mh"))
+      .foldLeft(sigs)((d, c) => d.withColumnRenamed(c, c + "_b"))
+      .withColumnRenamed("doc_id", "id_b")
+    val matches = (0 until k)
+      .map(i => when(col(s"mh${i}_a") === col(s"mh${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("est_sim", matches.cast("double") / k)
+      .filter(col("est_sim") >= minEstSim)
+      .select("id_a", "id_b", "est_sim")
+  }
+
+  /** SimHash fingerprint over `bits` bits (max 32 here; bit b is the
+    * majority vote of bit b of each token hash, read from the b-th hex
+    * nibble's high bit of md5(token) — portable string comparison).
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16): DataFrame = {
+    require(bits <= 32, "md5 hex has 32 nibbles")
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
+      .withColumn("h", md5(col("t")))
+    val bitSums = (0 until bits).map { b =>
+      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), fp.cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal record: an opaque binary payload plus typed metadata —
+  * the storage shape for image/audio/video columns at corpus scale
+  * (payloads stay binary; all planning happens on metadata columns so
+  * scans prune payload bytes unless a stage actually decodes).
+  */
+final case class MediaRecord(
+    media_id: Long,
+    media_type: String, // image | audio | video
+    width: Int,
+    height: Int,
+    duration_ms: Int,
+    payload: Array[Byte]
+)
+
+final case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    byte_mean: Double,
+    n_frames: Int,
+    feature: Array[Float]
+)
+
+/** Multimodal-column plumbing: schema, partition-friendly batch decode,
+  * frame sampling. The Spark side — binary columns, typed Datasets,
+  * mapPartitions batch shape (the JVM analog of a vectorized pandas UDF)
+  * — is real and tested; the codec itself is a STUB (this environment
+  * ships no image/audio libraries): [[decodeStub]] derives deterministic
+  * fake features from the raw bytes, and marks where a real
+  * decoder (JNI/FFI image lib) would slot in.
+  */
+object Multimodal {
+
+  /** Derive a deterministic media table from the documents table: the
+    * UTF-8 text bytes stand in for an encoded payload; metadata comes
+    * from the id. Mirrors the PipelineQueries oracle.
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      (lit(64) + (col("doc_id") % 16) * 16).cast("int").as("width"),
+      (lit(64) + (col("doc_id") % 9) * 16).cast("int").as("height"),
+      ((col("doc_id") % 120) * 250).cast("int").as("duration_ms"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode: a real implementation would invoke an image/audio
+    * decoder here, per partition, reusing one codec instance across the
+    * batch (that is the entire point of the mapPartitions shape). The
+    * deterministic stand-in summarizes raw bytes so tests exercise the
+    * full plumbing: payload bytes -> per-record feature vector.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    val bytes = r.payload
+    val n = bytes.length
+    val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+    // fake 8-dim "embedding": byte histogram over 8 buckets, normalized
+    val hist = new Array[Float](8)
+    bytes.foreach(b => hist((b & 0xff) / 32) += 1f)
+    val total = math.max(1f, hist.sum)
+    MediaFeatures(r.media_id, r.media_type, n, mean,
+      nFrames(r), hist.map(_ / total))
+  }
+
+  /** Frame count a sampler would extract: one frame per second of video,
+    * 1 for stills.
+    */
+  def nFrames(r: MediaRecord): Int =
+    if (r.media_type == "video") math.max(1, r.duration_ms / 1000) else 1
+
+  /** Sample up to `n` evenly-spaced "frames" (payload slices stand in for
+    * decoded frames). Real codecs plug into the slice step.
+    */
+  def sampleFrames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (payload.isEmpty || n <= 0) Seq.empty
+    else {
+      val frame = math.max(1, payload.length / n)
+      (0 until math.min(n, payload.length / frame)).map { i =>
+        payload.slice(i * frame, math.min((i + 1) * frame, payload.length))
+      }
+    }
+  }
+
+  /** Batch feature extraction over the media table — the mapPartitions
+    * boundary keeps (hypothetical) codec initialization per-partition,
+    * not per-row, and the batch shape matches a vectorized UDF's.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(decodeStub)
+    }
+  }
+}

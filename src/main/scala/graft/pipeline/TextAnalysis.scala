@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * codegen'd `functions._` expressions — no UDFs — so they stay inside
+  * whole-stage codegen and scale linearly over a document scan with zero
+  * shuffles.
+  *
+  * Every formula is mirrored verbatim by a DuckDB oracle (PipelineQueries)
+  * — keep the two in sync when editing.
+  */
+object TextAnalysis {
+
+  /** Lowercase, trim, collapse runs of whitespace. */
+  def normalize(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token — the shape of a
+    * byte-pair-encoder's pre-tokenizer.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords.map(x => x: Any): _*)))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Composite quality score in [0,1]: length, punctuation density,
+    * stopword density, mean word length. Deterministic double arithmetic;
+    * round before comparing across engines.
+    */
+  def qualityScore(text: Column): Column = {
+    val norm = normalize(text)
+    val nTok = tokenCount(text).cast("double")
+    val nChars = length(norm).cast("double")
+    val lenScore = least(lit(1.0), nTok / 100.0)
+    val punctScore = greatest(lit(0.0),
+      lit(1.0) - lit(5.0) * (punctCount(text).cast("double") / nChars))
+    val stopScore = least(lit(1.0),
+      lit(5.0) * (stopwordCount(text).cast("double") / nTok))
+    val meanWordLen = (nChars - (nTok - 1)) / nTok
+    val wlScore = greatest(lit(0.0), lit(1.0) - abs(meanWordLen - 5.0) / 5.0)
+    (lenScore + punctScore + stopScore + wlScore) * 0.25
+  }
+
+  /** Marker-token language scores. Synthetic corpora won't carry real
+    * language signal; what matters is the operator shape: one scan,
+    * k marker-set membership counts, an argmax.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "des", "est")
+  )
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*)))
+
+  /** Predicted language: highest marker score, ties to the
+    * alphabetically-first language (deterministic across engines).
+    */
+  def langId(text: Column): Column = {
+    val s = LangMarkers.map { case (l, m) => l -> langScore(text, m) }.toMap
+    when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("en") >= s("es") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** Content fingerprint: md5 of the normalized text — the exact-dedup
+    * key (whitespace/case-insensitive).
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

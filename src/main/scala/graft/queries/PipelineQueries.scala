@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Dedup, TextAnalysis}
+
+/** Oracle-checked text-analysis and dedup queries over the `documents`
+  * table. The DuckDB oracles mirror each formula verbatim (same
+  * normalization, marker sets, hash construction); near-dup queries run
+  * on `docs_aug`, which plants deterministic near-duplicates (a mutated
+  * copy of every 37th document) via shared SQL so both engines see them.
+  */
+object PipelineQueries {
+
+  /** Shared normalization fragments (DuckDB side). Spark side is
+    * TextAnalysis — keep in sync.
+    */
+  private val normSql =
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Planted near-duplicates: every 37th doc gets a mutated twin. */
+  val docsAugSql: String =
+    """docs_aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' zqx' AS text
+      |  FROM documents WHERE doc_id % 37 = 0
+      |)""".stripMargin
+
+  def docsAug(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"WITH $docsAugSql SELECT * FROM docs_aug")
+  }
+
+  // ---- q20: token statistics ------------------------------------------
+
+  def q20TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      .withColumn("n_bpeish", TextAnalysis.bpeishTokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        round(avg("n_tok"), 4).as("avg_tokens"),
+        sum("n_bpeish").as("sum_bpeish"))
+      .orderBy("lang")
+  }
+
+  val q20Oracle: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(regexp_extract_all(text, '$bpeishRe')) AS n_bpeish
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
+       |       round(avg(n_tok), 4) AS avg_tokens, sum(n_bpeish) AS sum_bpeish
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q21: quality scoring -------------------------------------------
+
+  def q21Quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("punct", TextAnalysis.punctCount(col("text")))
+      .withColumn("stop", TextAnalysis.stopwordCount(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("q"), 4).as("avg_quality"),
+        sum("punct").as("sum_punct"),
+        sum("stop").as("sum_stop"))
+      .orderBy("source")
+  }
+
+  val q21Oracle: String =
+    s"""WITH t AS (
+       |  SELECT source, $normSql AS norm,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(string_split($normSql, ' '),
+       |                         x -> x IN ($stopList))) AS n_stop
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT source, n_punct, n_stop,
+       |    0.25 * (
+       |      least(1.0, n_tok / 100.0)
+       |      + greatest(0.0, 1.0 - 5.0 * (CAST(n_punct AS DOUBLE) / len(norm)))
+       |      + least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tok))
+       |      + greatest(0.0, 1.0 - abs((len(norm) - (n_tok - 1.0)) / n_tok - 5.0) / 5.0)
+       |    ) AS q
+       |  FROM t
+       |)
+       |SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
+       |       sum(n_punct) AS sum_punct, sum(n_stop) AS sum_stop
+       |FROM scored GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q22: language identification -----------------------------------
+
+  def q22LangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .groupBy(col("lang").as("labeled"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("labeled", "predicted")
+  }
+
+  val q22Oracle: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split($normSql, ' '), x -> x IN ($set))) AS s_$l"
+    }.mkString(",\n         ")
+    s"""WITH t AS (
+       |  SELECT lang, $scores
+       |  FROM documents
+       |),
+       |p AS (
+       |  SELECT lang,
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END AS predicted
+       |  FROM t
+       |)
+       |SELECT lang AS labeled, predicted, count(*) AS n_docs
+       |FROM p GROUP BY labeled, predicted ORDER BY labeled, predicted""".stripMargin
+  }
+
+  // ---- q23: exact-dup fingerprints ------------------------------------
+
+  def q23Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_unique"),
+        min("fp").as("min_fp"))
+      .orderBy("source")
+  }
+
+  val q23Oracle: String =
+    s"""SELECT source, count(*) AS n_docs,
+       |       count(DISTINCT md5($normSql)) AS n_unique,
+       |       min(md5($normSql)) AS min_fp
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q24: n-gram Jaccard near-dup pairs ------------------------------
+
+  /** Shared shingle CTEs over docs_aug (3-gram, distinct). */
+  private val shingleSql =
+    s"""toks AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM docs_aug
+       |),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM toks
+       |)""".stripMargin
+
+  def q24JaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docsAug(spark, dir), "doc_id", "text",
+        n = 3, minSim = 0.5, maxShingleDocFreq = 100)
+      .orderBy("id_a", "id_b")
+
+  val q24Oracle: String =
+    s"""WITH $docsAugSql,
+       |$shingleSql,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |rare AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+       |  ) WHERE df <= 100
+       |),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |       round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4)
+       |         AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = id_a
+       |JOIN sizes sb ON sb.doc_id = id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q25: MinHash + LSH near-dup pairs -------------------------------
+
+  private val K = 8
+  private val Bands = 4
+
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(docsAug(spark, dir), "doc_id", "text",
+        k = K, bands = Bands, minEstSim = 0.5)
+      .orderBy("id_a", "id_b")
+
+  val q25Oracle: String = {
+    val comps = (0 until K)
+      .map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(",\n         ")
+    val r = K / Bands
+    val bandRows = (0 until Bands).map { b =>
+      val cat = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsAugSql,
+       |$shingleSql,
+       |sig AS (
+       |  SELECT doc_id,
+       |         $comps
+       |  FROM sh GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandRows
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a
+       |  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(($matchSum) AS DOUBLE) / $K AS est_sim
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = id_a
+       |JOIN sig sb ON sb.doc_id = id_b
+       |WHERE CAST(($matchSum) AS DOUBLE) / $K >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- q26: SimHash fingerprints ---------------------------------------
+
+  private val SimhashBits = 16
+
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(
+        docsAug(spark, dir).filter(col("doc_id") % 17 === 0),
+        "doc_id", "text", bits = SimhashBits)
+      .orderBy("doc_id")
+
+  val q26Oracle: String = {
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val fp = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsAugSql,
+       |tok AS (
+       |  SELECT doc_id, md5(unnest(string_split($normSql, ' '))) AS h
+       |  FROM docs_aug WHERE doc_id % 17 = 0
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM tok GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_token_stats" -> (q20TokenStats _),
+    "q21_quality_score" -> (q21Quality _),
+    "q22_lang_id" -> (q22LangId _),
+    "q23_fingerprint_dedup" -> (q23Fingerprints _),
+    "q24_ngram_jaccard_pairs" -> (q24JaccardPairs _),
+    "q25_minhash_lsh_pairs" -> (q25MinhashLsh _),
+    "q26_simhash" -> (q26Simhash _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_token_stats" -> q20Oracle,
+    "q21_quality_score" -> q21Oracle,
+    "q22_lang_id" -> q22Oracle,
+    "q23_fingerprint_dedup" -> q23Oracle,
+    "q24_ngram_jaccard_pairs" -> q24Oracle,
+    "q25_minhash_lsh_pairs" -> q25Oracle,
+    "q26_simhash" -> q26Oracle
+  )
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.{PipelineQueries, SimilarityQueries}
+
+/** Property tests for the training-data pipeline operators: planted
+  * near-duplicates must be found, LSH candidates must agree with exact
+  * scores, ANN recall must beat a floor against the brute-force baseline.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docsAug = PipelineQueries.docsAug(spark, TestSpark.sf).cache()
+
+  test("exact dedup finds identical texts and only them") {
+    val docs = Seq((1L, "same text here"), (2L, "same   TEXT  here"),
+      (3L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .filter(col("group_size") > 1).collect()
+    // normalization makes 1 and 2 identical
+    assert(groups.length == 1 && groups.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("ngram jaccard finds every planted near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docsAug, "doc_id", "text", minSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = docsAug.filter(col("doc_id") >= 1000000)
+      .select((col("doc_id") - 1000000).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(pairs),
+      s"missing ${(planted -- pairs).take(3)} of ${planted.size}")
+  }
+
+  test("minhash-LSH finds most planted pairs and never fabricates high scores") {
+    val pairs = Dedup.minhashPairs(docsAug, "doc_id", "text",
+        k = 8, bands = 4, minEstSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = docsAug.filter(col("doc_id") >= 1000000)
+      .select((col("doc_id") - 1000000).as("a"), col("doc_id").as("b"))
+      .as[(Long, Long)].collect().toSet
+    // probabilistic: with k=8/4 bands a twin differing by one token can
+    // slip every band, but most must be recovered
+    val recall = (planted & pairs).size.toDouble / planted.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("simhash: identical texts collide, mutated twin stays within hamming 4") {
+    val sample = docsAug.filter(col("doc_id") % 37 === 0 && col("doc_id") < 1000000)
+    val both = Dedup.simhash(
+      sample.union(sample.withColumn("doc_id", col("doc_id") + 2000000)),
+      "doc_id", "text")
+    val m = both.as[(Long, Long)].collect().toMap
+    m.keys.filter(_ < 1000000).foreach { id =>
+      assert(m(id) == m(id + 2000000), "identical text, identical simhash")
+    }
+    val twins = Dedup.simhash(docsAug, "doc_id", "text").as[(Long, Long)]
+      .collect().toMap
+    val dists = twins.keys.filter(_ >= 1000000).toSeq.map { id =>
+      java.lang.Long.bitCount(twins(id) ^ twins(id - 1000000))
+    }
+    assert(dists.nonEmpty && dists.count(_ <= 4).toDouble / dists.size >= 0.9,
+      s"hamming distances: ${dists.sorted.takeRight(5)}")
+  }
+
+  test("brute-force topk ranks the planted twin first with sim 1.0") {
+    val emb = SimilarityQueries.embAug(spark, TestSpark.sf)
+    val twins = emb.filter(col("vec_id") >= 1000000)
+    val top = Similarity.bruteForceTopK(emb, twins, "vec_id", "embedding", 1)
+      .collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("query_id") - 1000000)
+      assert(r.getAs[Double]("sim") == 1.0)
+    }
+  }
+
+  test("LSH ANN: twin lands in the same bucket; recall floor vs brute force") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3,
+        planes = 4, dim = 64)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 16 buckets, multi-probe hamming-1 → ~5/16 of the corpus scanned
+    assert(recall >= 0.3, s"recall $recall")
+    // planted exact twins always share a bucket (identical signature)
+    val embA = SimilarityQueries.embAug(spark, TestSpark.sf)
+    val twinTop = Similarity.lshTopK(embA,
+        embA.filter(col("vec_id") >= 1000000), "vec_id", "embedding", 1,
+        planes = 4, dim = 64).collect()
+    twinTop.foreach(r =>
+      assert(r.getAs[Double]("sim") == 1.0))
+  }
+
+  test("multimodal: feature extraction and frame sampling plumbing") {
+    val media = Multimodal.mediaFromDocuments(
+      Tables.documents(spark, TestSpark.sf).limit(50))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.n_bytes > 0 && f.byte_mean > 0 && f.feature.length == 8)
+      assert(math.abs(f.feature.sum - 1.0f) < 1e-3, "histogram normalized")
+    }
+    val frames = Multimodal.sampleFrames(Array.fill[Byte](1000)(7), 4)
+    assert(frames.length == 4 && frames.forall(_.length == 250))
+    assert(Multimodal.sampleFrames(Array.emptyByteArray, 4).isEmpty)
+  }
+
+  test("quality score stays in [0,1]; langId picks a marker language") {
+    val scored = Tables.documents(spark, TestSpark.sf)
+      .select(TextAnalysis.qualityScore(col("text")).as("q"),
+        TextAnalysis.langId(col("text")).as("l"))
+    val bad = scored.filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad == 0)
+    val langs = scored.select("l").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr")))
+  }
+}
