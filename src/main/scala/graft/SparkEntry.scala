@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{BackupQueries, EtlQueries, PipelineQueries,
-  RelationalQueries, ScriptQueries, SimilarityQueries}
+  RelationalQueries, ScriptQueries, SimilarityQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ BackupQueries.entries ++ EtlQueries.entries ++
-      ScriptQueries.entries ++ PipelineQueries.entries ++ SimilarityQueries.entries
+      ScriptQueries.entries ++ PipelineQueries.entries ++
+      SimilarityQueries.entries ++ StreamQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ BackupQueries.oracles ++ EtlQueries.oracles ++
-      ScriptQueries.oracles ++ PipelineQueries.oracles ++ SimilarityQueries.oracles
+      ScriptQueries.oracles ++ PipelineQueries.oracles ++
+      SimilarityQueries.oracles ++ StreamQueries.oracles
 }

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class SessionEvent(user_id: Long, ts: Timestamp, event_id: Long)
+final case class SessionSummary(
+    user_id: Long, session_start: Timestamp, session_end: Timestamp,
+    n_events: Long)
+private final case class SessionState(
+    start: Timestamp, last: Timestamp, n: Long)
+
+/** Gap-based sessionization — the canonical custom-state streaming
+  * operator (windows/sessions are ABSENT in the reference; this is part
+  * of the engine's streaming extension surface).
+  *
+  * Two implementations with identical semantics:
+  *  - [[assignSessions]]: batch, pure window functions (lag + running sum
+  *    of session-breaks) — one shuffle on user_id, linear in events;
+  *  - [[sessionizeStream]]: streaming, `flatMapGroupsWithState` with
+  *    event-time timeout — state per live user only, emitted when the gap
+  *    (watermark) closes the session.
+  */
+object Sessionize {
+
+  /** Batch: tag each event with a per-user session_id (1-based).
+    * Gap arithmetic in microseconds (second-truncation would disagree
+    * with an exact oracle at the boundary).
+    */
+  def assignSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val um = unix_micros(col("ts"))
+    val gap = um - lag(um, 1).over(byUser)
+    events
+      .withColumn("is_new",
+        when(gap.isNull || gap > gapMinutes * 60000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("is_new").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("is_new")
+  }
+
+  /** Batch: one row per (user, session) with bounds and size. */
+  def sessionSummaries(events: DataFrame, gapMinutes: Int): DataFrame =
+    assignSessions(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"))
+
+  /** Microsecond-exact epoch of a Timestamp (getTime alone truncates to
+    * millis, which would diverge from the batch/window-function twin).
+    */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming: emit a SessionSummary when a user's gap times out. */
+  def sessionizeStream(
+      spark: SparkSession,
+      events: Dataset[SessionEvent],
+      gapMinutes: Int): Dataset[SessionSummary] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionSummary(user, s.start, s.last, s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var closed = List.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if micros(e.ts) - micros(s.last) <= gapUs =>
+                  val last = if (micros(e.ts) > micros(s.last)) e.ts else s.last
+                  cur = Some(s.copy(last = last, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionSummary(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMinutes * 60000L)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

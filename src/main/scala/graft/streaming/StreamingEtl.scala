@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.model.Schemas
+
+/** Structured Streaming flavor of the incremental ETL (SURVEY §2.9).
+  *
+  * The reference is a scheduled micro-batch loop with per-source
+  * watermarks; EtlRunner reproduces that faithfully in batch. This module
+  * is the continuous counterpart: the same exactly-once triangle becomes
+  * `withWatermark(5 minutes)` (the late-row lookback,
+  * ps:Get-BackupHistoryToETL.ps1:20) + `dropDuplicates` on the unique-key
+  * columns (the ignore_dup_key index, sql:33); the sink append is the
+  * idempotent load. Every transform here also runs in plain batch — the
+  * streaming/batch unification is the point of building on Spark.
+  */
+object StreamingEtl {
+
+  /** Watermarked streaming dedup — state is bounded by the watermark
+    * horizon, so at scale the dedup state store holds only the lookback
+    * window, not the table.
+    */
+  def dedupStream(incoming: DataFrame): DataFrame =
+    incoming
+      .withWatermark("backup_finish_date", "5 minutes")
+      .dropDuplicates(Schemas.dedupKey)
+
+  /** Tumbling-window per-event-type aggregates (streaming-compatible:
+    * append mode once the watermark passes the window end; also a plain
+    * batch query). Output keeps the epoch-aligned window start.
+    */
+  def eventWindowAgg(events: DataFrame, windowLength: String = "6 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** events.parquet as a stream: explicit schema with `ts` read as raw
+    * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
+    * microseconds — the streaming twin of Tables.events.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", org.apache.spark.sql.types.StringType),
+      StructField("value", org.apache.spark.sql.types.DoubleType),
+      StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.readStream.schema(raw).parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{SessionEvent, Sessionize, StreamingEtl}
+
+/** Drives the streaming flavor end-to-end through readStream → memory
+  * sink and checks it agrees with the batch implementation of the same
+  * transform (streaming/batch unification is the contract).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming window agg equals the batch run") {
+    val stream = StreamingEtl.eventWindowAgg(
+      StreamingEtl.eventsStream(spark, TestSpark.sf))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("win_out")
+      .select("window_start_epoch", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = StreamingEtl.eventWindowAgg(Tables.events(spark, TestSpark.sf))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // append mode holds back windows the final watermark never passed —
+    // streamed results must be a nonempty subset that agrees exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streaming-only rows: ${(streamed -- batch).take(3)}")
+    val open = batch -- streamed
+    // only the trailing window(s) may be withheld
+    val maxClosed = streamed.map(_._1).max
+    assert(open.forall(_._1 >= maxClosed), "only trailing windows withheld")
+  }
+
+  test("streaming dedup drops duplicate keys inside the watermark window") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).limit(60)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // write the batch twice → duplicate rows on the dedup key
+    bh.write.mode("append").parquet(dir)
+    bh.write.mode("append").parquet(dir)
+    val incoming = spark.readStream
+      .schema(bh.schema).parquet(dir)
+    val q = StreamingEtl.dedupStream(incoming)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val expected = bh.dropDuplicates(graft.model.Schemas.dedupKey).count()
+    assert(n == expected, s"streamed $n vs unique $expected")
+  }
+
+  test("stateful sessionization agrees with the batch window-function version") {
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("user_id", "ts", "event_id")
+      .filter(col("user_id") % 10 === 0)
+    val batch = Sessionize.sessionSummaries(events, gapMinutes = 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+
+    // one file → one micro-batch: the state machine assumes event-time
+    // order across batches (multi-file arrival order is file-random)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString + "/data"
+    events.coalesce(1).write.parquet(dir)
+    val stream = spark.readStream.schema(events.schema).parquet(dir)
+      .as[SessionEvent]
+    val q = Sessionize.sessionizeStream(spark, stream, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sess_out")
+      .select("user_id", "session_start", "session_end", "n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    // sessions the final watermark closed must match batch exactly
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streaming-only sessions: ${(streamed -- batch).take(3)}")
+    // everything except each user's last (still-open) session must be out
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._3.getTime)).toMap
+    val expectedClosed = batch.filterNot { case s @ (u, _, _, _) => lastPerUser(u) == s }
+    assert(expectedClosed.subsetOf(streamed),
+      s"missing closed sessions: ${(expectedClosed -- streamed).take(3)}")
+  }
+}
