@@ -24,15 +24,31 @@ import graft.pipeline.TextAnalysis.{fingerprint, tokens}
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of the normalized text. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = tokens(text)
+  /** Distinct word n-gram shingles from an already-materialized token
+    * array. The token array MUST be a plain column reference here: inside
+    * a higher-order function's lambda Catalyst does not share common
+    * subexpressions, so passing the tokenization expression itself would
+    * re-run regex-normalize + split for every element_at — a >10x
+    * constant factor at corpus scale.
+    */
+  def shinglesFromTokens(w: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(w) - lit(n - 1)),
       i => concat_ws(" ",
         (0 until n).map(j => element_at(w, (i + lit(j)).cast("int"))): _*))
     array_distinct(when(size(w) >= n, grams).otherwise(array()))
   }
+
+  /** Distinct word n-gram shingles of the normalized text. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** (doc_id, shingle) rows with tokenization materialized once. */
+  private def shingleRows(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("w"), n)).as("sh"))
 
   /** Exact-duplicate groups: fingerprint → (canonical doc, group size).
     * One map-side-combinable aggregation; no join.
@@ -59,8 +75,7 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5,
       maxShingleDocFreq: Long = 100): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = shingleRows(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val rare = sh
       .withColumn("df", count(lit(1)).over(
@@ -95,8 +110,7 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sh = shingleRows(docs, idCol, textCol, n)
     val aggs = (0 until k).map(i => min(minhashComponent(col("sh"), i)).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }

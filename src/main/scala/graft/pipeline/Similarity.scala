@@ -19,10 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two double arrays (sequential fold — deterministic
-    * summation order, mirrors the oracle's list_dot_product).
+  /** Dot product of two double arrays — a custom codegen'd Catalyst
+    * expression ([[graft.functions.DotProduct]]); sequential summation
+    * order, bit-identical to the folded-builtin form below and to the
+    * oracle's list_dot_product.
     */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** The pure-builtin equivalent (higher-order functions); kept as the
+    * reference implementation — interpreted lambdas make it ~3x slower
+    * at pair-join scale.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

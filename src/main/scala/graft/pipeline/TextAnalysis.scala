@@ -69,13 +69,21 @@ object TextAnalysis {
   )
 
   def langScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(markers.map(x => x: Any): _*)))
+    langScoreFromTokens(tokens(text), markers)
+
+  def langScoreFromTokens(w: Column, markers: Seq[String]): Column =
+    size(filter(w, t => t.isin(markers.map(x => x: Any): _*)))
 
   /** Predicted language: highest marker score, ties to the
     * alphabetically-first language (deterministic across engines).
+    * Prefer [[langIdFromTokens]] over a materialized token column in hot
+    * paths — the four marker filters would each re-tokenize otherwise
+    * (lambda arguments are not CSE'd).
     */
-  def langId(text: Column): Column = {
-    val s = LangMarkers.map { case (l, m) => l -> langScore(text, m) }.toMap
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  def langIdFromTokens(w: Column): Column = {
+    val s = LangMarkers.map { case (l, m) => l -> langScoreFromTokens(w, m) }.toMap
     when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
       .when(s("en") >= s("es") && s("en") >= s("fr"), "en")
       .when(s("es") >= s("fr"), "es")

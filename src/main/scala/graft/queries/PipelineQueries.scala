@@ -108,7 +108,8 @@ object PipelineQueries {
   def q22LangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     docs
-      .withColumn("predicted", TextAnalysis.langId(col("text")))
+      .withColumn("w", TextAnalysis.tokens(col("text")))
+      .withColumn("predicted", TextAnalysis.langIdFromTokens(col("w")))
       .groupBy(col("lang").as("labeled"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("labeled", "predicted")

@@ -130,11 +130,24 @@ object RestoreScriptGenerator {
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()))
       : RestorePlan = {
     val (keyCol, keyVal) = keyOf(opts)
-    val restoreTimeProvided = opts.restoreToTime.isDefined // F8, sql:447
     val restoreTo = opts.restoreToTime.getOrElse(now())
+    // the planner runs ~5 actions over this slice (full/diff/log phases +
+    // scalar collects); cache it so upstream lineage executes once
     val slice = bh
       .filter(col("database_name") === opts.sourceDb)
       .filter(col(keyCol) === keyVal)
+      .cache()
+    try generateFromSlice(spark, slice, opts, keyVal, restoreTo)
+    finally slice.unpersist()
+  }
+
+  private def generateFromSlice(
+      spark: SparkSession,
+      slice: DataFrame,
+      opts: RestoreScriptOptions,
+      keyVal: String,
+      restoreTo: Timestamp): RestorePlan = {
+    val restoreTimeProvided = opts.restoreToTime.isDefined // F8, sql:447
 
     // ---- phase 1: base FULL (sql:560-685) -------------------------------
     val fulls = RestoreQueries.rankOneStripes(

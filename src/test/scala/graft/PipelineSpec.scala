@@ -99,6 +99,23 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Double]("sim") == 1.0))
   }
 
+  test("custom DotProduct expression matches the builtin fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(
+        Similarity.dot(col("a.v"), col("b.v")).as("fast"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("ref"))
+    assert(pairs.filter(col("fast") =!= col("ref")).count() == 0)
+    // and usable from SQL text via the registry
+    graft.functions.VectorFunctions.register(spark)
+    emb.createOrReplaceTempView("vt")
+    val n = spark.sql(
+      "SELECT vec_dot(v, v) AS d FROM vt").filter(col("d") > 0).count()
+    assert(n == 50)
+  }
+
   test("multimodal: feature extraction and frame sampling plumbing") {
     val media = Multimodal.mediaFromDocuments(
       Tables.documents(spark, TestSpark.sf).limit(50))
