@@ -135,12 +135,29 @@ object ScriptQueries {
       .orderBy("restore_id")
   }
 
+  /** S9: the `@Help = 1` constant parameter relation (reference
+    * sql:449-480).
+    */
+  def q34Help(spark: SparkSession, dir: String): DataFrame =
+    RestoreScriptGenerator.help(spark).orderBy("parameter")
+
+  val q34Oracle: String = {
+    val rows = RestoreScriptGenerator.helpRows
+      .map { case (p, d) => s"('$p', '$d')" }.mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $rows
+       |) AS t(parameter, description)
+       |ORDER BY parameter""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_restore_chain" -> (q18RestoreChain _),
-    "q19_restore_script" -> (q19RestoreScript _)
+    "q19_restore_script" -> (q19RestoreScript _),
+    "q34_help_relation" -> (q34Help _)
   )
 
   def oracles: Map[String, String] = Map(
-    "q18_restore_chain" -> q18Oracle
+    "q18_restore_chain" -> q18Oracle,
+    "q34_help_relation" -> q34Oracle
   )
 }

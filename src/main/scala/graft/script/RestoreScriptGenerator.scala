@@ -232,18 +232,20 @@ object RestoreScriptGenerator {
   }
 
   /** The `@Help = 1` constant relation (S9, reference sql:449-480). */
+  val helpRows: Seq[(String, String)] = Seq(
+    ("sourceDb", "Required. Database whose chain to restore"),
+    ("sourceServer", "Exactly one of sourceServer/sourceAgName"),
+    ("sourceAgName", "Exactly one of sourceServer/sourceAgName"),
+    ("destinationDb", "Defaults to sourceDb"),
+    ("restoreToTime", "Point-in-time target; default now; adds STOPAT"),
+    ("restoreDataPath", "MOVE target dir for data files"),
+    ("restoreLogPath", "MOVE target dir for log files"),
+    ("fileNamePrefix", "Prefix applied to moved file basenames"),
+    ("moveCommand", "Full override of the generated MOVE clause")
+  )
+
   def help(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq(
-      ("sourceDb", "Required. Database whose chain to restore"),
-      ("sourceServer", "Exactly one of sourceServer/sourceAgName"),
-      ("sourceAgName", "Exactly one of sourceServer/sourceAgName"),
-      ("destinationDb", "Defaults to sourceDb"),
-      ("restoreToTime", "Point-in-time target; default now; adds STOPAT"),
-      ("restoreDataPath", "MOVE target dir for data files"),
-      ("restoreLogPath", "MOVE target dir for log files"),
-      ("fileNamePrefix", "Prefix applied to moved file basenames"),
-      ("moveCommand", "Full override of the generated MOVE clause")
-    ).toDF("parameter", "description")
+    helpRows.toDF("parameter", "description")
   }
 }

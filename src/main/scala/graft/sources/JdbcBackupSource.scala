@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.etl.MsdbSources
+
+/** Authentication modes of the reference's connection builders:
+  * integrated security (`Add-BackupHistoryToTarget.ps1:43-52`), SQL
+  * credential (:54-64), and AAD access token
+  * (`New-AzureSQLDbConnectionWithCert.ps1:35-61`). In Spark these are
+  * just JDBC connection properties — no engine work.
+  */
+sealed trait SqlServerAuth {
+  def properties: Map[String, String]
+}
+final case class IntegratedAuth() extends SqlServerAuth {
+  def properties: Map[String, String] = Map("integratedSecurity" -> "true")
+}
+final case class CredentialAuth(user: String, password: String) extends SqlServerAuth {
+  def properties: Map[String, String] = Map("user" -> user, "password" -> password)
+}
+final case class AccessTokenAuth(token: String) extends SqlServerAuth {
+  def properties: Map[String, String] = Map("accessToken" -> token)
+}
+
+/** One source SQL Server to ETL (reference control-table row + connection
+  * parameters).
+  */
+final case class SourceServer(
+    host: String,
+    port: Int = 1433,
+    database: String = "msdb",
+    auth: SqlServerAuth = IntegratedAuth(),
+    fetchSize: Int = 10000
+)
+
+/** JDBC reader for the six msdb/sys relations the extract consumes
+  * (`Get-BackupHistoryToETL.ps1:51-70`). Each relation is exposed as a
+  * plain DataFrame: Catalyst pushes the watermark predicate and column
+  * pruning into the generated `SELECT ... WHERE ...` on the remote
+  * server, which is exactly the sargable shape the reference's embedded
+  * T-SQL had.
+  *
+  * Untestable over the wire here (zero egress); option construction is
+  * unit-tested, and the relation topology is covered by the
+  * parquet-fixture path (MsdbSources + ExtractTransform).
+  */
+object JdbcBackupSource {
+
+  def jdbcUrl(s: SourceServer): String =
+    s"jdbc:sqlserver://${s.host}:${s.port};databaseName=${s.database};encrypt=true"
+
+  def readerOptions(s: SourceServer, relation: String): Map[String, String] =
+    Map(
+      "url" -> jdbcUrl(s),
+      "dbtable" -> relation,
+      "fetchsize" -> s.fetchSize.toString
+    ) ++ s.auth.properties
+
+  def relation(spark: SparkSession, s: SourceServer, name: String): DataFrame =
+    spark.read.format("jdbc").options(readerOptions(s, name)).load()
+
+  /** The six extract inputs over JDBC (S1/S1a; the DMV-snapshot temp
+    * tables of the reference collapse into plain single reads per batch).
+    */
+  def sources(spark: SparkSession, s: SourceServer): MsdbSources =
+    MsdbSources(
+      backupset = relation(spark, s, "msdb.dbo.backupset"),
+      backupmediafamily = relation(spark, s, "msdb.dbo.backupmediafamily"),
+      backupfile = relation(spark, s, "msdb.dbo.backupfile"),
+      databases = relation(spark, s, "sys.databases"),
+      replicaStates = relation(spark, s, "sys.dm_hadr_database_replica_states"),
+      availabilityGroups = relation(spark, s, "sys.availability_groups")
+    )
+
+  /** Append-mode JDBC writer options for the consolidated sink — the
+    * set-based replacement for the reference's row-per-round-trip insert
+    * loop (`Add-BackupHistoryToTarget.ps1:69-98`).
+    */
+  def writerOptions(s: SourceServer, table: String,
+      batchSize: Int = 10000): Map[String, String] =
+    Map(
+      "url" -> jdbcUrl(s),
+      "dbtable" -> table,
+      "batchsize" -> batchSize.toString
+    ) ++ s.auth.properties
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources._
+
+/** The JDBC connector surface is untestable over the wire here (zero
+  * egress); these pin the option construction the three auth branches of
+  * the reference produce.
+  */
+class JdbcSourceSpec extends AnyFunSuite {
+
+  test("reader options per auth mode") {
+    val base = SourceServer("sql01.example.com")
+    val integ = JdbcBackupSource.readerOptions(base, "msdb.dbo.backupset")
+    assert(integ("url") ==
+      "jdbc:sqlserver://sql01.example.com:1433;databaseName=msdb;encrypt=true")
+    assert(integ("integratedSecurity") == "true")
+    assert(integ("dbtable") == "msdb.dbo.backupset")
+
+    val cred = JdbcBackupSource.readerOptions(
+      base.copy(auth = CredentialAuth("etl_user", "s3cret")), "sys.databases")
+    assert(cred("user") == "etl_user" && cred("password") == "s3cret")
+    assert(!cred.contains("integratedSecurity"))
+
+    val tok = JdbcBackupSource.readerOptions(
+      base.copy(auth = AccessTokenAuth("eyJ0...")), "sys.databases")
+    assert(tok("accessToken") == "eyJ0...")
+  }
+
+  test("writer options batch the set-based append") {
+    val w = JdbcBackupSource.writerOptions(
+      SourceServer("central.example.com", database = "DBA"),
+      "Utility.SQLBackupHistoryConsolidated", batchSize = 5000)
+    assert(w("batchsize") == "5000")
+    assert(w("url").contains("databaseName=DBA"))
+    assert(w("dbtable") == "Utility.SQLBackupHistoryConsolidated")
+  }
+}
