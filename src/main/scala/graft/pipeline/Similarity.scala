@@ -124,6 +124,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** IVF-style approximate top-k: a coarse quantizer of `nCentroids`
+    * deterministic centroids (the lowest-id vectors — at corpus scale
+    * you'd k-means these, the plumbing is identical) partitions the
+    * corpus into inverted lists; each query probes its `nProbe` nearest
+    * lists. Candidate generation is a broadcast assign + equi-join on the
+    * centroid id — the corpus is scanned once to build lists and then
+    * only |lists probed| / |lists| of it per query batch.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centroid")))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    // invert: each corpus vector to its single nearest centroid
+    val assigned = c.crossJoin(cents)
+      .withColumn("csim", dot(col("cv"), col("centroid")))
+      .groupBy("neighbor_id")
+      .agg(
+        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
+        first(col("cv")).as("cv"))
+    // each query probes its nProbe nearest lists
+    val q = queries.select(
+      col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val probes = q.crossJoin(cents)
+      .withColumn("csim", dot(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qv", "cid")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(dot(col("qv"), col("cv")), 4))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Near-duplicate embedding pairs within a blocking key (e.g. a cluster
     * label): same-block self-join keeps the pair space linear in practice
     * while the threshold does the semantics.

@@ -134,12 +134,26 @@ object SimilarityQueries {
       .orderBy("media_id")
   }
 
+  /** IVF-bucketed approximate top-k (rows-only; recall property-tested
+    * against the exact baseline in PipelineSpec).
+    */
+  def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 3,
+        nCentroids = 16, nProbe = 4)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("query_id", "rnk")
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
     "q29_ann_lsh" -> (q29AnnLsh _),
     "q30_media_meta" -> (q30MediaMeta _),
-    "q31_media_features" -> (q31MediaFeatures _)
+    "q31_media_features" -> (q31MediaFeatures _),
+    "q35_ann_ivf" -> (q35AnnIvf _)
   )
 
   def oracles: Map[String, String] = Map(

@@ -60,15 +60,24 @@ object ConsolidatedStore {
 
   /** Idempotent append: dedup against the table, assign LogIDs, append.
     * Returns the number of rows actually written.
+    *
+    * @param partitionBy optional physical layout columns — the Spark
+    *   analog of the reference's covering indexes (sql:35-39): partition
+    *   by `database_name` keeps every restore query's scan pruned to one
+    *   directory, which is the access path all of them share. Date-based
+    *   partitioning additionally serves the retention job. Must be the
+    *   same on every append to a given path.
     */
-  def append(spark: SparkSession, path: String, incoming: DataFrame): Long = {
+  def append(spark: SparkSession, path: String, incoming: DataFrame,
+      partitionBy: Seq[String] = Nil): Long = {
     val existing = read(spark, path)
     val fresh = mergeNew(existing, incoming).cache()
     try {
       val n = fresh.count()
       if (n > 0) {
-        withLogIds(existing, fresh)
-          .write.mode(SaveMode.Append).parquet(path)
+        val writer = withLogIds(existing, fresh).write.mode(SaveMode.Append)
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+          .parquet(path)
       }
       n
     } finally fresh.unpersist()

@@ -37,6 +37,22 @@ class EtlSpec extends AnyFunSuite {
     bh.unpersist()
   }
 
+  test("partitioned layout: append by database_name prunes per-db scans") {
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    val n = ConsolidatedStore.append(spark, path, bh,
+      partitionBy = Seq("database_name"))
+    assert(n > 0)
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("database_name=")).map(_.getName).sorted
+    assert(dirs.length == 5, s"got ${dirs.toSeq}")
+    val one = spark.read.parquet(path).filter(col("database_name") === "db1")
+    // partition pruning: only db1's directory is scanned
+    assert(one.count() ==
+      spark.read.parquet(s"$path/database_name=db1").count())
+  }
+
   test("etl run: first pass loads, second pass is a no-op that keeps watermarks") {
     val cons = tmp(); val wms = tmp()
     val sources = Map("srcA" -> MsdbDerivation.sources(spark, TestSpark.sf))

@@ -99,6 +99,24 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getAs[Double]("sim") == 1.0))
   }
 
+  test("IVF ANN: deterministic, beats a recall floor, twin stays findable") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // 4/16 lists probed
+    // identical twin shares the nearest list with its original
+    val embA = SimilarityQueries.embAug(spark, TestSpark.sf)
+    val twinTop = Similarity.ivfTopK(embA,
+      embA.filter(col("vec_id") >= 1000000), "vec_id", "embedding", 1,
+      nCentroids = 16, nProbe = 1).collect()
+    twinTop.foreach(r => assert(r.getAs[Double]("sim") == 1.0))
+  }
+
   test("custom DotProduct expression matches the builtin fold bit-for-bit") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
