@@ -72,11 +72,20 @@ object BackupHistoryDerivation {
     * `CAST(ts AS TIMESTAMP)` in the shared text is a no-op here (Tables
     * .events already normalized to microseconds) and truncates DuckDB's
     * TIMESTAMP_NS to the same microsecond value there.
+    *
+    * Memoized + cached per (session, dir): the derivation (a window over
+    * the events scan) is shared test scaffolding for a dozen queries —
+    * without the cache every planner phase re-derives it and benchmarks
+    * measure scaffolding instead of the operator under test.
     */
-  def frame(spark: SparkSession, sfDir: String): DataFrame = {
-    graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
-    spark.sql(s"WITH $withClauses SELECT * FROM backup_history")
-  }
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def frame(spark: SparkSession, sfDir: String): DataFrame =
+    memo.getOrElseUpdate((spark, sfDir), {
+      graft.Tables.events(spark, sfDir).createOrReplaceTempView("events")
+      spark.sql(s"WITH $withClauses SELECT * FROM backup_history").cache()
+    })
 
   /** derived lowercase name → canonical consolidated-schema name
     * (FIXTURES.md §1); columns absent from the derivation are added as

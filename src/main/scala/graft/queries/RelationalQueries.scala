@@ -114,15 +114,63 @@ object RelationalQueries {
       |WHERE rk <= 2 AND custkey % 100 = 0
       |ORDER BY custkey, rk, orderkey""".stripMargin
 
+  /** Semi-join (EXISTS) shape — TPC-H Q4-like: orders with at least one
+    * late lineitem. Catalyst plans the EXISTS as a left-semi hash join.
+    */
+  def q04LateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    orders
+      .join(li.select(col("l_orderkey"), col("l_shipdate")),
+        orders("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > orders("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("priority")
+  }
+
+  val q04Oracle: String =
+    """SELECT o_orderpriority AS priority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY priority
+      |ORDER BY priority""".stripMargin
+
+  /** ROLLUP hierarchy totals (absent from the reference's surface; part
+    * of the engine's general relational coverage).
+    */
+  def q05RollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    orders
+      .rollup(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("status").asc_nulls_first, col("priority").asc_nulls_first)
+  }
+
+  val q05Oracle: String =
+    """SELECT o_orderstatus AS status, o_orderpriority AS priority,
+      |       round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY ROLLUP (status, priority)
+      |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_market_revenue" -> (q02MarketRevenue _),
-    "q03_top_orders_per_customer" -> (q03TopOrdersPerCustomer _)
+    "q03_top_orders_per_customer" -> (q03TopOrdersPerCustomer _),
+    "q04_late_orders_semijoin" -> (q04LateOrders _),
+    "q05_rollup_revenue" -> (q05RollupRevenue _)
   )
 
   def oracles: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Oracle,
     "q02_market_revenue" -> q02Oracle,
-    "q03_top_orders_per_customer" -> q03Oracle
+    "q03_top_orders_per_customer" -> q03Oracle,
+    "q04_late_orders_semijoin" -> q04Oracle,
+    "q05_rollup_revenue" -> q05Oracle
   )
 }
