@@ -36,37 +36,63 @@ object EtlRunner {
 
   val DefaultWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
 
+  /** @param parallelism >1 runs that many source extracts concurrently
+    *   from driver threads (each pipeline is already fully distributed;
+    *   concurrency overlaps source I/O). Loads and watermark advances are
+    *   serialized — the store append is read-modify-append and the
+    *   watermark table is a whole-file rewrite.
+    */
   def runOnce(
       spark: SparkSession,
       sources: Map[String, MsdbSources],
       consolidatedPath: String,
-      watermarkPath: String): Seq[SourceBatchResult] = {
+      watermarkPath: String,
+      parallelism: Int = 1): Seq[SourceBatchResult] = {
     val watermarks = WatermarkStore.read(spark, watermarkPath)
-    sources.toSeq.sortBy(_._1).map { case (server, src) =>
+    val ordered = sources.toSeq.sortBy(_._1)
+
+    // phase 1 (parallelizable): extract + materialize. Spark is lazy, so
+    // "extract failure" is only observable at materialization — count()
+    // inside the try is what makes skip-this-server-only work.
+    def extractOne(server: String, src: MsdbSources) = {
       val wm = watermarks.getOrElse(server, DefaultWatermark)
-      // extract failure (e.g. unreadable source) skips this server only
-      val extracted =
-        try Some(ExtractTransform.extract(src, ExtractTransform.rewind(wm)).cache())
-        catch { case _: Exception => None }
-      extracted match {
-        case None =>
-          SourceBatchResult(server, 0, 0, None, Some("extract failed"))
-        case Some(batch) =>
-          try {
-            val n = batch.count()
-            if (n == 0) {
-              // empty batch: do not advance the watermark (ps:69-71)
-              SourceBatchResult(server, 0, 0, None, None)
-            } else {
-              val newWm = batch.agg(max("backup_finish_date")).head().getTimestamp(0)
-              // load, then advance — order matters (ps:52-65); any failure
-              // here aborts the whole run (Add-BackupHistoryToTarget.ps1:104-113)
-              val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
-              WatermarkStore.advance(spark, watermarkPath, server, newWm)
-              SourceBatchResult(server, n, appended, Some(newWm), None)
-            }
-          } finally batch.unpersist()
+      try {
+        val batch = ExtractTransform.extract(src, ExtractTransform.rewind(wm)).cache()
+        val n = batch.count()
+        Right((batch, n))
+      } catch { case e: Exception => Left(e.getClass.getSimpleName) }
+    }
+    val extracted =
+      if (parallelism <= 1) ordered.map { case (s, src) => s -> extractOne(s, src) }
+      else {
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+        try Await.result(
+          Future.sequence(ordered.map { case (s, src) =>
+            Future(s -> extractOne(s, src)) }), Duration.Inf)
+        finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
       }
+
+    // phase 2 (sequential): load then advance, per server. Failures here
+    // abort the whole run (Add-BackupHistoryToTarget.ps1:104-113).
+    extracted.map {
+      case (server, Left(err)) =>
+        // extract failed: skip server, keep going (ps:91-95)
+        SourceBatchResult(server, 0, 0, None, Some(s"extract failed: $err"))
+      case (server, Right((batch, n))) =>
+        try {
+          if (n == 0) {
+            // empty batch: do not advance the watermark (ps:69-71)
+            SourceBatchResult(server, 0, 0, None, None)
+          } else {
+            val newWm = batch.agg(max("backup_finish_date")).head().getTimestamp(0)
+            val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
+            WatermarkStore.advance(spark, watermarkPath, server, newWm)
+            SourceBatchResult(server, n, appended, Some(newWm), None)
+          }
+        } finally batch.unpersist()
     }
   }
 }

@@ -77,6 +77,24 @@ class EtlSpec extends AnyFunSuite {
     assert(wmAfter2 == wmAfter1)
   }
 
+  test("multi-source run: failing extract skips that server only") {
+    val cons = tmp(); val wms = tmp()
+    val good = MsdbDerivation.sources(spark, TestSpark.sf)
+    // fails when the extract materializes, like a source dropping mid-read
+    val broken = good.copy(
+      backupset = good.backupset.withColumn("server_name",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN backup_set_id >= 0 THEN raise_error('simulated extract failure') END")))
+    val results = EtlRunner.runOnce(
+      spark, Map("good" -> good, "bad" -> broken), cons, wms, parallelism = 2)
+    val byServer = results.map(r => r.server -> r).toMap
+    assert(byServer("bad").error.exists(_.startsWith("extract failed")))
+    assert(byServer("bad").newWatermark.isEmpty)
+    assert(byServer("good").error.isEmpty && byServer("good").appended > 0)
+    // only the good server's watermark exists
+    assert(WatermarkStore.read(spark, wms).keySet == Set("good"))
+  }
+
   test("retention: cutoff row survives, strictly-older rows are removed") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"),

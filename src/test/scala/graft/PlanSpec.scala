@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale posture (broadcasts,
+  * pruning, pushdown) is part of the contract, not an accident — a
+  * refactor that silently turns a broadcast join into a sort-merge or
+  * widens a scan should fail here, not at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("dimension joins broadcast; no cartesian products in join queries") {
+    val p = plan(queries.RelationalQueries.q02MarketRevenue(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"), p.linesIterator.take(20).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"), "tiny dims must not sort-merge")
+  }
+
+  test("aggregation scan prunes to the referenced columns only") {
+    val p = plan(queries.RelationalQueries.q01PricingSummary(spark, TestSpark.sf))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    // 5 data columns + 2 grouping columns; the other 4 must not be read
+    assert(!read.contains("l_orderkey") && !read.contains("l_shipdate"), read)
+    assert(read.contains("l_quantity") && read.contains("l_returnflag"), read)
+  }
+
+  test("extract pushes the media filter into the parquet scan") {
+    val p = plan(queries.EtlQueries.q14Extract(spark, TestSpark.sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_linenumber), " +
+      "LessThanOrEqual(l_linenumber,4)") ||
+      p.contains("LessThanOrEqual(l_linenumber,4)"), "backupfile prefilter pushed")
+    assert(p.contains("BroadcastHashJoin"), "catalog dims broadcast")
+  }
+
+  test("per-key restore windows partition on the access-path key") {
+    val p = plan(queries.BackupQueries.q10LatestFull(spark, TestSpark.sf))
+    assert(p.contains("dense_rank"), "rank-one-stripes window present")
+    // the window must be partitioned (no global single-partition sort)
+    assert(p.contains("partitionBy") || p.contains("PartitionBy") ||
+      p.contains("windowspecdefinition(database_name"), "partitioned window")
+  }
+
+  test("similarity search broadcasts the query side") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val p = plan(pipeline.Similarity.bruteForceTopK(
+      emb, emb.limit(5), "vec_id", "embedding", 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "queries must broadcast, corpus must stream")
+  }
+}
