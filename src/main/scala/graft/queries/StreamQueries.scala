@@ -68,13 +68,79 @@ object StreamQueries {
       |       max(n_events) AS max_session_events, sum(n_events) AS n_total
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** F11 on live data: shred the events' JSON `props` payload and
+    * aggregate an extracted field per event type.
+    */
+  def q36JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        max("k").as("max_k"),
+        count(when(col("k").isNull, 1)).as("n_null_k"))
+      .orderBy("event_type")
+
+  val q36Oracle: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+      |       count(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+      |         AS n_null_k
+      |FROM events
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Window frame spec (rowsBetween): per-user running event-value total
+    * — the cumulative-aggregate shape the reference never needed but an
+    * engine must have.
+    */
+  def q37RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") % 25 === 0)
+      .select(
+        col("user_id"), col("event_id"),
+        round(sum("value").over(w), 2).as("running_value"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val q37Oracle: String =
+    """SELECT user_id, event_id,
+      |       round(sum(value) OVER w, 2) AS running_value,
+      |       count(*) OVER w AS running_n
+      |FROM events
+      |WHERE user_id % 25 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** HLL sketch distinct counts (engine-specific estimator — rows-only;
+    * the error bound vs exact is asserted in PipelineSpec).
+    */
+  def q38ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
-    "q33_sessionize" -> (q33Sessions _)
+    "q33_sessionize" -> (q33Sessions _),
+    "q36_json_props" -> (q36JsonProps _),
+    "q37_running_total" -> (q37RunningTotal _),
+    "q38_approx_distinct" -> (q38ApproxDistinct _)
   )
 
   def oracles: Map[String, String] = Map(
     "q32_event_windows" -> q32Oracle,
-    "q33_sessionize" -> q33Oracle
+    "q33_sessionize" -> q33Oracle,
+    "q36_json_props" -> q36Oracle,
+    "q37_running_total" -> q37Oracle
   )
 }

@@ -148,6 +148,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 4).isEmpty)
   }
 
+  test("approx distinct stays within the requested error of exact") {
+    val ev = Tables.events(spark, TestSpark.sf)
+    val approx = queries.StreamQueries.q38ApproxDistinct(spark, TestSpark.sf)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .select("event_type", "u").as[(String, Long)].collect().toMap
+    exact.foreach { case (t, e) =>
+      val a = approx(t)
+      assert(math.abs(a - e).toDouble / e <= 0.1, s"$t: approx $a exact $e")
+    }
+  }
+
   test("quality score stays in [0,1]; langId picks a marker language") {
     val scored = Tables.documents(spark, TestSpark.sf)
       .select(TextAnalysis.qualityScore(col("text")).as("q"),
