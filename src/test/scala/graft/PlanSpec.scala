@@ -46,6 +46,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("windowspecdefinition(database_name"), "partitioned window")
   }
 
+  test("bucketed consolidated table: per-key aggregation runs shuffle-free") {
+    val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+    store.BucketedStore.create(spark, "graft_bucketed_test", bh, buckets = 4)
+    try {
+      val agg = store.BucketedStore.read(spark, "graft_bucketed_test")
+        .groupBy("database_name")
+        .agg(org.apache.spark.sql.functions.max("last_lsn"))
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed groupBy must not shuffle:\n${p.take(2000)}")
+      assert(agg.count() == 5)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucketed_test")
+    }
+  }
+
   test("similarity search broadcasts the query side") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val p = plan(pipeline.Similarity.bruteForceTopK(
