@@ -150,10 +150,25 @@ object ScriptQueries {
        |ORDER BY parameter""".stripMargin
   }
 
+  /** Fleet-wide restore chains for every (db, server) in one distributed
+    * pass (rows-only; per-pair equivalence with the scalar planner is
+    * asserted in FleetPlannerSpec).
+    */
+  def q39FleetPlan(spark: SparkSession, dir: String): DataFrame =
+    graft.script.FleetRestorePlanner
+      .planAll(canonicalFrame(spark, dir), "server_name", T)
+      .select(
+        col("database_name"), col("key"), col("restore_id"),
+        col("backup_type"), col("first_lsn").cast("decimal(25,0)").as("first_lsn"),
+        col("last_lsn").cast("decimal(25,0)").as("last_lsn"),
+        col("from_clause"), col("stopat"))
+      .orderBy("database_name", "key", "restore_id")
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_restore_chain" -> (q18RestoreChain _),
     "q19_restore_script" -> (q19RestoreScript _),
-    "q34_help_relation" -> (q34Help _)
+    "q34_help_relation" -> (q34Help _),
+    "q39_fleet_restore_plan" -> (q39FleetPlan _)
   )
 
   def oracles: Map[String, String] = Map(

@@ -1,0 +1,130 @@
+package graft.script
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{BackupTypes, DeviceTypes}
+import graft.restore.RestoreQueries
+
+/** Fleet-wide point-in-time restore planning: the chain selection of
+  * [[RestoreScriptGenerator]] for EVERY (database, key) at once, as one
+  * declarative plan — no driver loop, no scalar collects. At fleet scale
+  * (thousands of databases) the scalar planner's per-database round
+  * trips dominate; here every phase is a window or aggregation
+  * partitioned by the access-path key, so the whole fleet costs a few
+  * shuffles on `(database_name, key)` regardless of database count.
+  *
+  * Semantics match the scalar planner (equivalence-tested in
+  * FleetPlannerSpec): newest restorable full (all stripes), diff unless
+  * the full is copy-only, log chain past the base LSN up to the restore
+  * time plus the first log after it, striped sets collapsed, steps
+  * numbered full=1, diff=2, logs onward by LSN.
+  */
+object FleetRestorePlanner {
+
+  private def deviceClause: Column = concat(
+    when(col("device_type") === DeviceTypes.Url, lit("URL = N'"))
+      .otherwise(lit("DISK = N'")),
+    col("physical_device_name"), lit("'"))
+
+  /** Ordered multi-device FROM list over the grouped stripes. */
+  private def fromClauseAgg: Column =
+    array_join(
+      transform(
+        array_sort(collect_list(struct(
+          col("physical_device_name").as("k"), deviceClause.as("v")))),
+        x => x.getField("v")),
+      ",\n")
+
+  /** One row per (database, key, restore step).
+    * Output: database_name, key, restore_id, backup_type,
+    * backup_start_date, first_lsn, last_lsn, from_clause, stopat.
+    */
+  def planAll(
+      bh: DataFrame,
+      keyCol: String,
+      restoreTo: java.sql.Timestamp): DataFrame = {
+    val groupKeys = Seq("database_name", keyCol)
+    val gk = groupKeys.map(col)
+
+    // phase 1: newest restorable full per group, collapsed to one row
+    val fullSets = RestoreQueries
+      .latestFullBackupsPerKey(bh, keyCol, asOf = Some(lit(restoreTo)))
+      .groupBy(gk: _*)
+      .agg(
+        min("backup_start_date").as("backup_start_date"),
+        min("first_lsn").as("first_lsn"),
+        max("last_lsn").as("last_lsn"),
+        max(coalesce(col("is_copy_only"), lit(false))).as("full_copy_only"),
+        fromClauseAgg.as("from_clause"))
+    val fullSteps = fullSets.select(
+      (gk :+ lit(1L).as("restore_id") :+ lit(BackupTypes.Full).as("backup_type") :+
+        col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
+        col("from_clause") :+ lit(false).as("stopat")): _*)
+
+    // per-group base for the diff phase = the full's last_lsn
+    val fullLsn = fullSets.select(
+      (gk :+ col("last_lsn").as("full_lsn") :+ col("full_copy_only")): _*)
+
+    // phase 2: newest diff past the full, unless the full was copy-only
+    val diffSets = RestoreQueries.rankOneStripes(
+        bh.filter(col("BackupType") === BackupTypes.Diff)
+          .filter(col("backup_start_date") <= lit(restoreTo))
+          .filter(col(keyCol).isNotNull)
+          .join(broadcast(fullLsn), groupKeys)
+          .filter(!col("full_copy_only"))
+          .filter(col("last_lsn") > col("full_lsn")),
+        groupKeys)
+      .groupBy(gk: _*)
+      .agg(
+        min("backup_start_date").as("backup_start_date"),
+        min("first_lsn").as("first_lsn"),
+        max("last_lsn").as("last_lsn"),
+        fromClauseAgg.as("from_clause"))
+    val diffSteps = diffSets.select(
+      (gk :+ lit(2L).as("restore_id") :+ lit(BackupTypes.Diff).as("backup_type") :+
+        col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
+        col("from_clause") :+ lit(false).as("stopat")): _*)
+
+    // per-group base for the log phase: diff's lsn, else full's
+    val baseLsn = fullLsn
+      .join(diffSets.select((gk :+ col("last_lsn").as("diff_lsn")): _*),
+        groupKeys, "left")
+      .select((gk :+ coalesce(col("diff_lsn"), col("full_lsn")).as("base_lsn") :+
+        when(col("diff_lsn").isNotNull, 2L).otherwise(1L).as("base_steps")): _*)
+
+    // phase 3: log chain past the base + the first log after restoreTo
+    val logs = bh.filter(col("BackupType") === BackupTypes.Log)
+      .filter(col(keyCol).isNotNull)
+      .join(broadcast(baseLsn), groupKeys)
+      .filter(col("last_lsn") > col("base_lsn"))
+    val inRange = logs.filter(col("backup_start_date") <= lit(restoreTo))
+    val overlap = logs
+      .filter(col("backup_start_date") > lit(restoreTo))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(gk: _*)
+          .orderBy(col("backup_start_date"), col("last_lsn"), col("LogID"))))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val logSets = inRange.union(overlap).dropDuplicates("LogID")
+      .groupBy((gk ++ Seq(col("first_lsn"), col("last_lsn"))): _*)
+      .agg(
+        min("backup_start_date").as("backup_start_date"),
+        fromClauseAgg.as("from_clause"),
+        first("base_steps").as("base_steps"))
+    val wLogs = Window.partitionBy(gk: _*).orderBy(col("last_lsn"))
+    val logSteps = logSets
+      .withColumn("__seq", row_number().over(wLogs))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gk: _*)))
+      .select(
+        (gk :+ (col("__seq") + col("base_steps")).cast("long").as("restore_id") :+
+          lit(BackupTypes.Log).as("backup_type") :+
+          col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
+          col("from_clause") :+
+          (col("__seq") >= col("__n") - 1).as("stopat")): _*)
+
+    fullSteps.union(diffSteps).union(logSteps)
+      .withColumnRenamed(keyCol, "key")
+  }
+}
