@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis.{fingerprint, qualityScore}
+
+final case class CleanResult(
+    survivors: DataFrame,
+    nRaw: Long, nAfterQuality: Long, nAfterExact: Long, nAfterNear: Long)
+
+/** The composed corpus-cleaning pipeline every LLM-data run needs:
+  *
+  *   1. quality gate — drop documents scoring under `minQuality`;
+  *   2. exact dedup — keep the lowest id per content fingerprint;
+  *   3. near-dup removal — MinHash-LSH pairs among the survivors; of
+  *      each pair the higher id is dropped (greedy, one pass — a
+  *      connected-components pass would also drop transitive dups, at
+  *      the cost of an iterative join; at threshold levels used for
+  *      training data the greedy pass removes the overwhelming bulk).
+  *
+  * Each stage is one shuffle class: a scan-side filter, a fingerprint
+  * hash-aggregate, and the banded LSH join — nothing quadratic.
+  */
+object CorpusClean {
+
+  def clean(
+      docs: DataFrame, idCol: String, textCol: String,
+      minQuality: Double = 0.6,
+      k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5): CleanResult = {
+    val raw = docs.cache()
+    val nRaw = raw.count()
+
+    val quality = raw.filter(qualityScore(col(textCol)) >= minQuality).cache()
+    val nQuality = quality.count()
+
+    val exact = quality
+      .withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__fp", "__keep")
+      .cache()
+    val nExact = exact.count()
+
+    val removed = Dedup
+      .minhashPairs(exact, idCol, textCol, k, bands, minEstSim)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    val survivors = exact.join(removed, Seq(idCol), "left_anti")
+    val nNear = survivors.count()
+
+    raw.unpersist(); quality.unpersist()
+    CleanResult(survivors, nRaw, nQuality, nExact, nNear)
+  }
+
+  /** Single-row funnel report, oracle-comparable. */
+  def report(spark: SparkSession, r: CleanResult): DataFrame = {
+    import spark.implicits._
+    Seq((r.nRaw, r.nAfterQuality, r.nAfterExact, r.nAfterNear))
+      .toDF("n_raw", "n_after_quality", "n_after_exact", "n_after_near")
+  }
+}

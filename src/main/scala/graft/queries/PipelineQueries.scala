@@ -274,7 +274,99 @@ object PipelineQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q40: composed cleaning funnel -----------------------------------
+
+  /** docs_aug plus planted EXACT twins (every 43rd doc) so stage 2 has
+    * real work; stage 3 then removes the mutated twins.
+    */
+  val docsCleanSql: String =
+    s"""$docsAugSql,
+       |docs_clean AS (
+       |  SELECT doc_id, text FROM docs_aug
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, text
+       |  FROM documents WHERE doc_id % 43 = 0
+       |)""".stripMargin
+
+  def q40CleaningFunnel(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val input = spark.sql(s"WITH $docsCleanSql SELECT * FROM docs_clean")
+    val result = graft.pipeline.CorpusClean.clean(
+      input, "doc_id", "text", minQuality = 0.6)
+    graft.pipeline.CorpusClean.report(spark, result)
+  }
+
+  val q40Oracle: String = {
+    val comps = (0 until K)
+      .map(i => s"min(md5('$i|' || sh)) AS mh$i").mkString(",\n         ")
+    val r = K / Bands
+    val bandRows = (0 until Bands).map { b =>
+      val cat = (b * r until (b + 1) * r).map(i => s"mh$i").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, md5($cat) AS band_hash FROM sig2"
+    }.mkString("\n  UNION ALL ")
+    val matchSum = (0 until K)
+      .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsCleanSql,
+       |qual AS (
+       |  SELECT doc_id, text,
+       |    0.25 * (
+       |      least(1.0, n_tok / 100.0)
+       |      + greatest(0.0, 1.0 - 5.0 * (CAST(n_punct AS DOUBLE) / len(norm)))
+       |      + least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tok))
+       |      + greatest(0.0, 1.0 - abs((len(norm) - (n_tok - 1.0)) / n_tok - 5.0) / 5.0)
+       |    ) AS q
+       |  FROM (
+       |    SELECT doc_id, text, $normSql AS norm,
+       |           len(string_split($normSql, ' ')) AS n_tok,
+       |           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |           len(list_filter(string_split($normSql, ' '),
+       |                           x -> x IN ($stopList))) AS n_stop
+       |    FROM docs_clean)
+       |),
+       |s1 AS (SELECT doc_id, text FROM qual WHERE q >= 0.6),
+       |s2 AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |           min(doc_id) OVER (PARTITION BY md5($normSql)) AS keep
+       |    FROM s1) WHERE doc_id = keep
+       |),
+       |toks2 AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM s2),
+       |sh2 AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+       |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM toks2
+       |),
+       |sig2 AS (
+       |  SELECT doc_id,
+       |         $comps
+       |  FROM sh2 GROUP BY doc_id
+       |),
+       |bands2 AS (
+       |  $bandRows
+       |),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands2 a
+       |  JOIN bands2 b ON a.band = b.band AND a.band_hash = b.band_hash
+       |              AND a.doc_id < b.doc_id
+       |),
+       |removed AS (
+       |  SELECT DISTINCT id_b FROM cand2
+       |  JOIN sig2 sa ON sa.doc_id = id_a
+       |  JOIN sig2 sb ON sb.doc_id = id_b
+       |  WHERE CAST(($matchSum) AS DOUBLE) / $K >= 0.5
+       |),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM removed))
+       |SELECT (SELECT count(*) FROM docs_clean) AS n_raw,
+       |       (SELECT count(*) FROM s1) AS n_after_quality,
+       |       (SELECT count(*) FROM s2) AS n_after_exact,
+       |       (SELECT count(*) FROM s3) AS n_after_near""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cleaning_funnel" -> (q40CleaningFunnel _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -285,6 +377,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q40_cleaning_funnel" -> q40Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

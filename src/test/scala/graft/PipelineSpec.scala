@@ -148,6 +148,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 4).isEmpty)
   }
 
+  test("cleaning funnel: monotone, removes exact twins at stage 2 and mutated at stage 3") {
+    Tables.documents(spark, TestSpark.sf).createOrReplaceTempView("documents")
+    val input = spark.sql(
+      s"WITH ${PipelineQueries.docsCleanSql} SELECT * FROM docs_clean")
+    val r = graft.pipeline.CorpusClean.clean(input, "doc_id", "text", minQuality = 0.6)
+    assert(r.nRaw >= r.nAfterQuality && r.nAfterQuality >= r.nAfterExact &&
+      r.nAfterExact >= r.nAfterNear)
+    assert(r.nAfterQuality < r.nRaw, "quality gate removes something")
+    val survivors = r.survivors.select("doc_id").as[Long].collect().toSet
+    // exact twins (+2000000) never survive if their original passed quality
+    val exactTwins = survivors.filter(_ >= 2000000)
+    assert(exactTwins.forall(t => !survivors.contains(t - 2000000)),
+      "an exact twin may only survive if its original was quality-dropped")
+    // surviving mutated twins (+1000000) imply their original is gone too
+    val mutated = survivors.filter(id => id >= 1000000 && id < 2000000)
+    assert(mutated.count(t => survivors.contains(t - 1000000)) == 0 ||
+      r.nAfterExact == r.nAfterNear, "near-dup stage separates mutated twins")
+  }
+
   test("approx distinct stays within the requested error of exact") {
     val ev = Tables.events(spark, TestSpark.sf)
     val approx = queries.StreamQueries.q38ApproxDistinct(spark, TestSpark.sf)
