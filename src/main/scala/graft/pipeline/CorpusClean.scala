@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.TextAnalysis.{fingerprint, qualityScore}
+import graft.pipeline.TextAnalysis.fingerprint
 
 final case class CleanResult(
     survivors: DataFrame,
@@ -32,7 +32,13 @@ object CorpusClean {
     val raw = docs.cache()
     val nRaw = raw.count()
 
-    val quality = raw.filter(qualityScore(col(textCol)) >= minQuality).cache()
+    val quality = raw
+      .withColumn("__norm", TextAnalysis.normalize(col(textCol)))
+      .withColumn("__w", split(col("__norm"), " "))
+      .filter(TextAnalysis.qualityScoreFromParts(
+        col(textCol), col("__norm"), col("__w")) >= minQuality)
+      .drop("__norm", "__w")
+      .cache()
     val nQuality = quality.count()
 
     val exact = quality

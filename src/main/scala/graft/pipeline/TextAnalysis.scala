@@ -42,16 +42,26 @@ object TextAnalysis {
   /** Composite quality score in [0,1]: length, punctuation density,
     * stopword density, mean word length. Deterministic double arithmetic;
     * round before comparing across engines.
+    *
+    * Prefer [[qualityScoreFromParts]] over materialized norm/token
+    * columns in hot paths: this convenience form re-evaluates the
+    * normalize/split subtree at each of its reference sites.
     */
-  def qualityScore(text: Column): Column = {
-    val norm = normalize(text)
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column =
+    qualityScoreFromParts(text, normalize(text), tokens(text))
+
+  /** Same score over pre-materialized parts (`norm` = [[normalize]],
+    * `w` = [[tokens]]).
+    */
+  def qualityScoreFromParts(text: Column, norm: Column, w: Column): Column = {
+    val nTok = size(w).cast("double")
     val nChars = length(norm).cast("double")
     val lenScore = least(lit(1.0), nTok / 100.0)
     val punctScore = greatest(lit(0.0),
       lit(1.0) - lit(5.0) * (punctCount(text).cast("double") / nChars))
     val stopScore = least(lit(1.0),
-      lit(5.0) * (stopwordCount(text).cast("double") / nTok))
+      lit(5.0) * (size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*)))
+        .cast("double") / nTok))
     val meanWordLen = (nChars - (nTok - 1)) / nTok
     val wlScore = greatest(lit(0.0), lit(1.0) - abs(meanWordLen - 5.0) / 5.0)
     (lenScore + punctScore + stopScore + wlScore) * 0.25

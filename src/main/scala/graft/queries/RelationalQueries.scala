@@ -158,7 +158,25 @@ object RelationalQueries {
       |GROUP BY ROLLUP (status, priority)
       |ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST""".stripMargin
 
+  /** EXCEPT set-op (absent from the reference; general engine surface):
+    * customers holding orders but none in the top price decile.
+    */
+  def q06ExceptCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val all = orders.select(col("o_custkey").as("custkey"))
+    val big = orders.filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"))
+    all.except(big).orderBy("custkey")
+  }
+
+  val q06Oracle: String =
+    """SELECT o_custkey AS custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+      |ORDER BY custkey""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q06_except_customers" -> (q06ExceptCustomers _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_market_revenue" -> (q02MarketRevenue _),
     "q03_top_orders_per_customer" -> (q03TopOrdersPerCustomer _),
@@ -167,6 +185,7 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q06_except_customers" -> q06Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_market_revenue" -> q02Oracle,
     "q03_top_orders_per_customer" -> q03Oracle,
