@@ -22,14 +22,24 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // a failed query reports -1, never a normal-looking wall time
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    // stdout goes through sbt's [info]-prefixed logger, which breaks the
+    // driver's JSON parse — the file is the machine-readable channel
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    println(json)
     spark.stop()
   }
 }

@@ -68,11 +68,18 @@ case class DotProduct(left: Expression, right: Expression)
 object VectorFunctions {
 
   /** Register the custom expressions in the session's function registry
-    * (idempotent; also makes them usable from SQL text).
+    * (idempotent — a lookup guard keeps repeated calls from rewriting the
+    * registry and spamming `SimpleFunctionRegistry` replace warnings;
+    * also makes them usable from SQL text).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(id)) {
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+  }
 
   /** Column API for [[DotProduct]]; inputs must be array<double>. */
   def vecDot(a: Column, b: Column): Column = {

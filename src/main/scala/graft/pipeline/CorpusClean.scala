@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.TextAnalysis.fingerprint
-
 final case class CleanResult(
     survivors: DataFrame,
     nRaw: Long, nAfterQuality: Long, nAfterExact: Long, nAfterNear: Long)
@@ -32,17 +30,19 @@ object CorpusClean {
     val raw = docs.cache()
     val nRaw = raw.count()
 
+    // normalize + tokenize ONCE; every later stage (quality score,
+    // fingerprint = md5(norm), shingles) reads the materialized parts
+    // instead of re-running regexp_replace+split over the text.
     val quality = raw
       .withColumn("__norm", TextAnalysis.normalize(col(textCol)))
       .withColumn("__w", split(col("__norm"), " "))
       .filter(TextAnalysis.qualityScoreFromParts(
         col(textCol), col("__norm"), col("__w")) >= minQuality)
-      .drop("__norm", "__w")
       .cache()
     val nQuality = quality.count()
 
     val exact = quality
-      .withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__fp", md5(col("__norm"))) // = fingerprint(textCol)
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
       .filter(col(idCol) === col("__keep"))
       .drop("__fp", "__keep")
@@ -50,10 +50,11 @@ object CorpusClean {
     val nExact = exact.count()
 
     val removed = Dedup
-      .minhashPairs(exact, idCol, textCol, k, bands, minEstSim)
+      .minhashPairsFromTokens(exact, idCol, "__w", k, bands, minEstSim)
       .select(col("id_b").as(idCol))
       .distinct()
     val survivors = exact.join(removed, Seq(idCol), "left_anti")
+      .drop("__norm", "__w")
     val nNear = survivors.count()
 
     raw.unpersist(); quality.unpersist()

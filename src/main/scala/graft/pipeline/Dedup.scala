@@ -46,8 +46,17 @@ object Dedup {
   /** (doc_id, shingle) rows with tokenization materialized once. */
   private def shingleRows(
       docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsFromTokens(
+      docs.select(col(idCol), tokens(col(textCol)).as("__tok")), idCol, "__tok", n)
+
+  /** (doc_id, shingle) rows from an already-tokenized column — lets a
+    * composed pipeline (CorpusClean) tokenize once and reuse across
+    * stages instead of re-running normalize+split per stage.
+    */
+  private def shingleRowsFromTokens(
+      docs: DataFrame, idCol: String, tokCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .select(col(idCol).as("doc_id"), col(tokCol).as("w"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("w"), n)).as("sh"))
 
   /** Exact-duplicate groups: fingerprint → (canonical doc, group size).
@@ -109,8 +118,10 @@ object Dedup {
   /** Per-document k-component MinHash signature (columns mh0..mh{k-1}). */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int, n: Int = 3): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+      k: Int, n: Int = 3): DataFrame =
+    signaturesFromShingleRows(shingleRows(docs, idCol, textCol, n), k)
+
+  private def signaturesFromShingleRows(sh: DataFrame, k: Int): DataFrame = {
     val aggs = (0 until k).map(i => min(minhashComponent(col("sh"), i)).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -139,8 +150,20 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5,
-      n: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, n).cache()
+      n: Int = 3): DataFrame =
+    minhashPairsFromShingles(shingleRows(docs, idCol, textCol, n), k, bands, minEstSim)
+
+  /** [[minhashPairs]] over an already-tokenized column (no re-normalize). */
+  def minhashPairsFromTokens(
+      docs: DataFrame, idCol: String, tokCol: String,
+      k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5,
+      n: Int = 3): DataFrame =
+    minhashPairsFromShingles(
+      shingleRowsFromTokens(docs, idCol, tokCol, n), k, bands, minEstSim)
+
+  private def minhashPairsFromShingles(
+      sh: DataFrame, k: Int, bands: Int, minEstSim: Double): DataFrame = {
+    val sigs = signaturesFromShingleRows(sh, k).cache()
     val bandsDf = lshBands(sigs, k, bands)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),

@@ -141,13 +141,19 @@ object Similarity {
         .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centroid")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    // invert: each corpus vector to its single nearest centroid
-    val assigned = c.crossJoin(cents)
-      .withColumn("csim", dot(col("cv"), col("centroid")))
-      .groupBy("neighbor_id")
-      .agg(
-        max_by(col("cid"), struct(col("csim"), -col("cid"))).as("cid"),
-        first(col("cv")).as("cv"))
+    // invert: each corpus vector to its single nearest centroid. The
+    // centroid set is driver-sized (it IS the coarse quantizer), so the
+    // argmax is a pure projection over literal vectors — no x-nCentroids
+    // row inflation, no aggregate, stays inside whole-stage codegen.
+    // Tie-break matches max_by(cid, struct(csim, -cid)): highest csim,
+    // then smallest cid (rows pre-sorted cid desc => higher pref wins).
+    val centRows = cents.orderBy(col("cid").desc).collect()
+    val argmax = array_max(array(centRows.zipWithIndex.map { case (r, i) =>
+      val cvec = array(r.getSeq[Double](1).map(lit): _*)
+      struct(dot(col("cv"), cvec).as("csim"), lit(i).as("pref"),
+        lit(r.get(0)).as("cid"))
+    }.toIndexedSeq: _*))
+    val assigned = c.withColumn("cid", argmax.getField("cid"))
     // each query probes its nProbe nearest lists
     val q = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -19,11 +19,20 @@ object BackupQueries {
     "database_name", "server_name", "log_id", "physical_device_name",
     "first_lsn", "last_lsn", "backup_start_date", "device_type", "position")
 
+  /** LSNs stay DECIMAL(25,0) inside the library (reference sql:17-18
+    * NUMERIC(25,0)); final oracle-facing projections canonicalize them to
+    * BIGINT so both engines serialize identically (the driver's hasher
+    * renders decimals differently per engine; test LSNs fit in 63 bits).
+    */
+  private def lsnAsLong(df: DataFrame): DataFrame =
+    df.withColumn("first_lsn", col("first_lsn").cast("bigint"))
+      .withColumn("last_lsn", col("last_lsn").cast("bigint"))
+
   /** W1: newest full per (db, server), all stripes (dense_rank ties). */
   def q10LatestFull(spark: SparkSession, dir: String): DataFrame = {
     val bh = canonicalFrame(spark, dir)
-    lowercase(RestoreQueries.latestFullBackupsPerKey(bh, "server_name"))
-      .select(fullCols.map(col): _*)
+    lsnAsLong(lowercase(RestoreQueries.latestFullBackupsPerKey(bh, "server_name"))
+      .select(fullCols.map(col): _*))
       .orderBy(col("database_name"), col("server_name"), col("physical_device_name"))
   }
 
@@ -38,17 +47,19 @@ object BackupQueries {
       |        AND server_name IS NOT NULL
       |)
       |SELECT database_name, server_name, log_id, physical_device_name,
-      |       first_lsn, last_lsn, backup_start_date, device_type, position
+      |       CAST(first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(last_lsn AS BIGINT) AS last_lsn,
+      |       backup_start_date, device_type, position
       |FROM ranked WHERE rk = 1
       |ORDER BY database_name, server_name, physical_device_name""".stripMargin)
 
   /** P5+O2: every log past each (db, server)'s newest full, restore order. */
   def q11RemainingLogs(spark: SparkSession, dir: String): DataFrame = {
     val bh = canonicalFrame(spark, dir)
-    lowercase(RestoreQueries.remainingLogBackupsPerKey(bh, "server_name"))
+    lsnAsLong(lowercase(RestoreQueries.remainingLogBackupsPerKey(bh, "server_name"))
       .select(
         col("database_name"), col("server_name"), col("log_id"),
-        col("physical_device_name"), col("first_lsn"), col("last_lsn"))
+        col("physical_device_name"), col("first_lsn"), col("last_lsn")))
       .orderBy(
         col("database_name"), col("server_name"), col("last_lsn"), col("log_id"))
   }
@@ -61,7 +72,9 @@ object BackupQueries {
       |  GROUP BY database_name, server_name
       |)
       |SELECT b.database_name, b.server_name, b.log_id,
-      |       b.physical_device_name, b.first_lsn, b.last_lsn
+      |       b.physical_device_name,
+      |       CAST(b.first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(b.last_lsn AS BIGINT) AS last_lsn
       |FROM backup_history b
       |JOIN full_lsn f
       |  ON b.database_name = f.database_name AND b.server_name = f.server_name
@@ -80,10 +93,10 @@ object BackupQueries {
       .filter(col("server_name").isNotNull)
       .groupBy("database_name", "server_name")
       .agg(min("last_lsn").as("base_lsn"))
-    lowercase(RestoreQueries.lastDiffBackupsPerKey(bh, "server_name", base))
+    lsnAsLong(lowercase(RestoreQueries.lastDiffBackupsPerKey(bh, "server_name", base))
       .select(
         col("database_name"), col("server_name"), col("log_id"),
-        col("physical_device_name"), col("first_lsn"), col("last_lsn"))
+        col("physical_device_name"), col("first_lsn"), col("last_lsn")))
       .orderBy(col("database_name"), col("server_name"), col("physical_device_name"))
   }
 
@@ -120,7 +133,8 @@ object BackupQueries {
       |  FROM kept WHERE backup_type = 'Diff'
       |)
       |SELECT database_name, server_name, log_id, physical_device_name,
-      |       first_lsn, last_lsn
+      |       CAST(first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(last_lsn AS BIGINT) AS last_lsn
       |FROM ranked WHERE rk = 1
       |ORDER BY database_name, server_name, physical_device_name""".stripMargin)
 
@@ -129,10 +143,10 @@ object BackupQueries {
     */
   def q13StripedLogCollapse(spark: SparkSession, dir: String): DataFrame = {
     val bh = canonicalFrame(spark, dir)
-    RestoreQueries.collapseLogStripes(bh.filter(col("BackupType") === "Log"))
+    lsnAsLong(RestoreQueries.collapseLogStripes(bh.filter(col("BackupType") === "Log"))
       .select(
         col("database_name"), col("canonical_id"), col("first_lsn"),
-        col("last_lsn"), col("stripe_count"), col("from_clause"))
+        col("last_lsn"), col("stripe_count"), col("from_clause")))
       .orderBy(col("database_name"), col("canonical_id"))
   }
 
@@ -142,7 +156,9 @@ object BackupQueries {
       |           AS canonical_id
       |  FROM backup_history WHERE backup_type = 'Log'
       |)
-      |SELECT database_name, canonical_id, first_lsn, last_lsn,
+      |SELECT database_name, canonical_id,
+      |       CAST(first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(last_lsn AS BIGINT) AS last_lsn,
       |       count(*) AS stripe_count,
       |       string_agg(
       |         CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END

@@ -19,7 +19,11 @@ object EtlQueries {
   def q14Extract(spark: SparkSession, dir: String): DataFrame = {
     val since = java.sql.Timestamp.valueOf("2000-05-31 23:55:00") // wm - 5min
     val out = ExtractTransform.extract(MsdbDerivation.sources(spark, dir), since)
+    // LSNs are DECIMAL(25,0) internally; canonicalize to BIGINT in the
+    // oracle-facing projection (driver hashes decimals differently).
     BackupHistoryDerivation.lowercase(out)
+      .withColumn("first_lsn", col("first_lsn").cast("bigint"))
+      .withColumn("last_lsn", col("last_lsn").cast("bigint"))
       .orderBy(col("database_name"), col("last_lsn"), col("physical_device_name"))
   }
 
@@ -43,7 +47,8 @@ object EtlQueries {
       |  m.physical_device_name,
       |  s.backup_start_date, s.backup_finish_date,
       |  s.server_name, g.ag_name, s.recovery_model,
-      |  s.first_lsn, s.last_lsn,
+      |  CAST(s.first_lsn AS BIGINT) AS first_lsn,
+      |  CAST(s.last_lsn AS BIGINT) AS last_lsn,
       |  CAST(floor(s.backup_size / 1048576) AS INT) AS uncompressed_size_mb,
       |  CAST(floor(s.compressed_backup_size / 1048576) AS INT) AS compressed_size_mb,
       |  s.is_copy_only, s.encryptor_type, s.key_algorithm,

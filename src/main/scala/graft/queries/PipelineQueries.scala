@@ -59,8 +59,10 @@ object PipelineQueries {
        |         len(regexp_extract_all(text, '$bpeishRe')) AS n_bpeish
        |  FROM documents
        |)
-       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS sum_tokens,
-       |       round(avg(n_tok), 4) AS avg_tokens, sum(n_bpeish) AS sum_bpeish
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       round(avg(n_tok), 4) AS avg_tokens,
+       |       CAST(sum(n_bpeish) AS BIGINT) AS sum_bpeish
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---- q21: quality scoring -------------------------------------------
@@ -100,7 +102,8 @@ object PipelineQueries {
        |  FROM t
        |)
        |SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality,
-       |       sum(n_punct) AS sum_punct, sum(n_stop) AS sum_stop
+       |       CAST(sum(n_punct) AS BIGINT) AS sum_punct,
+       |       CAST(sum(n_stop) AS BIGINT) AS sum_stop
        |FROM scored GROUP BY source ORDER BY source""".stripMargin
 
   // ---- q22: language identification -----------------------------------

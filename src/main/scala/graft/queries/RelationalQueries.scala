@@ -92,7 +92,7 @@ object RelationalQueries {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders
-      .withColumn("rk", dense_rank().over(w))
+      .withColumn("rk", dense_rank().over(w).cast("bigint"))
       .filter(col("rk") <= 2)
       .filter(col("o_custkey") % 100 === 0)
       .select(

@@ -29,8 +29,8 @@ object ScriptQueries {
         s.from_clause, s.stop_at.isDefined))
       .toDF("restore_id", "backup_type", "first_lsn", "last_lsn",
         "from_clause", "stopat")
-      .withColumn("first_lsn", col("first_lsn").cast("decimal(25,0)"))
-      .withColumn("last_lsn", col("last_lsn").cast("decimal(25,0)"))
+      .withColumn("first_lsn", col("first_lsn").cast("bigint"))
+      .withColumn("last_lsn", col("last_lsn").cast("bigint"))
       .orderBy("restore_id")
   }
 
@@ -90,7 +90,8 @@ object ScriptQueries {
       |has_diff AS (SELECT count(*) AS n FROM chosen_diff),
       |stripe_agg_full AS (
       |  SELECT CAST(1 AS BIGINT) AS restore_id, 'Full' AS backup_type,
-      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+      |         CAST(min(first_lsn) AS BIGINT) AS first_lsn,
+      |         CAST(max(last_lsn) AS BIGINT) AS last_lsn,
       |         string_agg(
       |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
       |             || physical_device_name || '''',
@@ -100,7 +101,8 @@ object ScriptQueries {
       |),
       |stripe_agg_diff AS (
       |  SELECT CAST(2 AS BIGINT) AS restore_id, 'Diff' AS backup_type,
-      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+      |         CAST(min(first_lsn) AS BIGINT) AS first_lsn,
+      |         CAST(max(last_lsn) AS BIGINT) AS last_lsn,
       |         string_agg(
       |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
       |             || physical_device_name || '''',
@@ -113,7 +115,9 @@ object ScriptQueries {
       |UNION ALL
       |SELECT CAST(log_seq + 1 + (SELECT CASE WHEN n > 0 THEN 1 ELSE 0 END
       |                           FROM has_diff) AS BIGINT) AS restore_id,
-      |       'Log' AS backup_type, first_lsn, last_lsn, from_clause,
+      |       'Log' AS backup_type,
+      |       CAST(first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(last_lsn AS BIGINT) AS last_lsn, from_clause,
       |       log_seq >= n_logs - 1 AS stopat
       |FROM log_steps
       |ORDER BY restore_id""".stripMargin)
@@ -159,8 +163,8 @@ object ScriptQueries {
       .planAll(canonicalFrame(spark, dir), "server_name", T)
       .select(
         col("database_name"), col("key"), col("restore_id"),
-        col("backup_type"), col("first_lsn").cast("decimal(25,0)").as("first_lsn"),
-        col("last_lsn").cast("decimal(25,0)").as("last_lsn"),
+        col("backup_type"), col("first_lsn").cast("bigint").as("first_lsn"),
+        col("last_lsn").cast("bigint").as("last_lsn"),
         col("from_clause"), col("stopat"))
       .orderBy("database_name", "key", "restore_id")
 

@@ -20,7 +20,7 @@ object SimilarityQueries {
     Similarity.bruteForceTopK(
         corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
         idCol = "vec_id", vecCol = "embedding", k = 3)
-      .withColumnRenamed("rank", "rnk")
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
       .orderBy("query_id", "rnk")
   }
 
@@ -103,7 +103,7 @@ object SimilarityQueries {
       .select(
         col("media_id"), col("media_type"), col("width"), col("height"),
         col("duration_ms"),
-        octet_length(col("payload")).as("n_bytes"),
+        octet_length(col("payload")).cast("bigint").as("n_bytes"),
         sha2(col("payload"), 256).as("sha"))
       .orderBy("media_id")
 

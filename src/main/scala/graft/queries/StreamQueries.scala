@@ -65,7 +65,8 @@ object StreamQueries {
       |  FROM sess GROUP BY user_id, session_id
       |)
       |SELECT user_id, count(*) AS n_sessions,
-      |       max(n_events) AS max_session_events, sum(n_events) AS n_total
+      |       max(n_events) AS max_session_events,
+      |       CAST(sum(n_events) AS BIGINT) AS n_total
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** F11 on live data: shred the events' JSON `props` payload and
@@ -84,7 +85,8 @@ object StreamQueries {
 
   val q36Oracle: String =
     """SELECT event_type, count(*) AS n_events,
-      |       sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+      |         AS sum_k,
       |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
       |       count(*) FILTER (json_extract_string(props, '$.k') IS NULL)
       |         AS n_null_k

@@ -48,12 +48,16 @@ object FleetRestorePlanner {
     val groupKeys = Seq("database_name", keyCol)
     val gk = groupKeys.map(col)
 
-    // phase 1: newest restorable full per group, collapsed to one row
+    // phase 1: newest restorable full per group, collapsed to one row.
+    // backup_start_date mirrors the scalar planner exactly: the
+    // device-ordered head stripe's value (RestoreScriptGenerator
+    // collectStripes orders by physical_device_name and reads .head).
     val fullSets = RestoreQueries
       .latestFullBackupsPerKey(bh, keyCol, asOf = Some(lit(restoreTo)))
       .groupBy(gk: _*)
       .agg(
-        min("backup_start_date").as("backup_start_date"),
+        min_by(col("backup_start_date"), col("physical_device_name"))
+          .as("backup_start_date"),
         min("first_lsn").as("first_lsn"),
         max("last_lsn").as("last_lsn"),
         max(coalesce(col("is_copy_only"), lit(false))).as("full_copy_only"),
@@ -78,7 +82,8 @@ object FleetRestorePlanner {
         groupKeys)
       .groupBy(gk: _*)
       .agg(
-        min("backup_start_date").as("backup_start_date"),
+        min_by(col("backup_start_date"), col("physical_device_name"))
+          .as("backup_start_date"),
         min("first_lsn").as("first_lsn"),
         max("last_lsn").as("last_lsn"),
         fromClauseAgg.as("from_clause"))
@@ -107,10 +112,12 @@ object FleetRestorePlanner {
           .orderBy(col("backup_start_date"), col("last_lsn"), col("LogID"))))
       .filter(col("__rn") === 1)
       .drop("__rn")
+    // max(backup_start_date) matches collapseLogStripes, which the
+    // scalar log phase reads its start dates from
     val logSets = inRange.union(overlap).dropDuplicates("LogID")
       .groupBy((gk ++ Seq(col("first_lsn"), col("last_lsn"))): _*)
       .agg(
-        min("backup_start_date").as("backup_start_date"),
+        max("backup_start_date").as("backup_start_date"),
         fromClauseAgg.as("from_clause"),
         first("base_steps").as("base_steps"))
     val wLogs = Window.partitionBy(gk: _*).orderBy(col("last_lsn"))
@@ -126,5 +133,26 @@ object FleetRestorePlanner {
 
     fullSteps.union(diffSteps).union(logSteps)
       .withColumnRenamed(keyCol, "key")
+  }
+
+  /** Fleet analog of the reference's server→AG fallback (sql:145-170,
+    * [[RestoreQueries.withServerAgFallback]]): plan everything keyed by
+    * `server_name`; any database that produced NO steps that way (e.g.
+    * its backups carry only `ag_name`) is re-planned keyed by `ag_name`
+    * and unioned in. The fallback set is per database — the same
+    * granularity at which the scalar proc decides — and its anti-join is
+    * over two tiny distinct-db relations, so the extra cost is one pass
+    * over the (pruned) slice of fallback databases.
+    */
+  def planAllWithFallback(
+      bh: DataFrame,
+      restoreTo: java.sql.Timestamp): DataFrame = {
+    val byServer = planAll(bh, "server_name", restoreTo)
+    val planned = byServer.select("database_name").distinct()
+    val unplanned = bh.select("database_name").distinct()
+      .join(planned, Seq("database_name"), "left_anti")
+    val byAg = planAll(
+      bh.join(broadcast(unplanned), Seq("database_name")), "ag_name", restoreTo)
+    byServer.union(byAg)
   }
 }

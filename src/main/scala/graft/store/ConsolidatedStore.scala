@@ -1,7 +1,6 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
@@ -40,22 +39,39 @@ object ConsolidatedStore {
     * in a deterministic order. Only stability/uniqueness matter — the one
     * consumer is the striped-log canonicalization (W2, sql:1049), which
     * needs a stable min per (first_lsn, last_lsn).
+    *
+    * Scale note: a `row_number() OVER (ORDER BY ...)` would funnel the
+    * whole batch through one reducer — fine for steady incremental loads,
+    * a bottleneck on a backfill where the batch is the entire history.
+    * Instead: range-repartition + sort by the id order (parallel), then
+    * per-partition offsets via `zipWithIndex` (one extra count job, no
+    * single-partition exchange). Ids are contiguous from `base + 1`.
     */
   def withLogIds(existing: DataFrame, freshBatch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val maxRow = existing.agg(max("LogID")).head()
     val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    val order = Window.orderBy(
+    val spark = freshBatch.sparkSession
+    val orderCols = Seq(
       col("backup_finish_date"), col("database_name"), col("last_lsn"),
       col("physical_device_name"))
-    freshBatch.withColumn(
-      "LogID", (row_number().over(order) + lit(base)).cast("long"))
-      .select("LogID", freshBatch.columns.toIndexedSeq: _*)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val sorted = freshBatch
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = StructType(
+      StructField("LogID", LongType, nullable = false) +: sorted.schema.fields)
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((base + i + 1) +: r.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.consolidated)
-    if (new java.io.File(path).exists()) spark.read.parquet(path) else empty
+    if (StorePath.exists(spark, path)) spark.read.parquet(path) else empty
   }
 
   /** Idempotent append: dedup against the table, assign LogIDs, append.

@@ -15,7 +15,7 @@ import graft.model.{Schemas, SourceServerWatermark}
 object WatermarkStore {
 
   def read(spark: SparkSession, path: String): Map[String, Timestamp] =
-    if (!new java.io.File(path).exists()) Map.empty
+    if (!StorePath.exists(spark, path)) Map.empty
     else spark.read.parquet(path).collect()
       .map(r => r.getString(r.fieldIndex("ServerName")) ->
         r.getTimestamp(r.fieldIndex("LastETLDatetime"))).toMap

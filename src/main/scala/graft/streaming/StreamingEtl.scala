@@ -21,12 +21,16 @@ object StreamingEtl {
 
   /** Watermarked streaming dedup — state is bounded by the watermark
     * horizon, so at scale the dedup state store holds only the lookback
-    * window, not the table.
+    * window, not the table. `dropDuplicatesWithinWatermark` is required
+    * for that bound: plain `dropDuplicates` on keys that exclude the
+    * event-time column never evicts state. The reference's re-extract
+    * overlap is exactly the within-watermark duplicate this handles
+    * (ps:Get-BackupHistoryToETL.ps1:20 5-minute lookback).
     */
   def dedupStream(incoming: DataFrame): DataFrame =
     incoming
       .withWatermark("backup_finish_date", "5 minutes")
-      .dropDuplicates(Schemas.dedupKey)
+      .dropDuplicatesWithinWatermark(Schemas.dedupKey)
 
   /** Tumbling-window per-event-type aggregates (streaming-compatible:
     * append mode once the watermark passes the window end; also a plain

@@ -37,6 +37,22 @@ class EtlSpec extends AnyFunSuite {
     bh.unpersist()
   }
 
+  test("LogID assignment is distributed and follows the deterministic order") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    val empty = ConsolidatedStore.read(spark, tmp()) // base = 0
+    val assigned = ConsolidatedStore.withLogIds(empty, bh)
+    // a backfill-sized batch must not funnel through one reducer (the
+    // old global row_number window did) — range partitions stay parallel
+    assert(assigned.rdd.getNumPartitions > 1,
+      s"single-partition id assignment (${assigned.rdd.getNumPartitions})")
+    val rows = assigned.select("LogID", "backup_finish_date").orderBy("LogID")
+      .as[(Long, Timestamp)].collect()
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "contiguous from 1")
+    assert(rows.sliding(2).forall(p => !p(1)._2.before(p(0)._2)),
+      "id order follows the (finish_date, ...) sort order")
+  }
+
   test("partitioned layout: append by database_name prunes per-db scans") {
     val path = tmp()
     val bh = graft.etl.BackupHistoryDerivation
