@@ -60,8 +60,11 @@ final case class DbFileInfo(
 
 /** One step of a generated restore plan (mirrors `#AllBackupsToRestore`,
   * reference sql:514-531). `from_clause` is the multi-device FROM list
-  * (one line per stripe); `stop_at`, when set, is the STOPAT literal the
-  * command carries (last two log restores, reference sql:1262-1273).
+  * (one line per stripe); `physical_devices` is the plain comma-joined
+  * device csv (`@ConcatenatedPhysicalDevice`, reference sql:786-787 —
+  * the reference's string_agg order is undefined, we sort by device
+  * name); `stop_at`, when set, is the STOPAT literal the command carries
+  * (last two log restores, reference sql:1262-1273).
   */
 final case class RestoreStep(
     RestoreID: Long,
@@ -71,6 +74,7 @@ final case class RestoreStep(
     first_lsn: BigDecimal,
     last_lsn: BigDecimal,
     from_clause: String,
+    physical_devices: String,
     stop_at: Option[String],
     RestoreCommand: String
 )

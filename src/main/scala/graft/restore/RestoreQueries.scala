@@ -195,6 +195,9 @@ object RestoreQueries {
             x => x.getField("v")),
           ",\n").as("from_clause"),
         max("position").as("position"),
-        max("backup_start_date").as("backup_start_date"))
+        max("backup_start_date").as("backup_start_date"),
+        // @ConcatenatedPhysicalDevice analog (reference sql:786-787)
+        array_join(array_sort(collect_list(col("physical_device_name"))), ", ")
+          .as("physical_devices"))
   }
 }

@@ -37,9 +37,14 @@ object FleetRestorePlanner {
         x => x.getField("v")),
       ",\n")
 
+  /** `@ConcatenatedPhysicalDevice` csv (reference sql:786-787). */
+  private def deviceCsvAgg: Column =
+    array_join(array_sort(collect_list(col("physical_device_name"))), ", ")
+
   /** One row per (database, key, restore step).
     * Output: database_name, key, restore_id, backup_type,
-    * backup_start_date, first_lsn, last_lsn, from_clause, stopat.
+    * backup_start_date, first_lsn, last_lsn, from_clause,
+    * physical_devices, stopat.
     */
   def planAll(
       bh: DataFrame,
@@ -61,11 +66,12 @@ object FleetRestorePlanner {
         min("first_lsn").as("first_lsn"),
         max("last_lsn").as("last_lsn"),
         max(coalesce(col("is_copy_only"), lit(false))).as("full_copy_only"),
-        fromClauseAgg.as("from_clause"))
+        fromClauseAgg.as("from_clause"),
+        deviceCsvAgg.as("physical_devices"))
     val fullSteps = fullSets.select(
       (gk :+ lit(1L).as("restore_id") :+ lit(BackupTypes.Full).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
-        col("from_clause") :+ lit(false).as("stopat")): _*)
+        col("from_clause") :+ col("physical_devices") :+ lit(false).as("stopat")): _*)
 
     // per-group base for the diff phase = the full's last_lsn
     val fullLsn = fullSets.select(
@@ -86,11 +92,12 @@ object FleetRestorePlanner {
           .as("backup_start_date"),
         min("first_lsn").as("first_lsn"),
         max("last_lsn").as("last_lsn"),
-        fromClauseAgg.as("from_clause"))
+        fromClauseAgg.as("from_clause"),
+        deviceCsvAgg.as("physical_devices"))
     val diffSteps = diffSets.select(
       (gk :+ lit(2L).as("restore_id") :+ lit(BackupTypes.Diff).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
-        col("from_clause") :+ lit(false).as("stopat")): _*)
+        col("from_clause") :+ col("physical_devices") :+ lit(false).as("stopat")): _*)
 
     // per-group base for the log phase: diff's lsn, else full's
     val baseLsn = fullLsn
@@ -119,6 +126,7 @@ object FleetRestorePlanner {
       .agg(
         max("backup_start_date").as("backup_start_date"),
         fromClauseAgg.as("from_clause"),
+        deviceCsvAgg.as("physical_devices"),
         first("base_steps").as("base_steps"))
     val wLogs = Window.partitionBy(gk: _*).orderBy(col("last_lsn"))
     val logSteps = logSets
@@ -128,7 +136,7 @@ object FleetRestorePlanner {
         (gk :+ (col("__seq") + col("base_steps")).cast("long").as("restore_id") :+
           lit(BackupTypes.Log).as("backup_type") :+
           col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
-          col("from_clause") :+
+          col("from_clause") :+ col("physical_devices") :+
           (col("__seq") >= col("__n") - 1).as("stopat")): _*)
 
     fullSteps.union(diffSteps).union(logSteps)

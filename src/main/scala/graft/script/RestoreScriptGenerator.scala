@@ -123,6 +123,12 @@ object RestoreScriptGenerator {
   private def fromClause(stripes: Array[Row]): String =
     stripes.map(r => deviceClause(r.getInt(1), r.getString(0))).mkString(",\n")
 
+  /** `@ConcatenatedPhysicalDevice` (reference sql:786-787): the chosen
+    * set's device names as a plain csv, device-name order.
+    */
+  private def deviceCsv(stripes: Array[Row]): String =
+    stripes.map(_.getString(0)).mkString(", ")
+
   def generate(
       spark: SparkSession,
       bh: DataFrame,
@@ -170,7 +176,7 @@ object RestoreScriptGenerator {
         "NORECOVERY, NOUNLOAD, STATS = 5;"
     val fullStep = RestoreStep(1L, dest, BackupTypes.Full,
       fullStripes.head.getTimestamp(2), BigDecimal(fullStripes.head.getDecimal(3)),
-      BigDecimal(fullLsn), fullFrom, None, fullCmd)
+      BigDecimal(fullLsn), fullFrom, deviceCsv(fullStripes), None, fullCmd)
 
     // ---- phase 2: DIFF unless the full was copy-only (sql:837-1033) -----
     val diffStep: Option[RestoreStep] =
@@ -189,7 +195,8 @@ object RestoreScriptGenerator {
             "NORECOVERY, NOUNLOAD, STATS = 5;"
           Some(RestoreStep(2L, dest, BackupTypes.Diff,
             stripes.head.getTimestamp(2), BigDecimal(stripes.head.getDecimal(3)),
-            BigDecimal(stripes.head.getDecimal(4)), from, None, cmd))
+            BigDecimal(stripes.head.getDecimal(4)), from, deviceCsv(stripes),
+            None, cmd))
         }
       }
     val baseLsn = diffStep.map(_.last_lsn.bigDecimal).getOrElse(fullLsn)
@@ -210,7 +217,8 @@ object RestoreScriptGenerator {
     val chain = RestoreQueries
       .collapseLogStripes(logsInRange.union(overlapLog).dropDuplicates("LogID"))
       .orderBy(col("last_lsn"))
-      .select("backup_start_date", "first_lsn", "last_lsn", "position", "from_clause")
+      .select("backup_start_date", "first_lsn", "last_lsn", "position",
+        "from_clause", "physical_devices")
       .collect()
     val stopAtLiteral = restoreTo.toString.takeWhile(_ != '.') // seconds precision
     val nLogs = chain.length
@@ -224,7 +232,7 @@ object RestoreScriptGenerator {
       else base
       RestoreStep(diffStep.size + 2L + i, dest, BackupTypes.Log,
         r.getTimestamp(0), BigDecimal(r.getDecimal(1)), BigDecimal(r.getDecimal(2)),
-        from, if (withStopAt) Some(stopAtLiteral) else None, cmd)
+        from, r.getString(5), if (withStopAt) Some(stopAtLiteral) else None, cmd)
     }
 
     val steps = Seq(fullStep) ++ diffStep.toSeq ++ logSteps

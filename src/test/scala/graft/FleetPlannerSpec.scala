@@ -21,8 +21,10 @@ class FleetPlannerSpec extends AnyFunSuite {
     val bh = BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
     val fleet = FleetRestorePlanner.planAll(bh, "server_name", T)
       .select("database_name", "key", "restore_id", "backup_type",
-        "backup_start_date", "last_lsn", "from_clause", "stopat")
-      .as[(String, String, Long, String, Timestamp, BigDecimal, String, Boolean)]
+        "backup_start_date", "last_lsn", "from_clause", "physical_devices",
+        "stopat")
+      .as[(String, String, Long, String, Timestamp, BigDecimal, String,
+        String, Boolean)]
       .collect()
       .groupBy(r => (r._1, r._2))
 
@@ -38,13 +40,13 @@ class FleetPlannerSpec extends AnyFunSuite {
         catch { case _: IllegalStateException => None } // no full before T
       val fleetSteps = fleet.getOrElse((db, srv), Array.empty)
         .sortBy(_._3)
-        .map(r => (r._3, r._4, r._5, r._6, r._7, r._8)).toSeq
+        .map(r => (r._3, r._4, r._5, r._6, r._7, r._8, r._9)).toSeq
       scalar match {
         case None => assert(fleetSteps.isEmpty, s"$db/$srv: fleet has steps but scalar none")
         case Some(plan) =>
           val scalarSteps = plan.steps.map(s =>
             (s.RestoreID, s.BackupType, s.backup_start_date, s.last_lsn,
-              s.from_clause, s.stop_at.isDefined))
+              s.from_clause, s.physical_devices, s.stop_at.isDefined))
           assert(fleetSteps == scalarSteps, s"$db/$srv mismatch")
       }
     }
