@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{BackupQueries, EtlQueries, PipelineQueries,
-  RelationalQueries, ScriptQueries, SimilarityQueries, StreamQueries}
+import graft.queries.{BackupQueries, CurationQueries, EtlQueries,
+  PipelineQueries, RelationalQueries, ScriptQueries, SimilarityQueries,
+  StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++ BackupQueries.entries ++ EtlQueries.entries ++
       ScriptQueries.entries ++ PipelineQueries.entries ++
-      SimilarityQueries.entries ++ StreamQueries.entries
+      SimilarityQueries.entries ++ StreamQueries.entries ++
+      CurationQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ BackupQueries.oracles ++ EtlQueries.oracles ++
       ScriptQueries.oracles ++ PipelineQueries.oracles ++
-      SimilarityQueries.oracles ++ StreamQueries.oracles
+      SimilarityQueries.oracles ++ StreamQueries.oracles ++
+      CurationQueries.oracles
 }

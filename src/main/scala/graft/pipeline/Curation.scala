@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis.tokens
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * around the cleaning funnel: deterministic dataset splits and
+  * vocabulary construction. Both are built from codegen'd expressions +
+  * map-side-combinable aggregations — the shapes that hold at 100 TB.
+  */
+object Curation {
+
+  /** Uniform hash fraction in [0,1) for an id: first 16 bits of
+    * md5(id-as-string). No RNG state — identical on every run, executor,
+    * and engine (the DuckDB oracle reproduces it bit-for-bit), which is
+    * what makes train/val/test membership stable across reprocessing.
+    */
+  def splitFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** Deterministic train/val/test assignment as a pure projection (no
+    * shuffle, no sample() nondeterminism). `splits` are (name, weight)
+    * with weights summing to 1; cut points are cumulative.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights sum to 1")
+    val frac = splitFraction(col(idCol))
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val head = when(frac < cuts.head, splits.head._1)
+    val cased = splits.zip(cuts).drop(1).dropRight(1)
+      .foldLeft(head) { case (acc, ((name, _), cut)) =>
+        acc.when(frac < cut, name)
+      }
+    df.withColumn(splitCol, cased.otherwise(splits.last._1))
+  }
+
+  /** Document-frequency vocabulary: distinct tokens per document,
+    * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
+    * One explode + one hash aggregation (map-side combinable) + a
+    * driver-small top-k — the linear vocab-construction shape.
+    */
+  def vocabulary(
+      docs: DataFrame, textCol: String,
+      minDf: Long = 2, topK: Int = 25): DataFrame = {
+    val ranked = docs
+      .select(explode(array_distinct(tokens(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("token"))
+      .limit(topK)
+    // global window is fine here: input is already the k-row top-k
+    ranked.withColumn("rank",
+      row_number().over(Window.orderBy(col("df").desc, col("token")))
+        .cast("bigint"))
+  }
+}

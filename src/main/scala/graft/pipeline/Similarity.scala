@@ -176,6 +176,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Per-label centroid statistics: the vector-aggregation shape (mean
+    * over an array column) every embedding pipeline needs for cluster
+    * summaries and IVF seeding. posexplode → per-(label, dim) avg (one
+    * map-side-combinable agg over |corpus| x dim rows) → per-label
+    * re-assembly; no self-joins, no driver collect of vectors.
+    * Output: (label, n_vectors, centroid array<double>, centroid_norm).
+    */
+  def labelCentroids(
+      corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val dims = corpus.select(
+      col(labelCol).as("label"),
+      posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+    val perDim = dims.groupBy("label", "pos")
+      .agg(avg("v").as("m"), count(lit(1)).as("n"))
+    perDim.groupBy("label")
+      .agg(
+        max("n").as("n_vectors"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("centroid"),
+        round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+  }
+
   /** Near-duplicate embedding pairs within a blocking key (e.g. a cluster
     * label): same-block self-join keeps the pair space linear in practice
     * while the threshold does the semantics.

@@ -104,4 +104,28 @@ object TextAnalysis {
     * key (whitespace/case-insensitive).
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** PII-shaped patterns, written to the RE2 ∩ java.util.regex common
+    * subset so the DuckDB oracle runs the identical strings. Replacement
+    * order is email → phone → IP (disjoint matches; placeholders carry
+    * no digits, so later passes never match inside earlier ones).
+    */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  val PiiIp = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(PiiEmail))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(PiiPhone))
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(PiiIp))
+
+  /** Scrub PII-shaped spans with typed placeholders — the pre-training
+    * redaction pass, as three chained codegen'd regexp_replaces (one
+    * scan, no shuffle).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmail, "[EMAIL]"),
+        PiiPhone, "[PHONE]"),
+      PiiIp, "[IP]")
 }

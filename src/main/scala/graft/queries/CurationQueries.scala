@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{Curation, Similarity, TextAnalysis}
+
+/** Oracle-checked corpus-curation queries: deterministic dataset splits,
+  * PII redaction, vocabulary construction, and per-label embedding
+  * centroids — the operators that sit around the cleaning funnel in a
+  * real training-data run. Every formula is mirrored verbatim in DuckDB
+  * (md5 hash fractions, identical regex strings, per-dimension avg).
+  */
+object CurationQueries {
+
+  // ---- q41: deterministic hash split ----------------------------------
+
+  def q41HashSplit(spark: SparkSession, dir: String): DataFrame =
+    Curation.hashSplit(Tables.documents(spark, dir), "doc_id")
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "split")
+
+  val q41Oracle: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |           / 65536.0 AS frac
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |       CASE WHEN frac < 0.8 THEN 'train'
+      |            WHEN frac < 0.9 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM f GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ---- q42: PII redaction ---------------------------------------------
+
+  /** Planted PII: every 29th document gets an email, phone, and IP
+    * appended — shared SQL so both engines see identical inputs.
+    */
+  val docsPiiSql: String =
+    """docs_pii AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 29 = 0
+      |              THEN text || ' contact: user' || doc_id ||
+      |                   '@example.com or 555-123-4567 at 10.0.0.' ||
+      |                   (doc_id % 255)
+      |              ELSE text END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  def q42PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val docs = spark.sql(s"WITH $docsPiiSql SELECT * FROM docs_pii")
+    docs
+      .select(
+        col("source"),
+        TextAnalysis.piiEmailCount(col("text")).as("e"),
+        TextAnalysis.piiPhoneCount(col("text")).as("p"),
+        TextAnalysis.piiIpCount(col("text")).as("i"),
+        length(TextAnalysis.redactPii(col("text"))).as("lr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("e").as("n_emails"),
+        sum("p").as("n_phones"),
+        sum("i").as("n_ips"),
+        sum("lr").as("len_redacted"))
+      .orderBy("source")
+  }
+
+  val q42Oracle: String = {
+    import TextAnalysis.{PiiEmail, PiiIp, PiiPhone}
+    s"""WITH $docsPiiSql
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(len(regexp_extract_all(text, '$PiiEmail'))) AS BIGINT)
+       |    AS n_emails,
+       |  CAST(sum(len(regexp_extract_all(text, '$PiiPhone'))) AS BIGINT)
+       |    AS n_phones,
+       |  CAST(sum(len(regexp_extract_all(text, '$PiiIp'))) AS BIGINT)
+       |    AS n_ips,
+       |  CAST(sum(length(
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$PiiEmail', '[EMAIL]', 'g'),
+       |      '$PiiPhone', '[PHONE]', 'g'),
+       |      '$PiiIp', '[IP]', 'g'))) AS BIGINT) AS len_redacted
+       |FROM docs_pii GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- q43: vocabulary ------------------------------------------------
+
+  def q43Vocabulary(spark: SparkSession, dir: String): DataFrame =
+    Curation.vocabulary(Tables.documents(spark, dir), "text",
+        minDf = 5, topK = 25)
+      .orderBy("rank")
+
+  val q43Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(list_distinct(string_split(
+       |           ${PipelineQueries.normSql}, ' '))) AS token
+       |  FROM documents
+       |),
+       |df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+       |ranked AS (
+       |  SELECT token, df,
+       |         row_number() OVER (ORDER BY df DESC, token) AS rank
+       |  FROM df WHERE df >= 5
+       |)
+       |SELECT token, df, rank FROM ranked
+       |WHERE rank <= 25 ORDER BY rank""".stripMargin
+
+  // ---- q44: per-label embedding centroids -----------------------------
+
+  def q44LabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(
+        Tables.embeddings(spark, dir), "label", "embedding")
+      .select("label", "n_vectors", "centroid_norm")
+      .orderBy("label")
+
+  val q44Oracle: String =
+    """WITH d AS (
+      |  SELECT label, i, embedding[i]::DOUBLE AS v
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      |),
+      |m AS (
+      |  SELECT label, i, avg(v) AS m, count(*) AS n
+      |  FROM d GROUP BY label, i
+      |)
+      |SELECT label, max(n) AS n_vectors,
+      |       round(sqrt(sum(m * m)), 4) AS centroid_norm
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_hash_split" -> (q41HashSplit _),
+    "q42_pii_redaction" -> (q42PiiRedaction _),
+    "q43_vocabulary" -> (q43Vocabulary _),
+    "q44_label_centroids" -> (q44LabelCentroids _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q41_hash_split" -> q41Oracle,
+    "q42_pii_redaction" -> q42Oracle,
+    "q43_vocabulary" -> q43Oracle,
+    "q44_label_centroids" -> q44Oracle
+  )
+}

@@ -17,7 +17,7 @@ object PipelineQueries {
   /** Shared normalization fragments (DuckDB side). Spark side is
     * TextAnalysis — keep in sync.
     */
-  private val normSql =
+  private[queries] val normSql =
     "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
   private val bpeishRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")

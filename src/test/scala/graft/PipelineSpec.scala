@@ -185,6 +185,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(gated == 0, "q38 bound column must be all-true")
   }
 
+  test("hash split: deterministic, exhaustive, near the requested weights") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val a = pipeline.Curation.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val b = pipeline.Curation.hashSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(a == b, "re-run must assign identically")
+    val total = a.values.sum
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(math.abs(a("train").toDouble / total - 0.8) < 0.05, s"train ${a("train")}")
+    // membership stable under corpus growth: a doc's split never depends
+    // on other rows
+    val half = pipeline.Curation.hashSplit(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id")
+    val full = pipeline.Curation.hashSplit(docs, "doc_id")
+      .filter(col("doc_id") % 2 === 0)
+    assert(half.select("doc_id", "split").except(
+      full.select("doc_id", "split")).count() == 0)
+  }
+
+  test("pii redaction scrubs planted spans and leaves clean text alone") {
+    val piiDoc = Seq((1L, "reach me at jane.doe@corp.io or 555-123-4567 from 10.0.0.7"))
+      .toDF("id", "text")
+    val red = piiDoc.select(TextAnalysis.redactPii(col("text")).as("r"))
+      .as[String].head()
+    assert(red == "reach me at [EMAIL] or [PHONE] from [IP]", red)
+    val clean = Seq((2L, "no contact details here")).toDF("id", "text")
+      .select(TextAnalysis.redactPii(col("text")).as("r")).as[String].head()
+    assert(clean == "no contact details here")
+  }
+
+  test("vocabulary: df-ordered, min-df filtered, k-bounded") {
+    val vocab = pipeline.Curation.vocabulary(
+      Tables.documents(spark, TestSpark.sf), "text", minDf = 5, topK = 25)
+      .as[(String, Long, Long)].collect()
+    assert(vocab.length <= 25)
+    assert(vocab.forall(_._2 >= 5), "min-df respected")
+    assert(vocab.sortBy(t => (-t._2, t._1)).toSeq == vocab.toSeq, "df-desc order")
+    assert(vocab.map(_._3).toSeq == (1L to vocab.length).toSeq, "dense ranks")
+  }
+
+  test("label centroids: unit-dominated norms and full label coverage") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cents = pipeline.Similarity.labelCentroids(emb, "label", "embedding")
+    val rows = cents.select("label", "n_vectors", "centroid_norm")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == emb.select("label").distinct().count())
+    assert(rows.map(_._2).sum == emb.count(), "every vector counted once")
+    // vectors are unit-norm; a mean of unit vectors has norm in (0, 1]
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 1.0001), rows.take(3).toSeq)
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val width = cents.select(size(col("centroid"))).distinct().as[Int].collect()
+    assert(width.toSeq == Seq(dim), "centroid has the corpus dimensionality")
+  }
+
   test("quality score stays in [0,1]; langId picks a marker language") {
     val scored = Tables.documents(spark, TestSpark.sf)
       .select(TextAnalysis.qualityScore(col("text")).as("q"),
