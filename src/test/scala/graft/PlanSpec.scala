@@ -69,4 +69,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "queries must broadcast, corpus must stream")
   }
+
+  test("hash split and redaction are shuffle-free projections") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val split = pipeline.Curation.hashSplit(docs, "doc_id")
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "split assignment must not shuffle")
+    val red = docs.select(
+      pipeline.TextAnalysis.redactPii(
+        org.apache.spark.sql.functions.col("text")))
+    assert(!red.queryExecution.executedPlan.toString.contains("Exchange"),
+      "redaction must not shuffle")
+  }
+
+  test("IVF assignment is a projection - no aggregate, no row inflation") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val p = plan(pipeline.Similarity.ivfTopK(
+      emb, emb.limit(5), "vec_id", "embedding", 3,
+      nCentroids = 4, nProbe = 2))
+    // exactly the aggregates the top-k itself needs appear; the corpus->
+    // centroid assignment contributes none (it is array_max over literals)
+    assert(!p.contains("max_by"), "no max_by aggregation in assignment")
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 0, s"no hash aggregates expected in IVF plan, got $aggs")
+  }
+
+  test("LogID assignment sort is range-partitioned, not single-partition") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    import org.apache.spark.sql.functions.col
+    val sorted = bh
+      .repartitionByRange(spark.sessionState.conf.numShufflePartitions,
+        col("backup_finish_date"), col("database_name"), col("last_lsn"),
+        col("physical_device_name"))
+      .sortWithinPartitions("backup_finish_date")
+    val p = sorted.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"range partitioning expected:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"), "no single-partition funnel")
+  }
 }
