@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.pipeline.{Curation, TextAnalysis}
+
+/** Property-based invariants for the curation operators: these must hold
+  * for ANY corpus, not just the fixture tables.
+  */
+class CurationProps extends Properties("curation") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each case runs Spark jobs
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val genIds: Gen[List[Long]] = for {
+    n <- Gen.choose(50, 300)
+    ids <- Gen.listOfN(n, Gen.choose(0L, 1000000L))
+  } yield ids.distinct
+
+  property("hashSplit partitions exhaustively and independently of corpus") =
+    Prop.forAll(genIds) { ids =>
+      val df = ids.toDF("id")
+      val assigned = Curation.hashSplit(df, "id")
+        .as[(Long, String)].collect().toMap
+      val half = Curation.hashSplit(ids.take(ids.size / 2).toDF("id"), "id")
+        .as[(Long, String)].collect().toMap
+      // every row assigned exactly one of the three splits
+      val exhaustive = assigned.size == ids.size &&
+        assigned.values.forall(Set("train", "val", "test"))
+      // membership is a pure function of the id — subsets agree
+      val independent = half.forall { case (id, s) => assigned(id) == s }
+      exhaustive && independent
+    }
+
+  private val genText: Gen[String] = for {
+    words <- Gen.listOf(Gen.oneOf(
+      "alpha", "beta", "x1", "reach", "me", "at",
+      "a.user@mail.example.org", "555-123-4567", "10.20.30.40",
+      "punct!", "end."))
+  } yield words.mkString(" ")
+
+  property("redactPii is idempotent and leaves no pattern behind") =
+    Prop.forAll(Gen.listOfN(20, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val once = df.select(col("id"),
+        TextAnalysis.redactPii(col("text")).as("r"))
+      val twice = once.select(col("id"),
+        TextAnalysis.redactPii(col("r")).as("r"))
+      val stable = once.as[(Long, String)].collect().toMap ==
+        twice.as[(Long, String)].collect().toMap
+      val leftovers = once
+        .filter(
+          TextAnalysis.piiEmailCount(col("r")) +
+            TextAnalysis.piiPhoneCount(col("r")) +
+            TextAnalysis.piiIpCount(col("r")) > 0)
+        .count()
+      stable && leftovers == 0
+    }
+
+  property("vocabulary ranks are dense, df-sorted, and min-df bounded") =
+    Prop.forAll(Gen.listOfN(60, genText)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val vocab = Curation.vocabulary(df, "text", minDf = 2, topK = 10)
+        .as[(String, Long, Long)].collect().toSeq
+      vocab.forall(_._2 >= 2) &&
+        vocab.map(_._3) == (1L to vocab.size) &&
+        vocab.sortBy(t => (-t._2, t._1)) == vocab
+    }
+}
