@@ -68,6 +68,10 @@ object FleetRestorePlanner {
         max(coalesce(col("is_copy_only"), lit(false))).as("full_copy_only"),
         fromClauseAgg.as("from_clause"),
         deviceCsvAgg.as("physical_devices"))
+      // one row per (db, key) — driver-small; cached because three later
+      // phases (full steps, diff base, log base) would otherwise each
+      // recompute the rank window over the whole table
+      .cache()
     val fullSteps = fullSets.select(
       (gk :+ lit(1L).as("restore_id") :+ lit(BackupTypes.Full).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
@@ -94,6 +98,7 @@ object FleetRestorePlanner {
         max("last_lsn").as("last_lsn"),
         fromClauseAgg.as("from_clause"),
         deviceCsvAgg.as("physical_devices"))
+      .cache() // reused by diff steps + the log-phase base
     val diffSteps = diffSets.select(
       (gk :+ lit(2L).as("restore_id") :+ lit(BackupTypes.Diff).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
