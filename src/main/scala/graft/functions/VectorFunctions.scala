@@ -49,14 +49,22 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed identifiers: with non-nullable inputs the
+      // code inlines without a scoping block, and two DotProducts in one
+      // generated function (e.g. a join predicate using vec_dot twice)
+      // would otherwise redefine the locals and force the whole predicate
+      // back to interpreter mode
+      val n = ctx.freshName("vdN")
+      val i = ctx.freshName("vdI")
+      val sum = ctx.freshName("vdSum")
       s"""
-         |int n = $a.numElements() < $b.numElements()
+         |int $n = $a.numElements() < $b.numElements()
          |    ? $a.numElements() : $b.numElements();
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  sum += $a.getDouble(i) * $b.getDouble(i);
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = sum;
+         |${ev.value} = $sum;
        """.stripMargin
     })
 
