@@ -204,6 +204,41 @@ object SimilarityQueries {
       |FROM m LEFT JOIN b ON m.media_id = b.media_id
       |ORDER BY m.media_id""".stripMargin
 
+  /** Frame sampling through the typed Dataset API: up to 4 evenly-spaced
+    * payload slices per media row (Multimodal.sampleFrames — the stub
+    * stands in for decoded video frames). The slice arithmetic is
+    * deterministic, so the oracle states its closed form: frame size
+    * len/4, 4 frames covering (len/4)*4 bytes once len >= 4, else one
+    * 1-byte frame per byte.
+    */
+  def q45FrameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.mediaFromDocuments(Tables.documents(spark, dir))
+      .filter(col("media_id") % 13 === 0)
+      .as[graft.pipeline.MediaRecord]
+      .map { r =>
+        val frames = Multimodal.sampleFrames(r.payload, 4)
+        (r.media_id, r.media_type, frames.length.toLong,
+          frames.map(_.length.toLong).sum)
+      }
+      .toDF("media_id", "media_type", "n_frames_sampled", "sampled_bytes")
+      .orderBy("media_id")
+  }
+
+  val q45Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio'
+      |       ELSE 'video' END AS media_type,
+      |  CAST(least(4, octet_length(encode(text))) AS BIGINT)
+      |    AS n_frames_sampled,
+      |  CAST(CASE WHEN octet_length(encode(text)) >= 4
+      |            THEN (octet_length(encode(text)) // 4) * 4
+      |            ELSE octet_length(encode(text)) END AS BIGINT)
+      |    AS sampled_bytes
+      |FROM documents WHERE doc_id % 13 = 0
+      |ORDER BY media_id""".stripMargin
+
   /** IVF-bucketed approximate top-k. Assignment/probe ranking rounds
     * centroid similarities to 6 decimals (and output sims to 4), making
     * the whole operator engine-reproducible — the oracle re-runs the
@@ -268,7 +303,8 @@ object SimilarityQueries {
     "q29_ann_lsh" -> (q29AnnLsh _),
     "q30_media_meta" -> (q30MediaMeta _),
     "q31_media_features" -> (q31MediaFeatures _),
-    "q35_ann_ivf" -> (q35AnnIvf _)
+    "q35_ann_ivf" -> (q35AnnIvf _),
+    "q45_frame_samples" -> (q45FrameSamples _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -277,6 +313,7 @@ object SimilarityQueries {
     "q29_ann_lsh" -> q29Oracle,
     "q30_media_meta" -> q30Oracle,
     "q31_media_features" -> q31Oracle,
-    "q35_ann_ivf" -> q35Oracle
+    "q35_ann_ivf" -> q35Oracle,
+    "q45_frame_samples" -> q45Oracle
   )
 }

@@ -29,6 +29,31 @@ object StreamQueries {
       |GROUP BY window_start_epoch, event_type
       |ORDER BY window_start_epoch, event_type""".stripMargin
 
+  /** Sliding 6h/3h windows per event type — every event lands in exactly
+    * two windows; the oracle fans rows out to both aligned starts.
+    */
+  def q46SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    StreamingEtl.eventSlidingWindowAgg(Tables.events(spark, dir))
+      .orderBy("window_start_epoch", "event_type")
+
+  val q46Oracle: String =
+    """WITH w AS (
+      |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 10800) * 10800 AS BIGINT)
+      |           AS w1,
+      |         event_type, value
+      |  FROM events
+      |),
+      |x AS (
+      |  SELECT unnest([w1, w1 - 10800]) AS window_start_epoch,
+      |         event_type, value
+      |  FROM w
+      |)
+      |SELECT window_start_epoch, event_type, count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM x
+      |GROUP BY window_start_epoch, event_type
+      |ORDER BY window_start_epoch, event_type""".stripMargin
+
   /** Gap-based sessions (30 min) per user: the batch window-function
     * implementation; the flatMapGroupsWithState streaming twin is
     * equivalence-tested in StreamingSpec.
@@ -150,7 +175,8 @@ object StreamQueries {
     "q33_sessionize" -> (q33Sessions _),
     "q36_json_props" -> (q36JsonProps _),
     "q37_running_total" -> (q37RunningTotal _),
-    "q38_approx_distinct" -> (q38ApproxDistinct _)
+    "q38_approx_distinct" -> (q38ApproxDistinct _),
+    "q46_sliding_windows" -> (q46SlidingWindows _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -158,6 +184,7 @@ object StreamQueries {
     "q33_sessionize" -> q33Oracle,
     "q36_json_props" -> q36Oracle,
     "q37_running_total" -> q37Oracle,
-    "q38_approx_distinct" -> q38Oracle
+    "q38_approx_distinct" -> q38Oracle,
+    "q46_sliding_windows" -> q46Oracle
   )
 }

@@ -48,6 +48,26 @@ object StreamingEtl {
         unix_timestamp(col("w.start")).as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding-window per-event-type aggregates: length/slide windows (an
+    * event lands in length/slide windows at once — Spark's window()
+    * generator fans each row out before the aggregation). Same
+    * streaming/batch unification as the tumbling form.
+    */
+  def eventSlidingWindowAgg(
+      events: DataFrame,
+      windowLength: String = "6 hours",
+      slide: String = "3 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
+      .select(
+        unix_timestamp(col("w.start")).as("window_start_epoch"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** events.parquet as a stream: explicit schema with `ts` read as raw
     * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
     * microseconds — the streaming twin of Tables.events.
