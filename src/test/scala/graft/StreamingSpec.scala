@@ -38,6 +38,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(open.forall(_._1 >= maxClosed), "only trailing windows withheld")
   }
 
+  test("streaming sliding-window agg equals the batch run") {
+    val stream = StreamingEtl.eventSlidingWindowAgg(
+      StreamingEtl.eventsStream(spark, TestSpark.sf))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("slide_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("slide_out")
+      .select("window_start_epoch", "event_type", "n_events", "sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    val batch = StreamingEtl
+      .eventSlidingWindowAgg(Tables.events(spark, TestSpark.sf))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch), s"streaming-only rows: ${(streamed -- batch).take(3)}")
+    val open = batch -- streamed
+    // sliding windows stay open for `length` past their start — the last
+    // length/slide window generations may be withheld
+    val maxClosed = streamed.map(_._1).max
+    assert(open.forall(_._1 >= maxClosed), "only trailing windows withheld")
+  }
+
   test("streaming dedup drops duplicate keys inside the watermark window") {
     val bh = graft.etl.BackupHistoryDerivation
       .canonicalFrame(spark, TestSpark.sf).limit(60)
