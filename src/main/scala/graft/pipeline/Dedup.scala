@@ -212,4 +212,43 @@ object Dedup {
       .reduce(_ + _)
     agg.select(col("doc_id"), fp.cast("long").as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips, with
+    * banded candidate generation: the fingerprint splits into
+    * `maxHamming + 1` bands, and by pigeonhole any pair within the
+    * distance agrees on at least one whole band — so candidates come
+    * from an equi-join on (band index, band value), never a cross join,
+    * and the exact `bit_count(xor)` filter runs only on bucket-mates.
+    * The guarantee is exhaustive: no pair within the threshold is missed
+    * (verified against the brute-force join in PipelineSpec).
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = (bits + nBands - 1) / nBands
+    val mask = (1L << width) - 1
+    val fp = simhash(docs, idCol, textCol, bits).cache()
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = fp.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+      .select(col("doc_id"), col("x.band"), col("x.bv"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    cand
+      .join(fp.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("simhash", "sh_a"), Seq("id_a"))
+      .join(fp.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("simhash", "sh_b"), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

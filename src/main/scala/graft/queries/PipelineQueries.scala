@@ -277,6 +277,53 @@ object PipelineQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q47: SimHash near-dup pairs (banded hamming join) ---------------
+
+  /** doc_id % 8 keeps the planted twins together (their offset 1000000
+    * is divisible by 8), so the pair join has real near-dups to find.
+    */
+  def q47SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(
+        docsAug(spark, dir).filter(col("doc_id") % 8 === 0),
+        "doc_id", "text", bits = SimhashBits, maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  val q47Oracle: String = {
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val fp = (0 until SimhashBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsAugSql,
+       |tok AS (
+       |  SELECT doc_id, md5(unnest(string_split($normSql, ' '))) AS h
+       |  FROM docs_aug WHERE doc_id % 8 = 0
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM tok GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s),
+       |bands AS (
+       |  SELECT doc_id, bi, (simhash >> (bi * 4)) & 15 AS bv
+       |  FROM sig, unnest(range(0, 4)) AS u(bi)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x
+       |  JOIN bands y ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = id_a
+       |JOIN sig sb ON sb.doc_id = id_b
+       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- q40: composed cleaning funnel -----------------------------------
 
   /** docs_aug plus planted EXACT twins (every 43rd doc) so stage 2 has
@@ -376,7 +423,8 @@ object PipelineQueries {
     "q23_fingerprint_dedup" -> (q23Fingerprints _),
     "q24_ngram_jaccard_pairs" -> (q24JaccardPairs _),
     "q25_minhash_lsh_pairs" -> (q25MinhashLsh _),
-    "q26_simhash" -> (q26Simhash _)
+    "q26_simhash" -> (q26Simhash _),
+    "q47_simhash_pairs" -> (q47SimhashPairs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -387,6 +435,7 @@ object PipelineQueries {
     "q23_fingerprint_dedup" -> q23Oracle,
     "q24_ngram_jaccard_pairs" -> q24Oracle,
     "q25_minhash_lsh_pairs" -> q25Oracle,
-    "q26_simhash" -> q26Oracle
+    "q26_simhash" -> q26Oracle,
+    "q47_simhash_pairs" -> q47Oracle
   )
 }

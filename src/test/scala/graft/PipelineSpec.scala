@@ -185,6 +185,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(gated == 0, "q38 bound column must be all-true")
   }
 
+  test("banded simhash pairs equal the brute-force hamming join") {
+    val docs = queries.PipelineQueries.docsAug(spark, TestSpark.sf)
+      .filter(col("doc_id") % 8 === 0)
+    val banded = pipeline.Dedup
+      .simhashPairs(docs, "doc_id", "text", bits = 16, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val fp = pipeline.Dedup.simhash(docs, "doc_id", "text", bits = 16)
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("bigint"))
+      .as[(Long, Long, Long)].collect().filter(_._3 <= 3).toSet
+    assert(banded == brute,
+      s"pigeonhole banding must be exhaustive: missing ${(brute -- banded).take(3)}")
+    assert(banded.nonEmpty, "planted twins should yield at least one pair")
+  }
+
   test("hash split: deterministic, exhaustive, near the requested weights") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = pipeline.Curation.hashSplit(docs, "doc_id")
