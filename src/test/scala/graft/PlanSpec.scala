@@ -70,6 +70,26 @@ class PlanSpec extends AnyFunSuite {
       "queries must broadcast, corpus must stream")
   }
 
+  test("bucketed candidate generation never degenerates to a cross join") {
+    val docs = queries.PipelineQueries.docsAug(spark, TestSpark.sf).limit(500)
+    for ((name, df) <- Seq(
+        "minhash" -> pipeline.Dedup.minhashPairs(docs, "doc_id", "text"),
+        "simhash" -> pipeline.Dedup.simhashPairs(docs, "doc_id", "text"),
+        "jaccard" -> pipeline.Dedup.jaccardPairs(docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name must bucket-join")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name must equi-join")
+    }
+  }
+
+  test("fleet planner joins broadcast the per-group bases, no cartesian") {
+    val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+    val p = plan(script.FleetRestorePlanner.planAll(
+      bh, "server_name", java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"), "tiny base-LSN sides broadcast")
+  }
+
   test("hash split and redaction are shuffle-free projections") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val split = pipeline.Curation.hashSplit(docs, "doc_id")
