@@ -69,6 +69,22 @@ class EtlSpec extends AnyFunSuite {
       spark.read.parquet(s"$path/database_name=db1").count())
   }
 
+  test("append lays files out sorted on (db, last_lsn) for row-group stats") {
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    ConsolidatedStore.append(spark, path, bh)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // rows inside one file must be (db, lsn)-sorted: that ordering is
+    // what gives parquet min/max stats their pruning power on P5 scans
+    val rows = spark.read.parquet(files.head.getPath)
+      .select("database_name", "last_lsn")
+      .as[(String, BigDecimal)].collect().toSeq
+    assert(rows == rows.sortBy(r => (r._1, r._2)), "file not locally sorted")
+  }
+
   test("etl run: first pass loads, second pass is a no-op that keeps watermarks") {
     val cons = tmp(); val wms = tmp()
     val sources = Map("srcA" -> MsdbDerivation.sources(spark, TestSpark.sf))
