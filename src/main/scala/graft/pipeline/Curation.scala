@@ -23,7 +23,9 @@ object Curation {
 
   /** Deterministic train/val/test assignment as a pure projection (no
     * shuffle, no sample() nondeterminism). `splits` are (name, weight)
-    * with weights summing to 1; cut points are cumulative.
+    * with weights summing to 1; cut points are cumulative. A null id
+    * hashes to a null fraction, which fails every `<` cut and lands in
+    * the LAST split — deterministic, and it keeps nulls out of train.
     */
   def hashSplit(
       df: DataFrame, idCol: String,

@@ -52,6 +52,12 @@ object TextAnalysis {
 
   /** Same score over pre-materialized parts (`norm` = [[normalize]],
     * `w` = [[tokens]]).
+    *
+    * Null text scores 0.0 explicitly: Spark's `greatest`/`least` IGNORE
+    * null arguments, so without the guard a null document would score a
+    * mid-range 0.5 (greatest(0.0, null) = 0.0, least(1.0, null) = 1.0)
+    * and sail through quality gates. (The DuckDB oracle needs no twin
+    * guard — the fixture corpus has no null text.)
     */
   def qualityScoreFromParts(text: Column, norm: Column, w: Column): Column = {
     val nTok = size(w).cast("double")
@@ -64,7 +70,8 @@ object TextAnalysis {
         .cast("double") / nTok))
     val meanWordLen = (nChars - (nTok - 1)) / nTok
     val wlScore = greatest(lit(0.0), lit(1.0) - abs(meanWordLen - 5.0) / 5.0)
-    (lenScore + punctScore + stopScore + wlScore) * 0.25
+    when(text.isNull, lit(0.0))
+      .otherwise((lenScore + punctScore + stopScore + wlScore) * 0.25)
   }
 
   /** Marker-token language scores. Synthetic corpora won't carry real

@@ -256,6 +256,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(width.toSeq == Seq(dim), "centroid has the corpus dimensionality")
   }
 
+  test("null text is dropped at the quality gate; null ids land in the last split") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more " * 8),
+      (2L, null.asInstanceOf[String]),
+      (3L, "a solid document with enough words to pass the quality gate " * 10))
+      .toDF("doc_id", "text")
+    val r = pipeline.CorpusClean.clean(docs, "doc_id", "text", minQuality = 0.1)
+    val kept = r.survivors.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(2L), "null text must not survive the quality gate")
+    assert(r.nRaw == 3 && r.nAfterQuality == 2)
+
+    val ids = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val splits = pipeline.Curation.hashSplit(ids, "id")
+      .as[(Option[Long], String)].collect().toMap
+    assert(splits(None) == "test", "null id lands deterministically in the last split")
+  }
+
   test("quality score stays in [0,1]; langId picks a marker language") {
     val scored = Tables.documents(spark, TestSpark.sf)
       .select(TextAnalysis.qualityScore(col("text")).as("q"),
