@@ -101,7 +101,10 @@ object TextAnalysis {
 
   def langIdFromTokens(w: Column): Column = {
     val s = LangMarkers.map { case (l, m) => l -> langScoreFromTokens(w, m) }.toMap
-    when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
+    // null token array → null prediction (every score comparison is null,
+    // so without the guard the when-chain would fall through to 'fr')
+    when(w.isNull, lit(null).cast("string"))
+      .when(s("de") >= s("en") && s("de") >= s("es") && s("de") >= s("fr"), "de")
       .when(s("en") >= s("es") && s("en") >= s("fr"), "en")
       .when(s("es") >= s("fr"), "es")
       .otherwise("fr")

@@ -271,6 +271,13 @@ class PipelineSpec extends AnyFunSuite {
     val splits = pipeline.Curation.hashSplit(ids, "id")
       .as[(Option[Long], String)].collect().toMap
     assert(splits(None) == "test", "null id lands deterministically in the last split")
+
+    // null text must predict null language, not fall through to 'fr'
+    val lang = Seq((1L, null.asInstanceOf[String]), (2L, "le la les des est"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(lang(1L).isEmpty && lang(2L).contains("fr"), lang.toString)
   }
 
   test("quality score stays in [0,1]; langId picks a marker language") {
