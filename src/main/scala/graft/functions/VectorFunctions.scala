@@ -6,7 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
+  IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Dot product of two double arrays as a native Catalyst expression.
   *
@@ -73,6 +75,75 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of array elements contained in a literal string set — the
+  * codegen'd replacement for `size(filter(arr, x => x.isin(set)))`,
+  * whose lambda runs interpreted per element. Marker/stopword counting
+  * (language ID runs FOUR of these per row) is a pure scan op; this
+  * keeps it inside whole-stage codegen with one hash probe per token.
+  *
+  * `right` must be a foldable array<string> (the set), evaluated once on
+  * the driver into a hash set that ships as a codegen reference object.
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _))
+          if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "count_in_set expects (array<string>, foldable array<string>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var cnt = 0
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("cisSet", set,
+      classOf[java.util.HashSet[UTF8String]].getName)
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("cisI")
+      val cnt = ctx.freshName("cisCnt")
+      s"""
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+         |    $cnt++;
+         |  }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Register the custom expressions in the session's function registry
@@ -82,10 +153,15 @@ object VectorFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!reg.functionExists(id)) {
+    val vd = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(vd)) {
       reg.createOrReplaceTempFunction(
         "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    }
+    val cis = org.apache.spark.sql.catalyst.FunctionIdentifier("count_in_set")
+    if (!reg.functionExists(cis)) {
+      reg.createOrReplaceTempFunction(
+        "count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     }
   }
 
@@ -93,5 +169,13 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("vec_dot", a, b)
+  }
+
+  /** Column API for [[CountInSet]]: tokens in a literal string set. */
+  def countInSet(arr: Column, set: Seq[String]): Column = {
+    register(SparkSession.active)
+    call_function("count_in_set", arr,
+      org.apache.spark.sql.functions.array(
+        set.map(org.apache.spark.sql.functions.lit): _*))
   }
 }

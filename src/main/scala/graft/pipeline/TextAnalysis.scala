@@ -33,8 +33,14 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
-  def stopwordCount(text: Column): Column =
-    size(filter(tokens(text), t => t.isin(Stopwords.map(x => x: Any): _*)))
+  /** Codegen'd set-membership count ([[graft.functions.CountInSet]]) —
+    * the lambda spelling `size(filter(w, _.isin(set)))` interprets per
+    * element and dominated the language-ID scan (4 marker sets per row).
+    */
+  private def countIn(w: Column, set: Seq[String]): Column =
+    graft.functions.VectorFunctions.countInSet(w, set)
+
+  def stopwordCount(text: Column): Column = countIn(tokens(text), Stopwords)
 
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))
@@ -66,8 +72,7 @@ object TextAnalysis {
     val punctScore = greatest(lit(0.0),
       lit(1.0) - lit(5.0) * (punctCount(text).cast("double") / nChars))
     val stopScore = least(lit(1.0),
-      lit(5.0) * (size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*)))
-        .cast("double") / nTok))
+      lit(5.0) * (countIn(w, Stopwords).cast("double") / nTok))
     val meanWordLen = (nChars - (nTok - 1)) / nTok
     val wlScore = greatest(lit(0.0), lit(1.0) - abs(meanWordLen - 5.0) / 5.0)
     when(text.isNull, lit(0.0))
@@ -89,7 +94,7 @@ object TextAnalysis {
     langScoreFromTokens(tokens(text), markers)
 
   def langScoreFromTokens(w: Column, markers: Seq[String]): Column =
-    size(filter(w, t => t.isin(markers.map(x => x: Any): _*)))
+    countIn(w, markers)
 
   /** Predicted language: highest marker score, ties to the
     * alphabetically-first language (deterministic across engines).

@@ -185,6 +185,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(gated == 0, "q38 bound column must be all-true")
   }
 
+  test("CountInSet equals the interpreted lambda count") {
+    val docs = Tables.documents(spark, TestSpark.sf).limit(300)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+    val set = TextAnalysis.Stopwords
+    val both = docs.select(
+      col("doc_id"),
+      functions.VectorFunctions.countInSet(col("w"), set).as("fast"),
+      size(filter(col("w"), t => t.isin(set.map(x => x: Any): _*))).as("slow"))
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // null array → null count, matching the lambda spelling
+    val nullRow = Seq(Tuple1(null.asInstanceOf[Seq[String]])).toDF("w")
+      .select(functions.VectorFunctions.countInSet(col("w"), set).as("c"))
+      .as[Option[Int]].head()
+    assert(nullRow.isEmpty)
+  }
+
   test("banded simhash pairs equal the brute-force hamming join") {
     val docs = queries.PipelineQueries.docsAug(spark, TestSpark.sf)
       .filter(col("doc_id") % 8 === 0)
