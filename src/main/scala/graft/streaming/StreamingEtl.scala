@@ -68,6 +68,40 @@ object StreamingEtl {
         unix_timestamp(col("w.start")).as("window_start_epoch"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Continuous ETL: a watermarked-dedup stream sunk into the
+    * consolidated store via foreachBatch — the streaming twin of
+    * `EtlRunner.runOnce`'s triangle. Exactly-once composes from two
+    * halves: Spark's checkpointed offsets make each micro-batch
+    * delivered at-least-once, and `ConsolidatedStore.append`'s key-based
+    * dedup makes redelivery a no-op (the same argument the batch path
+    * makes for the 5-minute rewind; reference sql:33 +
+    * ps:Get-BackupHistoryToETL.ps1:20). The watermark table advances
+    * AFTER each batch's append, mirroring advance-after-load
+    * (ps:Invoke-SQLBackupHistoryETL.ps1:52-65).
+    *
+    * @return the started query; callers own its lifecycle.
+    */
+  def runStream(
+      spark: SparkSession,
+      incoming: DataFrame,
+      server: String,
+      consolidatedPath: String,
+      watermarkPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupStream(incoming).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val newWm = batch
+            .agg(max("backup_finish_date")).head().getTimestamp(0)
+          graft.store.ConsolidatedStore.append(
+            batch.sparkSession, consolidatedPath, batch.toDF())
+          graft.store.WatermarkStore.advance(
+            batch.sparkSession, watermarkPath, server, newWm)
+        }
+      }
+      .start()
+
   /** events.parquet as a stream: explicit schema with `ts` read as raw
     * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
     * microseconds — the streaming twin of Tables.events.

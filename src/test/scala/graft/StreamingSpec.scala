@@ -82,6 +82,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == expected, s"streamed $n vs unique $expected")
   }
 
+  test("streaming ETL sink: store contents equal the batch path, watermark advanced") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).limit(80).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-setl").toString
+    // source dir with the batch written twice (duplicate keys on arrival)
+    bh.drop("LogID").write.mode("append").parquet(root + "/in")
+    bh.drop("LogID").write.mode("append").parquet(root + "/in")
+    val incoming = spark.readStream
+      .schema(bh.drop("LogID").schema).parquet(root + "/in")
+    val q = StreamingEtl.runStream(spark, incoming, "srvS",
+      root + "/cons", root + "/wm", root + "/ckpt")
+    q.processAllAvailable(); q.stop()
+
+    val stored = spark.read.parquet(root + "/cons")
+    val expected = bh.dropDuplicates(graft.model.Schemas.dedupKey)
+    assert(stored.count() == expected.count(),
+      s"stored ${stored.count()} vs expected ${expected.count()}")
+    assert(stored.select("LogID").distinct().count() == stored.count())
+    val wm = graft.store.WatermarkStore.read(spark, root + "/wm")
+    val batchMax = expected.agg(max("backup_finish_date")).head().getTimestamp(0)
+    assert(wm.get("srvS").contains(batchMax), s"watermark $wm vs $batchMax")
+    bh.unpersist()
+  }
+
   test("stateful sessionization agrees with the batch window-function version") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("user_id", "ts", "event_id")
