@@ -277,6 +277,38 @@ object PipelineQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q48: token-length quantiles ------------------------------------
+
+  /** Exact interpolated percentiles of the token-length distribution per
+    * language — the corpus-profiling aggregate behind length filters.
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * (p * (n-1)) linear-interpolation definition, so values match to
+    * rounding.
+    */
+  def q48LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tok, 0.25D)"), 4).as("p25"),
+        round(expr("percentile(n_tok, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_tok, 0.9D)"), 4).as("p90"))
+      .orderBy("lang")
+  }
+
+  val q48Oracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, len(string_split($normSql, ' ')) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(quantile_cont(n_tok, 0.25), 4) AS p25,
+       |       round(quantile_cont(n_tok, 0.5), 4) AS p50,
+       |       round(quantile_cont(n_tok, 0.9), 4) AS p90
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- q47: SimHash near-dup pairs (banded hamming join) ---------------
 
   /** doc_id % 8 keeps the planted twins together (their offset 1000000
@@ -424,7 +456,8 @@ object PipelineQueries {
     "q24_ngram_jaccard_pairs" -> (q24JaccardPairs _),
     "q25_minhash_lsh_pairs" -> (q25MinhashLsh _),
     "q26_simhash" -> (q26Simhash _),
-    "q47_simhash_pairs" -> (q47SimhashPairs _)
+    "q47_simhash_pairs" -> (q47SimhashPairs _),
+    "q48_length_quantiles" -> (q48LengthQuantiles _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -436,6 +469,7 @@ object PipelineQueries {
     "q24_ngram_jaccard_pairs" -> q24Oracle,
     "q25_minhash_lsh_pairs" -> q25Oracle,
     "q26_simhash" -> q26Oracle,
-    "q47_simhash_pairs" -> q47Oracle
+    "q47_simhash_pairs" -> q47Oracle,
+    "q48_length_quantiles" -> q48Oracle
   )
 }
