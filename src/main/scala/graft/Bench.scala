@@ -26,7 +26,11 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.etl.BackupHistoryDerivation.canonicalFrame(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated substrings to restrict the run (local iteration only)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
