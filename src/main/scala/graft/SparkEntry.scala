@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{BackupQueries, CurationQueries, EtlQueries,
-  PipelineQueries, RelationalQueries, ScriptQueries, SimilarityQueries,
-  StreamQueries}
+  PipelineQueries, ProfileQueries, RelationalQueries, ScriptQueries,
+  SimilarityQueries, StreamQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     RelationalQueries.entries ++ BackupQueries.entries ++ EtlQueries.entries ++
       ScriptQueries.entries ++ PipelineQueries.entries ++
       SimilarityQueries.entries ++ StreamQueries.entries ++
-      CurationQueries.entries
+      CurationQueries.entries ++ ProfileQueries.entries ++
+      TemporalQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ BackupQueries.oracles ++ EtlQueries.oracles ++
       ScriptQueries.oracles ++ PipelineQueries.oracles ++
       SimilarityQueries.oracles ++ StreamQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++ ProfileQueries.oracles ++
+      TemporalQueries.oracles
 }

@@ -163,6 +163,15 @@ object VectorFunctions {
       reg.createOrReplaceTempFunction(
         "count_in_set", exprs => CountInSet(exprs(0), exprs(1)), "built-in")
     }
+    val wf = org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_fps")
+    if (!reg.functionExists(wf)) {
+      reg.createOrReplaceTempFunction(
+        "winnow_fps",
+        exprs => WinnowFingerprints(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()),
+        "built-in")
+    }
   }
 
   /** Column API for [[DotProduct]]; inputs must be array<double>. */
@@ -177,5 +186,15 @@ object VectorFunctions {
     call_function("count_in_set", arr,
       org.apache.spark.sql.functions.array(
         set.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  /** Column API for [[WinnowFingerprints]]: winnowing fingerprint set of
+    * a pre-stripped string.
+    */
+  def winnowFps(s: Column, k: Int, w: Int): Column = {
+    register(SparkSession.active)
+    call_function("winnow_fps", s,
+      org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
   }
 }

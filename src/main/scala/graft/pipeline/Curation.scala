@@ -44,6 +44,22 @@ object Curation {
     df.withColumn(splitCol, cased.otherwise(splits.last._1))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its hash fraction
+    * falls under its stratum's rate — per-language (or per-source) quotas
+    * as a pure projection + filter. No `sample()` RNG, no shuffle, stable
+    * membership across reprocessing (the property that keeps train sets
+    * reproducible when the corpus is re-ingested). Strata absent from
+    * `rates` fall back to `defaultRate`.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, r).otherwise(acc)
+    }
+    df.filter(splitFraction(col(idCol)) < rate)
+  }
+
   /** Document-frequency vocabulary: distinct tokens per document,
     * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
     * One explode + one hash aggregation (map-side combinable) + a

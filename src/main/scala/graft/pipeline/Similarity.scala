@@ -40,6 +40,24 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Unit-length (L2) normalization — after it, cosine reduces to a pure
+    * dot product, which is what makes pre-normalizing the corpus pay for
+    * itself at scale (one pass now, a sqrt-free hot loop forever after).
+    */
+  def l2Normalize(v: Column): Column =
+    graft.functions.Let.let2(asDouble(v), norm(asDouble(v)), (d, n) =>
+      transform(d, x => x / n))
+
+  /** Symmetric int8 quantization: each component scaled by 127/max|x| and
+    * rounded — 4x smaller than float32 at rest and over the wire. The
+    * exact expression shape (`round(x * 127.0 / mx)`) is mirrored by the
+    * DuckDB oracle; keep them in sync.
+    */
+  def quantizeInt8(v: Column): Column =
+    graft.functions.Let.let(asDouble(v), d =>
+      graft.functions.Let.let(array_max(transform(d, x => abs(x))), mx =>
+        transform(d, x => round(x * lit(127.0) / mx).cast("int"))))
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, sim, rank). Ties broken by
     * neighbor id on the ROUNDED similarity so ranking is reproducible

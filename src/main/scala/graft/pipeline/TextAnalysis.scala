@@ -120,6 +120,30 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Word n-grams of a token array, joined with single spaces. Pure
+    * higher-order projection (no explode, no shuffle). Fewer than n
+    * tokens → empty array (guarded: `sequence(1, m)` with m < 1 counts
+    * DOWN). The token array is [[graft.functions.Let]]-bound so a
+    * `tokens(text)` argument is evaluated once, not per gram.
+    */
+  def wordNgrams(w: Column, n: Int): Column =
+    graft.functions.Let.let(w, t => {
+      val grams = transform(
+        sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+      when(size(t) >= n, grams).otherwise(array().cast("array<string>"))
+    })
+
+  /** Fraction of word n-grams that are repeats of an earlier one —
+    * the Gopher-style intra-document repetition signal (high values mark
+    * degenerate boilerplate/looping text). Empty gram set → 0.0.
+    */
+  def dupNgramFrac(w: Column, n: Int): Column =
+    graft.functions.Let.let(wordNgrams(w, n), g =>
+      when(size(g) > 0,
+          (size(g) - size(array_distinct(g))).cast("double") / size(g))
+        .otherwise(lit(0.0)))
+
   /** PII-shaped patterns, written to the RE2 ∩ java.util.regex common
     * subset so the DuckDB oracle runs the identical strings. Replacement
     * order is email → phone → IP (disjoint matches; placeholders carry

@@ -93,6 +93,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(
+        classOf[graft.functions.WinnowFingerprints].getName, "winnow_fps"),
+      (exprs: Seq[Expression]) => graft.functions.WinnowFingerprints(
+        exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

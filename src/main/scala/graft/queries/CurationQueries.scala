@@ -133,17 +133,103 @@ object CurationQueries {
       |       round(sqrt(sum(m * m)), 4) AS centroid_norm
       |FROM m GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q55: deterministic stratified sampling -------------------------
+
+  /** Per-language sampling quotas — over-keep the head language's
+    * counterweight strata. The md5-fraction membership rule is the same
+    * one q41 proves deterministic.
+    */
+  private val SampleRates = Map("en" -> 0.5, "zh" -> 0.3)
+  private val DefaultRate = 0.1
+
+  def q55StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+    val sampled = Curation
+      .stratifiedSample(docs, "doc_id", "lang", SampleRates, DefaultRate)
+      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+    totals.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  val q55Oracle: String =
+    """WITH f AS (
+      |  SELECT lang,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |           / 65536.0 AS frac
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN frac < (CASE lang WHEN 'en' THEN 0.5
+      |                                            WHEN 'zh' THEN 0.3
+      |                                            ELSE 0.1 END)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM f GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q56: embedding normalization + int8 quantization ---------------
+
+  def q56QuantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .filter(array_max(transform(d, x => abs(x))) > 0)
+      .select(col("label"),
+        Similarity.norm(d).as("nrm"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        sum(aggregate(col("q"), lit(0L),
+          (acc, x) => acc + abs(x).cast("long"))).as("sum_qabs"),
+        min(array_min(col("q"))).as("min_q"),
+        max(array_max(col("q"))).as("max_q"))
+      .orderBy("label")
+  }
+
+  val q56Oracle: String =
+    """WITH v AS (
+      |  SELECT label,
+      |         list_transform(embedding, x -> x::DOUBLE) AS d
+      |  FROM embeddings
+      |),
+      |w AS (
+      |  SELECT label, d,
+      |         list_aggregate(list_transform(d, x -> abs(x)), 'max') AS mx,
+      |         sqrt(list_aggregate(list_transform(d, x -> x * x), 'sum'))
+      |           AS nrm
+      |  FROM v
+      |),
+      |q AS (
+      |  SELECT label, nrm,
+      |         list_transform(d, x -> CAST(round(x * 127.0 / mx) AS INT))
+      |           AS q
+      |  FROM w WHERE mx > 0
+      |)
+      |SELECT label, count(*) AS n_vecs,
+      |       round(avg(nrm), 4) AS avg_norm,
+      |       CAST(sum(list_aggregate(list_transform(q, x -> abs(x)), 'sum'))
+      |            AS BIGINT) AS sum_qabs,
+      |       min(list_aggregate(q, 'min')) AS min_q,
+      |       max(list_aggregate(q, 'max')) AS max_q
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
     "q43_vocabulary" -> (q43Vocabulary _),
-    "q44_label_centroids" -> (q44LabelCentroids _)
+    "q44_label_centroids" -> (q44LabelCentroids _),
+    "q55_stratified_sample" -> (q55StratifiedSample _),
+    "q56_quantize_embeddings" -> (q56QuantizeEmbeddings _)
   )
 
   def oracles: Map[String, String] = Map(
     "q41_hash_split" -> q41Oracle,
     "q42_pii_redaction" -> q42Oracle,
     "q43_vocabulary" -> q43Oracle,
-    "q44_label_centroids" -> q44Oracle
+    "q44_label_centroids" -> q44Oracle,
+    "q55_stratified_sample" -> q55Oracle,
+    "q56_quantize_embeddings" -> q56Oracle
   )
 }

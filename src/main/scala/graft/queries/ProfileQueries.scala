@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.pipeline.{TextProfile, Winnowing}
+
+/** Oracle-checked corpus-profiling queries: winnowing (rolling-hash)
+  * fingerprints and the shared-fingerprint near-dup pairs built on them,
+  * Gopher-style repetition fractions, and token-entropy profiles. The
+  * DuckDB oracles rebuild each formula verbatim (same md5 k-gram hashes,
+  * same window minima, same log2 entropy) over the same tables.
+  */
+object ProfileQueries {
+
+  /** Winnowing parameters shared by q49/q50 and their oracles: k-gram
+    * size 8, window 4 → guarantee threshold t = k+w-1 = 11 stripped
+    * chars.
+    */
+  private val K = 8
+  private val W = 4
+
+  /** DuckDB CTEs computing the winnowing fingerprint set per row of
+    * `table` (which must expose `doc_id` and `text`): mirrors
+    * [[Winnowing.fingerprintSet]] exactly.
+    */
+  private def winnowSql(table: String): String =
+    s"""stripped AS (
+       |  SELECT doc_id,
+       |         replace(${PipelineQueries.normSql}, ' ', '') AS s
+       |  FROM $table
+       |),
+       |hashed AS (
+       |  SELECT doc_id, s,
+       |         list_transform(range(1, len(s) - ${K - 2}),
+       |                        i -> md5(substr(s, i, $K))) AS h
+       |  FROM stripped
+       |),
+       |fps AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(s) >= ${K + W - 1}
+       |              THEN list_distinct(list_transform(
+       |                     range(1, len(s) - ${K + W - 3}),
+       |                     j -> list_aggregate(h[j:j+${W - 1}], 'min')))
+       |              ELSE [] END AS fp_set
+       |  FROM hashed
+       |)""".stripMargin
+
+  // ---- q49: winnowing fingerprint profile ------------------------------
+
+  def q49WinnowProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(col("source"),
+      Winnowing.fingerprintSet(col("text"), K, W).as("fps"))
+    val perSource = base.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("fps"))).as("n_fp"))
+    val distincts = base
+      .select(col("source"), explode(col("fps")).as("fp"))
+      .groupBy("source").agg(countDistinct("fp").as("n_fp_distinct"))
+    perSource.join(distincts, Seq("source")).orderBy("source")
+  }
+
+  val q49Oracle: String =
+    s"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+       |${winnowSql("docs")},
+       |fs AS (SELECT f.doc_id, d.source, f.fp_set
+       |       FROM fps f JOIN docs d USING (doc_id)),
+       |a AS (SELECT source, count(*) AS n_docs,
+       |             CAST(sum(len(fp_set)) AS BIGINT) AS n_fp
+       |      FROM fs GROUP BY source),
+       |b AS (SELECT source, count(DISTINCT fp) AS n_fp_distinct
+       |      FROM (SELECT source, unnest(fp_set) AS fp FROM fs)
+       |      GROUP BY source)
+       |SELECT a.source, a.n_docs, a.n_fp, b.n_fp_distinct
+       |FROM a JOIN b USING (source) ORDER BY source""".stripMargin
+
+  // ---- q50: winnowing near-dup pairs -----------------------------------
+
+  def q50WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    Winnowing.pairs(PipelineQueries.docsAug(spark, dir), "doc_id", "text",
+        K, W, minShared = 5, maxDocFreq = 20)
+      .orderBy("id_a", "id_b")
+
+  val q50Oracle: String =
+    s"""WITH ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |FROM kept a JOIN kept b USING (fp)
+       |WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q51: repetition profile -----------------------------------------
+
+  def q51Repetition(spark: SparkSession, dir: String): DataFrame =
+    TextProfile.repetitionProfile(
+        Tables.documents(spark, dir), "doc_id", "text", minTokens = 10)
+      .select(col("doc_id"),
+        round(col("dup_trigram_frac"), 4).as("dup_trigram_frac"),
+        round(col("top_bigram_frac"), 4).as("top_bigram_frac"))
+      .orderBy(col("dup_trigram_frac").desc, col("doc_id"))
+      .limit(20)
+
+  val q51Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         string_split(${PipelineQueries.normSql}, ' ') AS w
+       |  FROM documents
+       |),
+       |base AS (
+       |  SELECT doc_id, w,
+       |         list_transform(range(1, len(w)),
+       |                        i -> w[i] || ' ' || w[i+1]) AS bg,
+       |         list_transform(range(1, len(w) - 1),
+       |                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+       |  FROM t WHERE len(w) >= 10
+       |),
+       |dup AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(tri) > 0
+       |              THEN (len(tri) - len(list_distinct(tri)))::DOUBLE / len(tri)
+       |              ELSE 0.0 END AS dup3
+       |  FROM base
+       |),
+       |top AS (
+       |  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM (
+       |    SELECT doc_id, g, count(*) AS c
+       |    FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+       |    GROUP BY doc_id, g)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       round(d.dup3, 4) AS dup_trigram_frac,
+       |       round(t2.mx::DOUBLE / t2.tot, 4) AS top_bigram_frac
+       |FROM dup d JOIN top t2 USING (doc_id)
+       |ORDER BY dup_trigram_frac DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  // ---- q52: token entropy per language ---------------------------------
+
+  def q52Entropy(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select("doc_id", "lang")
+      .join(TextProfile.tokenEntropy(docs, "doc_id", "text"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("entropy"), 4).as("avg_entropy"),
+        round(min("entropy"), 4).as("min_entropy"),
+        round(max("entropy"), 4).as("max_entropy"))
+      .orderBy("lang")
+  }
+
+  val q52Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |         unnest(string_split(${PipelineQueries.normSql}, ' ')) AS t
+       |  FROM documents
+       |),
+       |c AS (SELECT doc_id, lang, t, count(*) AS c
+       |      FROM tok GROUP BY doc_id, lang, t),
+       |e AS (
+       |  SELECT doc_id, lang,
+       |         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy
+       |  FROM c GROUP BY doc_id, lang
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(entropy), 4) AS avg_entropy,
+       |       round(min(entropy), 4) AS min_entropy,
+       |       round(max(entropy), 4) AS max_entropy
+       |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_winnow_profile" -> (q49WinnowProfile _),
+    "q50_winnow_pairs" -> (q50WinnowPairs _),
+    "q51_repetition" -> (q51Repetition _),
+    "q52_token_entropy" -> (q52Entropy _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q49_winnow_profile" -> q49Oracle,
+    "q50_winnow_pairs" -> q50Oracle,
+    "q51_repetition" -> q51Oracle,
+    "q52_token_entropy" -> q52Oracle
+  )
+}

@@ -114,6 +114,33 @@ class PlanSpec extends AnyFunSuite {
     assert(aggs == 0, s"no hash aggregates expected in IVF plan, got $aggs")
   }
 
+  test("asofJoin plans as union+window: no join node, key-partitioned") {
+    val p = plan(queries.TemporalQueries
+      .q53AsOfAttribution(spark, TestSpark.sf))
+    assert(!p.contains("Join"), "asof must not plan a join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "carry-forward window expected")
+    assert(p.contains("hashpartitioning(user_id"),
+      "window must partition on the key, not a global sort")
+  }
+
+  test("bandJoin is a bucketed equi-join - no cross product, no range fanout") {
+    val p = plan(queries.TemporalQueries
+      .q54BandConversion(spark, TestSpark.sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band join must stay an equi-join on (key, bucket)")
+    assert(p.contains("__bucket"), "bucket key present in the join")
+  }
+
+  test("winnowing fingerprinting is a pure projection - zero shuffles") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val fp = docs.select(pipeline.Winnowing
+      .fingerprintSet(org.apache.spark.sql.functions.col("text"), 8, 4))
+    assert(!fp.queryExecution.executedPlan.toString.contains("Exchange"),
+      "fingerprintSet must not shuffle")
+  }
+
   test("LogID assignment sort is range-partitioned, not single-partition") {
     val bh = graft.etl.BackupHistoryDerivation
       .canonicalFrame(spark, TestSpark.sf).drop("LogID")

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{Curation, Similarity, TextProfile, Winnowing}
+
+/** Coverage for the round-3 profiling operators: winnowing fingerprints,
+  * repetition/entropy signals, stratified sampling, vector
+  * normalize/quantize.
+  */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val k = 8
+  private val w = 4
+
+  test("winnowing: identical text -> identical fingerprints; short -> empty") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (2L, "the quick brown fox jumps over the lazy dog repeatedly"),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+        Winnowing.fingerprintSet(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L).nonEmpty)
+    assert(fp(3L).isEmpty) // < k+w-1 stripped chars
+  }
+
+  test("winnowing guarantee: long shared substring -> shared fingerprint") {
+    // matches of length >= w+k-1 guarantee at least one common selected
+    // hash (Schleimer et al., theorem 1)
+    val shared = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val docs = Seq(
+      (1L, s"prefix one $shared"),
+      (2L, s"completely different head $shared and tail")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+        Winnowing.fingerprintSet(col("text"), k, w).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fp(1L).toSet.intersect(fp(2L).toSet).nonEmpty)
+  }
+
+  test("native winnow expression equals the pure-builtin HOF reference") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val both = docs.select(
+      Winnowing.fingerprintSet(col("text"), k, w).as("fast"),
+      Winnowing.fingerprintSetHof(col("text"), k, w).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() === 0)
+    assert(both.count() > 0)
+  }
+
+  test("winnowing pairs surface planted near-duplicates") {
+    val base = (0L until 40L).map(i =>
+      (i, (1 to 15).map(j => s"w${(i * 31 + j * 7) % 997}x").mkString(" ")))
+    val twin = Seq((1000L, base(5)._2 + " tail"))
+    val pairs = Winnowing.pairs((base ++ twin).toDF("doc_id", "text"),
+        "doc_id", "text", k, w, minShared = 3, maxDocFreq = 10)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 === 5L && p._2 === 1000L))
+  }
+
+  test("repetition profile flags looping text") {
+    val docs = Seq(
+      (1L, Seq.fill(30)("spam ham").mkString(" ")),
+      (2L, (1 to 60).map(i => s"tok$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = TextProfile.repetitionProfile(docs, "doc_id", "text")
+      .as[(Long, Double, Double)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(1L)._1 > 0.9) // all trigrams repeat
+    assert(r(2L)._1 === 0.0)
+    assert(r(1L)._2 > 0.4) // "ham spam"/"spam ham" dominate bigrams
+    assert(r(2L)._2 < 0.05)
+  }
+
+  test("token entropy: constant tokens -> 0, distinct tokens -> log2(n)") {
+    val docs = Seq(
+      (1L, Seq.fill(16)("x").mkString(" ")),
+      (2L, (1 to 16).map(i => s"t$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val e = TextProfile.tokenEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(e(1L)) < 1e-12)
+    assert(math.abs(e(2L) - 4.0) < 1e-12)
+  }
+
+  test("stratified sample: rates honored, membership deterministic") {
+    val docs = (0L until 2000L).map(i =>
+      (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+    val s = Curation.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), defaultRate = 0.1)
+    val counts = s.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("en") / 1000.0 - 0.5) < 0.1)
+    assert(math.abs(counts("de") / 1000.0 - 0.1) < 0.05)
+    // deterministic: same membership on re-evaluation
+    assert(s.exceptAll(Curation.stratifiedSample(
+      docs, "doc_id", "lang", Map("en" -> 0.5), 0.1)).isEmpty)
+  }
+
+  test("l2Normalize yields unit vectors; quantizeInt8 peaks at +-127") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f, 0.0f)),
+      (2L, Array(-2.0f, 1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val out = vecs.select(
+        col("vec_id"),
+        Similarity.l2Normalize(col("embedding")).as("u"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .as[(Long, Seq[Double], Seq[Int])].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    val n1 = math.sqrt(out(1L)._1.map(x => x * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-12)
+    assert(out(1L)._2 === Seq(95, 127, 0))   // round(3/4*127)=95
+    assert(out(2L)._2 === Seq(-127, 64, 127)) // round(1/2*127)=64 (HALF_UP)
+  }
+}
