@@ -102,6 +102,40 @@ object StreamingEtl {
       }
       .start()
 
+  /** Stream-stream interval join — the continuous twin of
+    * [[graft.operators.BandJoin]]: all (left, right) pairs sharing `keys`
+    * with `0 <= rightTs - leftTs <= maxGapSeconds` (inclusive, identical
+    * band semantics). Both sides are watermarked and the join condition
+    * is time-range-bounded, which is exactly what lets Spark evict join
+    * state past `watermark + maxGap` — without either, state grows with
+    * the stream. Inner joins emit on match (no append-mode withholding),
+    * so the streamed result converges to the batch bandJoin output; the
+    * equivalence is asserted in StreamingSpec. Also runs as plain batch.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      maxGapSeconds: Long,
+      watermark: String = "10 minutes"): DataFrame = {
+    require(keys.nonEmpty, "intervalJoinStream needs at least one key")
+    val l = left.select(keys.map(col) ++
+        left.columns.filterNot(keys.contains).map(c => col(c).as(s"l_$c")): _*)
+      .withWatermark(s"l_$leftTs", watermark)
+    val r = right.select(keys.map(col) ++
+        right.columns.filterNot(keys.contains).map(c => col(c).as(s"r_$c")): _*)
+      .withWatermark(s"r_$rightTs", watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      expr(s"r_$rightTs >= l_$leftTs AND " +
+        s"r_$rightTs <= l_$leftTs + INTERVAL $maxGapSeconds SECONDS")
+    l.join(r, cond).select(
+      keys.map(k => l(k)) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"l_$c")) ++
+        right.columns.filterNot(keys.contains).map(c => col(s"r_$c")): _*)
+  }
+
   /** events.parquet as a stream: explicit schema with `ts` read as raw
     * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
     * microseconds — the streaming twin of Tables.events.

@@ -141,4 +141,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(expectedClosed.subsetOf(streamed),
       s"missing closed sessions: ${(expectedClosed -- streamed).take(3)}")
   }
+
+  test("stream-stream interval join equals the batch band join") {
+    def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    val q = StreamingEtl.intervalJoinStream(
+        typed("click"), typed("purchase"),
+        Seq("user_id"), "ts", "ts", maxGapSeconds = 3600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ij_out")
+      .select("user_id", "l_event_id", "r_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    def batchTyped(t: String) = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    val batch = graft.operators.BandJoin.bandJoin(
+        batchTyped("click"), batchTyped("purchase"),
+        Seq("user_id"), "ts", "ts", maxGapSeconds = 3600)
+      .select("user_id", "l_event_id", "r_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // inner stream-stream joins emit on match — no withheld rows, so the
+    // two spellings must agree exactly
+    assert(streamed.nonEmpty)
+    assert(streamed === batch,
+      s"stream-only: ${(streamed -- batch).take(3)}, " +
+        s"batch-only: ${(batch -- streamed).take(3)}")
+  }
 }
