@@ -61,6 +61,23 @@ object CorpusClean {
     CleanResult(survivors, nRaw, nQuality, nExact, nNear)
   }
 
+  /** Transitive near-dup removal: cluster the pair graph into connected
+    * components ([[Components]]) and keep only each component's
+    * minimum-id member. Unlike the greedy pass in [[clean]] (which drops
+    * every pair's higher id in one shot), this follows chains: for the
+    * pair set {A~C, B~C} (no A~B pair) greedy drops only C and keeps
+    * both A and B, while the component collapses all three to A. Costs
+    * an iterative join (diameter-bounded rounds) — the price of exact
+    * transitive semantics.
+    */
+  def removeNearDupsTransitive(
+      docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Single-row funnel report, oracle-comparable. */
   def report(spark: SparkSession, r: CleanResult): DataFrame = {
     import spark.implicits._

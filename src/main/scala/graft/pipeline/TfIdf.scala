@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.TextAnalysis.tokens
+
+/** TF-IDF sparse document vectors and cosine similarity over them — the
+  * SPARSE counterpart to the dense-embedding path in [[Similarity]]:
+  * no model, vocabulary-sized dimensions, exact.
+  *
+  * Pair generation follows the inverted-index shape, never all-pairs:
+  * documents meet only through tokens they share (self-join keyed on the
+  * token), tokens shared by more than `maxDocFreq` documents are dropped
+  * first (they carry ~zero idf weight AND would drive the join
+  * quadratic), and every aggregation is map-side combinable. This is the
+  * linear sparse-similarity plan that survives corpus-scale inputs.
+  */
+object TfIdf {
+
+  /** One row per (id, token) with the term/document frequencies, the
+    * tf-idf weight, and the document's L2 norm over its weights.
+    * tf = in-document count, idf = ln(N / df) (natural log, no
+    * smoothing — mirrored by the DuckDB oracle).
+    */
+  def weights(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDocFreq: Long): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq)
+    val w = tf.join(df, Seq("token"))
+      .withColumn("weight", col("tf") * log(lit(n.toDouble) / col("df_count")))
+    val norm = Window.partitionBy(idCol)
+    w.withColumn("doc_norm", sqrt(sum(col("weight") * col("weight")).over(norm)))
+      .select(col(idCol), col("token"), col("tf"), col("df_count"),
+        col("weight"), col("doc_norm"))
+  }
+
+  /** Cosine-similar document pairs above `minSim`: inverted-index
+    * self-join on the token, one pair-keyed aggregation.
+    */
+  def cosinePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minSim: Double, maxDocFreq: Long = 100): DataFrame = {
+    val w = weights(docs, idCol, textCol, maxDocFreq)
+    val a = w.select(col("token"), col(idCol).as("id_a"),
+      col("weight").as("w_a"), col("doc_norm").as("n_a"))
+    val b = w.select(col("token"), col(idCol).as("id_b"),
+      col("weight").as("w_b"), col("doc_norm").as("n_b"))
+    a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(col("w_a") * col("w_b")) /
+        (first("n_a") * first("n_b"))).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -179,17 +179,96 @@ object ProfileQueries {
        |       round(max(entropy), 4) AS max_entropy
        |FROM e GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q57: connected dedup components ---------------------------------
+
+  /** Near-dup clusters: connected components over the q50 winnowing pair
+    * graph. The oracle computes the same transitive closure with a
+    * recursive CTE — DuckDB's fixpoint semantics against Spark's
+    * iterative min-label propagation.
+    */
+  def q57DedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Winnowing.pairs(PipelineQueries.docsAug(spark, dir),
+        "doc_id", "text", K, W, minShared = 5, maxDocFreq = 20)
+      .select("id_a", "id_b")
+    graft.pipeline.Components.componentSizes(pairs)
+      .orderBy("component")
+  }
+
+  val q57Oracle: String =
+    s"""WITH RECURSIVE ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5
+       |),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+       |),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT component, count(*) AS n_members
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+
+  // ---- q58: TF-IDF weights ---------------------------------------------
+
+  def q58TfIdfWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.TfIdf.weights(
+        Tables.documents(spark, dir), "doc_id", "text", maxDocFreq = 1000)
+      .groupBy("token")
+      .agg(
+        first("df_count").as("df"),
+        round(sum("weight"), 4).as("sum_weight"),
+        round(avg("weight"), 4).as("avg_weight"))
+      .orderBy("token")
+
+  val q58Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(${PipelineQueries.normSql}, ' ')) AS token
+       |  FROM documents
+       |),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM tok GROUP BY doc_id, token),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token
+       |       HAVING count(*) <= 1000),
+       |w AS (
+       |  SELECT tf.doc_id, tf.token, df.df,
+       |         tf.tf * ln((SELECT count(*) FROM documents) / df.df)
+       |           AS weight
+       |  FROM tf JOIN df USING (token)
+       |)
+       |SELECT token, df,
+       |       round(sum(weight), 4) AS sum_weight,
+       |       round(avg(weight), 4) AS avg_weight
+       |FROM w GROUP BY token, df ORDER BY token""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
     "q51_repetition" -> (q51Repetition _),
-    "q52_token_entropy" -> (q52Entropy _)
+    "q52_token_entropy" -> (q52Entropy _),
+    "q57_dedup_components" -> (q57DedupComponents _),
+    "q58_tfidf_weights" -> (q58TfIdfWeights _)
   )
 
   def oracles: Map[String, String] = Map(
     "q49_winnow_profile" -> q49Oracle,
     "q50_winnow_pairs" -> q50Oracle,
     "q51_repetition" -> q51Oracle,
-    "q52_token_entropy" -> q52Oracle
+    "q52_token_entropy" -> q52Oracle,
+    "q57_dedup_components" -> q57Oracle,
+    "q58_tfidf_weights" -> q58Oracle
   )
 }
