@@ -172,6 +172,17 @@ object VectorFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue()),
         "built-in")
     }
+    val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
+    if (!reg.functionExists(cm)) {
+      // the analyzer wraps a bare AggregateFunction into an
+      // AggregateExpression at resolution, same as builtin aggregates
+      reg.createOrReplaceTempFunction(
+        "count_min_md5",
+        exprs => CountMinAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].intValue()),
+        "built-in")
+    }
   }
 
   /** Column API for [[DotProduct]]; inputs must be array<double>. */
@@ -196,5 +207,15 @@ object VectorFunctions {
     call_function("winnow_fps", s,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Column API for [[CountMinAgg]]: aggregate a string column into a
+    * depth x width Count-Min sketch (flattened row-major long array).
+    */
+  def countMinMd5(v: Column, depth: Int, width: Int): Column = {
+    register(SparkSession.active)
+    call_function("count_min_md5", v,
+      org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
   }
 }

@@ -170,13 +170,70 @@ object StreamQueries {
       |       count(*) AS n_events, true AS approx_within_3rse
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q59: Count-Min sketch heavy hitters ----------------------------
+
+  private val CmsDepth = 4
+  private val CmsWidth = 64
+
+  /** Heavy hitters cross-checked against a distributed Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]): the 10 most frequent users with
+    * their exact counts and the sketch's point estimates. The oracle
+    * rebuilds the identical d x w counter matrix in SQL (same
+    * md5-bucketing) and takes the same min-of-rows estimate — every
+    * counter cell the estimate touches is value-checked across engines.
+    * The sketch itself is ONE constant-size map-side-combinable
+    * aggregation over the events scan; only 10 driver-side probes follow.
+    */
+  def q59CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{CountMinSketch, VectorFunctions}
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+    val sketch = ev
+      .agg(VectorFunctions.countMinMd5(
+        col("user_id").cast("string"), CmsDepth, CmsWidth).as("sk"))
+      .head().getSeq[Long](0).toArray
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    import spark.implicits._
+    top.toSeq.map { case (u, n) =>
+        (u, n, CountMinSketch.estimate(sketch, CmsDepth, CmsWidth, u.toString))
+      }
+      .toDF("user_id", "exact_n", "cms_est")
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val q59Oracle: String =
+    s"""WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+       |rows AS (SELECT r FROM (VALUES (0), (1), (2), (3)) t(r)),
+       |counters AS (
+       |  SELECT r,
+       |         ('0x' || substr(md5(r || '|' || CAST(user_id AS VARCHAR)),
+       |                         1, 8))::BIGINT % $CmsWidth AS b,
+       |         count(*) AS c
+       |  FROM ev, rows GROUP BY r, b
+       |),
+       |top10 AS (
+       |  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id
+       |  ORDER BY exact_n DESC, user_id LIMIT 10
+       |)
+       |SELECT t.user_id, t.exact_n, min(k.c) AS cms_est
+       |FROM top10 t
+       |JOIN rows r2 ON true
+       |JOIN counters k
+       |  ON k.r = r2.r
+       | AND k.b = ('0x' || substr(md5(r2.r || '|' ||
+       |              CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % $CmsWidth
+       |GROUP BY t.user_id, t.exact_n
+       |ORDER BY exact_n DESC, user_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
     "q36_json_props" -> (q36JsonProps _),
     "q37_running_total" -> (q37RunningTotal _),
     "q38_approx_distinct" -> (q38ApproxDistinct _),
-    "q46_sliding_windows" -> (q46SlidingWindows _)
+    "q46_sliding_windows" -> (q46SlidingWindows _),
+    "q59_cms_heavy_hitters" -> (q59CmsHeavyHitters _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -185,6 +242,7 @@ object StreamQueries {
     "q36_json_props" -> q36Oracle,
     "q37_running_total" -> q37Oracle,
     "q38_approx_distinct" -> q38Oracle,
-    "q46_sliding_windows" -> q46Oracle
+    "q46_sliding_windows" -> q46Oracle,
+    "q59_cms_heavy_hitters" -> q59Oracle
   )
 }

@@ -61,6 +61,30 @@ class ComponentsSpec extends AnyFunSuite {
     assert(kept === Set(1L, 9L))
   }
 
+  test("count-min sketch: partition-invariant, matches a local reference, never undercounts") {
+    import graft.functions.{CountMinSketch, VectorFunctions}
+    val (d, w) = (4, 16)
+    val values = (0 until 500).map(i => (i % 37).toString)
+    def sketchOf(parts: Int): Array[Long] =
+      values.toDF("v").repartition(parts)
+        .agg(VectorFunctions.countMinMd5(col("v"), d, w))
+        .head().getSeq[Long](0).toArray
+    val s1 = sketchOf(1)
+    val s13 = sketchOf(13)
+    // merge is associative+commutative: partitioning must not matter
+    assert(s1.toSeq === s13.toSeq)
+    // local reference sketch built with the same bucketing
+    val ref = new Array[Long](d * w)
+    values.foreach(v => (0 until d).foreach(r =>
+      ref(r * w + CountMinSketch.bucket(r, v, w)) += 1))
+    assert(s1.toSeq === ref.toSeq)
+    // estimates never undercount the exact frequency
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong)
+    exact.foreach { case (v, n) =>
+      assert(CountMinSketch.estimate(s1, d, w, v) >= n)
+    }
+  }
+
   test("tf-idf weights: rare terms outweigh common ones; norms consistent") {
     val docs = Seq(
       (1L, "shared shared rare1"),
