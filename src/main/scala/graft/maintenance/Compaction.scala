@@ -1,0 +1,69 @@
+package graft.maintenance
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for the consolidated store. Incremental
+  * ETL appends one file set per (source, batch); at streaming cadence a
+  * year of appends is hundreds of thousands of KB-sized files, and scan
+  * cost becomes file-listing + footer-reading, not IO. Compaction
+  * rewrites the table into range-partitioned files sorted on
+  * `(database_name, last_lsn)` — the restore access path — so parquet
+  * min/max row-group stats line up with the per-database predicates every
+  * restore query pushes down (the same layout
+  * `ConsolidatedStore.append` targets for a single batch, reasserted
+  * table-wide).
+  *
+  * The rewrite stages into a sibling directory and swaps via two
+  * filesystem renames, keeping a readable table throughout (modulo the
+  * instant between renames — callers schedule compaction like the
+  * reference schedules its retention delete, off the ingest path). On
+  * object stores without atomic rename the staging dir still bounds the
+  * exposure to the swap instant rather than the whole rewrite.
+  */
+object Compaction {
+
+  /** @return number of data files after compaction. */
+  def compact(
+      spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 5000000L): Long = {
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(path + "__compacting")
+    val bak = new Path(path + "__precompact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+
+    spark.read.parquet(path)
+      .repartitionByRange(col("database_name"), col("last_lsn"))
+      .sortWithinPartitions("database_name", "last_lsn")
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(tmp.toString)
+
+    require(fs.rename(dst, bak), s"compaction swap failed: $dst -> $bak")
+    require(fs.rename(tmp, dst), s"compaction swap failed: $tmp -> $dst")
+    fs.delete(bak, true)
+    dataFileCount(spark, path)
+  }
+
+  /** Parquet data-file count of a table directory (recursive, skips
+    * _SUCCESS and hidden files) — the health metric compaction drives
+    * down.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
+        !name.startsWith("_")) n += 1
+    }
+    n
+  }
+}
