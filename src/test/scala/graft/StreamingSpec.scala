@@ -142,6 +142,54 @@ class StreamingSpec extends AnyFunSuite {
       s"missing closed sessions: ${(expectedClosed -- streamed).take(3)}")
   }
 
+  test("transformWithState exact dedup emits each key once across batches") {
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("event_id", "user_id", "event_type")
+      .filter(col("event_id") % 7 === 0)
+    // plant duplicates: the same rows written twice -> two input files,
+    // duplicates arriving both within and across micro-batches
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-exactdedup").toString + "/data"
+    events.coalesce(1).write.parquet(dir)
+    events.coalesce(1).write.mode("append").parquet(dir)
+
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      // no AvailableNow: transformWithState keeps scheduling
+      // processing-time batches, so an AvailableNow drain never settles
+      // (observed: thousands of empty micro-batches). Default trigger +
+      // poll-until-expected + stop matches how a continuous query runs.
+      val q = streaming.ExactDedup
+        .dedupStreamExact(stream, keyCols = Seq("event_id"), ttl = None)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("exact_dedup_out")
+        .start()
+      val expected = events.select("event_id").as[Long].collect().sorted
+      val deadline = System.currentTimeMillis + 180000
+      while (System.currentTimeMillis < deadline &&
+        spark.table("exact_dedup_out").count() < expected.length)
+        Thread.sleep(500)
+      // one extra settle round so a duplicate emission (the bug this
+      // guards against) would land before we assert exact equality
+      Thread.sleep(2000)
+      q.stop()
+      val streamed = spark.table("exact_dedup_out")
+        .select("event_id").as[Long].collect().sorted
+      assert(streamed.length === expected.length, "each key exactly once")
+      assert(streamed.toSeq === expected.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(provider, v)
+        case None => spark.conf.unset(provider)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch band join") {
     def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
       .filter(col("event_type") === t)
