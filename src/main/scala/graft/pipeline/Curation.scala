@@ -60,6 +60,37 @@ object Curation {
     df.filter(splitFraction(col(idCol)) < rate)
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins — the pretraining step that turns a cleaned corpus into
+    * near-full context windows. Exact bin packing is inherently serial,
+    * so this is the scalable approximation every large pipeline uses:
+    * spread documents over `buckets` deterministic hash buckets, order
+    * within each bucket (longest-first, id tiebreak), and cut bins by
+    * the running token total — `bin = floor(precedingCumSum / budget)`.
+    * Each bin's total stays under budget + one document; the only
+    * shuffle is the per-bucket window, and buckets keep any single
+    * partition's window bounded at corpus scale.
+    *
+    * Output: one row per document with (bucket, bin, n_tok).
+    */
+  def packSequences(
+      docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, buckets: Int = 64): DataFrame = {
+    require(budgetTokens > 0 && buckets > 0)
+    val nTok = size(tokens(col(textCol))).cast("long")
+    // explicit floor: engines disagree on double->int casts (Spark
+    // truncates, SQL-standard engines round)
+    val bucket = floor(splitFraction(col(idCol)) * buckets).cast("int")
+    val w = Window.partitionBy("bucket")
+      .orderBy(col("n_tok").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), nTok.as("n_tok"), bucket.as("bucket"))
+      .withColumn("bin",
+        floor((sum("n_tok").over(w) - col("n_tok")) / budgetTokens))
+      .select(col(idCol), col("bucket"), col("bin"), col("n_tok"))
+  }
+
   /** Document-frequency vocabulary: distinct tokens per document,
     * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
     * One explode + one hash aggregation (map-side combinable) + a

@@ -215,13 +215,51 @@ object CurationQueries {
       |       max(list_aggregate(q, 'max')) AS max_q
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- q60: sequence packing ------------------------------------------
+
+  private val PackBudget = 512L
+  private val PackBuckets = 8
+
+  def q60SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(Tables.documents(spark, dir), "doc_id", "text",
+        budgetTokens = PackBudget, buckets = PackBuckets)
+      .groupBy("bucket", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        max("n_tok").as("max_tok"))
+      .orderBy("bucket", "bin")
+
+  val q60Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(${PipelineQueries.normSql}, ' '))
+       |              AS BIGINT) AS n_tok,
+       |         CAST(floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |               / 65536.0) * $PackBuckets) AS INT) AS bucket
+       |  FROM documents
+       |),
+       |b AS (
+       |  SELECT doc_id, n_tok, bucket,
+       |         CAST(floor((sum(n_tok) OVER (
+       |             PARTITION BY bucket ORDER BY n_tok DESC, doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |           - n_tok) / $PackBudget) AS BIGINT) AS bin
+       |  FROM t
+       |)
+       |SELECT bucket, bin, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       max(n_tok) AS max_tok
+       |FROM b GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
     "q43_vocabulary" -> (q43Vocabulary _),
     "q44_label_centroids" -> (q44LabelCentroids _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
-    "q56_quantize_embeddings" -> (q56QuantizeEmbeddings _)
+    "q56_quantize_embeddings" -> (q56QuantizeEmbeddings _),
+    "q60_sequence_packing" -> (q60SequencePacking _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -230,6 +268,7 @@ object CurationQueries {
     "q43_vocabulary" -> q43Oracle,
     "q44_label_centroids" -> q44Oracle,
     "q55_stratified_sample" -> q55Oracle,
-    "q56_quantize_embeddings" -> q56Oracle
+    "q56_quantize_embeddings" -> q56Oracle,
+    "q60_sequence_packing" -> q60Oracle
   )
 }

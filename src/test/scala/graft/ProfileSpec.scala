@@ -103,6 +103,30 @@ class ProfileSpec extends AnyFunSuite {
       docs, "doc_id", "lang", Map("en" -> 0.5), 0.1)).isEmpty)
   }
 
+  test("sequence packing: bins bounded by budget + one doc, contiguous, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val budget = 256L
+    val packed = Curation.packSequences(docs, "doc_id", "text",
+      budgetTokens = budget, buckets = 4)
+    assert(packed.count() === docs.count(), "every doc assigned")
+    val bins = packed.groupBy("bucket", "bin")
+      .agg(sum("n_tok").as("tot"), max("n_tok").as("mx"))
+      .as[(Int, Long, Long, Long)].collect()
+    // next-fit shelf bound: a bin's total never exceeds budget + the
+    // overflow of its last-placed document
+    bins.foreach { case (bk, bin, tot, mx) =>
+      assert(tot <= budget + mx, s"bucket $bk bin $bin total $tot")
+    }
+    // bins are contiguous from 0 within each bucket
+    bins.groupBy(_._1).foreach { case (_, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray)
+    }
+    val again = Curation.packSequences(docs, "doc_id", "text",
+      budgetTokens = budget, buckets = 4)
+    assert(packed.exceptAll(again).isEmpty)
+  }
+
   test("l2Normalize yields unit vectors; quantizeInt8 peaks at +-127") {
     val vecs = Seq(
       (1L, Array(3.0f, 4.0f, 0.0f)),
