@@ -46,13 +46,20 @@ case class CountMinAgg(
   override def createAggregationBuffer(): Array[Long] =
     new Array[Long](depth * width)
 
+  // one digest per task thread, reset by each digest() call — update()
+  // runs per input row, and a fresh getInstance there would mean depth
+  // JCA lookups per row of pure overhead
+  @transient private lazy val localDigest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.toString
+      val md = localDigest.get()
       var r = 0
       while (r < depth) {
-        buf(r * width + CountMinSketch.bucket(r, s, width)) += 1
+        buf(r * width + CountMinSketch.bucketWith(md, r, s, width)) += 1
         r += 1
       }
     }
@@ -94,8 +101,11 @@ object CountMinSketch {
     * chars as a long, mod width. Mirrored verbatim by the oracle:
     * `('0x' || substr(md5(r || '|' || value), 1, 8))::BIGINT % width`.
     */
-  def bucket(r: Int, value: String, width: Int): Int = {
-    val md = MessageDigest.getInstance("MD5")
+  def bucket(r: Int, value: String, width: Int): Int =
+    bucketWith(MessageDigest.getInstance("MD5"), r, value, width)
+
+  private[functions] def bucketWith(
+      md: MessageDigest, r: Int, value: String, width: Int): Int = {
     val d = md.digest(s"$r|$value".getBytes(StandardCharsets.UTF_8))
     // first 8 hex chars == first 4 bytes, big-endian, unsigned
     val hi = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |

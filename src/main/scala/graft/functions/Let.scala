@@ -18,7 +18,4 @@ object Let {
 
   def let(value: Column, body: Column => Column): Column =
     element_at(transform(array(value), body), 1)
-
-  def let2(a: Column, b: Column, body: (Column, Column) => Column): Column =
-    let(a, av => let(b, bv => body(av, bv)))
 }

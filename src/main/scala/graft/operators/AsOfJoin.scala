@@ -41,13 +41,17 @@ object AsOfJoin {
     val carried = (rightTs +: rightPayload).distinct
     val packed = struct(carried.map(col): _*)
     val packedType = right.select(packed).schema.head.dataType
+    // a NULL right timestamp can never satisfy rightTs <= leftTs — drop
+    // such rows up front; left in, they would sort NULLS FIRST and be
+    // carried forward as phantom matches
+    val rightValid = right.filter(col(rightTs).isNotNull)
 
     // Common layout: keys ++ __ts ++ __side ++ left payload ++ __r struct.
     val l = left.select(
       (keys.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
         lit(null).cast(packedType).as("__r")) ++
         leftCols.filterNot(c => keys.contains(c) || c == leftTs).map(col): _*)
-    val r = right.select(
+    val r = rightValid.select(
       (keys.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
         packed.as("__r")) ++
         leftCols.filterNot(c => keys.contains(c) || c == leftTs)

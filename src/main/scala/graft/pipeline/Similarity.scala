@@ -45,8 +45,9 @@ object Similarity {
     * itself at scale (one pass now, a sqrt-free hot loop forever after).
     */
   def l2Normalize(v: Column): Column =
-    graft.functions.Let.let2(asDouble(v), norm(asDouble(v)), (d, n) =>
-      transform(d, x => x / n))
+    graft.functions.Let.let(asDouble(v), d =>
+      graft.functions.Let.let(norm(d), n =>
+        transform(d, x => x / n)))
 
   /** Symmetric int8 quantization: each component scaled by 127/max|x| and
     * rounded — 4x smaller than float32 at rest and over the wire. The

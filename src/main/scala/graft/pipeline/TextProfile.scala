@@ -21,21 +21,23 @@ object TextProfile {
     */
   def repetitionProfile(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 10): DataFrame = {
-    val base = docs
+      minTokens: Int = 10): DataFrame =
+    // one scan: the per-doc trigram fraction is carried through the
+    // bigram explode (constant within the group, recovered with first())
+    // instead of re-tokenizing in a second branch and joining back
+    docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= minTokens)
-      .withColumn("dup_trigram_frac", dupNgramFrac(col("__w"), 3))
-    val top = base
-      .select(col(idCol), explode(wordNgrams(col("__w"), 2)).as("__g"))
-      .groupBy(idCol, "__g").agg(count(lit(1)).as("__c"))
-      .groupBy(idCol).agg(
-        max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
-    base.join(top, Seq(idCol))
+      .select(col(idCol), dupNgramFrac(col("__w"), 3).as("__dup3"),
+        explode(wordNgrams(col("__w"), 2)).as("__g"))
+      .groupBy(idCol, "__g")
+      .agg(count(lit(1)).as("__c"), first("__dup3").as("__d"))
+      .groupBy(idCol)
+      .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"),
+        first("__d").as("dup_trigram_frac"))
       .select(col(idCol),
         col("dup_trigram_frac"),
         (col("__mx").cast("double") / col("__tot")).as("top_bigram_frac"))
-  }
 
   /** Per-document Shannon entropy (bits/token) over the token frequency
     * distribution: `log2(n) - sum(c*log2(c))/n`. Low entropy = looping

@@ -27,14 +27,19 @@ object TfIdf {
   def weights(
       docs: DataFrame, idCol: String, textCol: String,
       maxDocFreq: Long): DataFrame = {
-    val n = docs.count()
+    // N enters the plan as a broadcast one-row aggregate, not an eager
+    // docs.count() — building the DataFrame must not run a Spark job,
+    // and the corpus is scanned once per branch, not once extra
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df_count"))
       .filter(col("df_count") <= maxDocFreq)
     val w = tf.join(df, Seq("token"))
-      .withColumn("weight", col("tf") * log(lit(n.toDouble) / col("df_count")))
+      .crossJoin(broadcast(n))
+      .withColumn("weight", col("tf") * log(col("__n") / col("df_count")))
+      .drop("__n")
     val norm = Window.partitionBy(idCol)
     w.withColumn("doc_norm", sqrt(sum(col("weight") * col("weight")).over(norm)))
       .select(col(idCol), col("token"), col("tf"), col("df_count"),

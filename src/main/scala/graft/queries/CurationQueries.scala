@@ -147,8 +147,10 @@ object CurationQueries {
     val totals = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
     val sampled = Curation
       .stratifiedSample(docs, "doc_id", "lang", SampleRates, DefaultRate)
-      .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
-    totals.join(sampled, Seq("lang"), "left")
+      .groupBy(col("lang").as("s_lang")).agg(count(lit(1)).as("n_sampled"))
+    // null-safe join: a NULL stratum (sampled under the default rate)
+    // must still line up with its totals row
+    totals.join(sampled, totals("lang") <=> sampled("s_lang"), "left")
       .select(col("lang"), col("n_total"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
       .orderBy("lang")

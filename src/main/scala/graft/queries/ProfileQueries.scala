@@ -51,15 +51,19 @@ object ProfileQueries {
 
   def q49WinnowProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val base = docs.select(col("source"),
-      Winnowing.fingerprintSet(col("text"), K, W).as("fps"))
-    val perSource = base.groupBy("source").agg(
-      count(lit(1)).as("n_docs"),
-      sum(size(col("fps"))).as("n_fp"))
-    val distincts = base
-      .select(col("source"), explode(col("fps")).as("fp"))
-      .groupBy("source").agg(countDistinct("fp").as("n_fp_distinct"))
-    perSource.join(distincts, Seq("source")).orderBy("source")
+    // single pass: explode_outer keeps fingerprint-less docs for the doc
+    // count, count("fp") skips their null, and ONE scan runs the (md5-
+    // heavy) fingerprint kernel — a forked base would recompute it per
+    // branch
+    docs
+      .select(col("source"), col("doc_id"),
+        explode_outer(Winnowing.fingerprintSet(col("text"), K, W)).as("fp"))
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count("fp").as("n_fp"),
+        countDistinct("fp").as("n_fp_distinct"))
+      .orderBy("source")
   }
 
   val q49Oracle: String =
