@@ -21,23 +21,27 @@ object TextProfile {
     */
   def repetitionProfile(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 10): DataFrame =
-    // one scan: the per-doc trigram fraction is carried through the
-    // bigram explode (constant within the group, recovered with first())
-    // instead of re-tokenizing in a second branch and joining back
-    docs
+      minTokens: Int = 10): DataFrame = {
+    // two branches joined on the id, NOT one select carrying the scalar
+    // through the explode: Catalyst relocates scalar projections across
+    // Generate, so a dup3 column computed "before" an explode in the
+    // same select chain re-evaluates PER BIGRAM ROW (measured 16x worse
+    // corpus-wide). The price here is re-tokenizing once per branch —
+    // O(rows), not O(exploded rows).
+    val base = docs
       .select(col(idCol), tokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) >= minTokens)
-      .select(col(idCol), dupNgramFrac(col("__w"), 3).as("__dup3"),
-        explode(wordNgrams(col("__w"), 2)).as("__g"))
-      .groupBy(idCol, "__g")
-      .agg(count(lit(1)).as("__c"), first("__dup3").as("__d"))
-      .groupBy(idCol)
-      .agg(max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"),
-        first("__d").as("dup_trigram_frac"))
+    val top = base
+      .select(col(idCol), explode(wordNgrams(col("__w"), 2)).as("__g"))
+      .groupBy(idCol, "__g").agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(
+        max(col("__c")).as("__mx"), sum(col("__c")).as("__tot"))
+    base.withColumn("dup_trigram_frac", dupNgramFrac(col("__w"), 3))
+      .join(top, Seq(idCol))
       .select(col(idCol),
         col("dup_trigram_frac"),
         (col("__mx").cast("double") / col("__tot")).as("top_bigram_frac"))
+  }
 
   /** Per-document Shannon entropy (bits/token) over the token frequency
     * distribution: `log2(n) - sum(c*log2(c))/n`. Low entropy = looping
