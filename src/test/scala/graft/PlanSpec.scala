@@ -141,6 +141,28 @@ class PlanSpec extends AnyFunSuite {
       "fingerprintSet must not shuffle")
   }
 
+  test("tf-idf pairs: inverted-index equi-join on the token, no cross product") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val p = plan(pipeline.TfIdf.cosinePairs(docs, "doc_id", "text",
+      minSim = 0.3, maxDocFreq = 50))
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop joins allowed are the broadcasts of the 1-row
+    // corpus-count aggregate: one per self-join branch, each listed twice
+    // by the formatted explain (tree + node details)
+    val bnl = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 4, s"token self-join must stay an equi-join:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "token join must be an equi-join")
+  }
+
+  test("sequence packing shuffles once on the bucket, never globally sorts") {
+    val p = plan(pipeline.Curation.packSequences(
+      Tables.documents(spark, TestSpark.sf), "doc_id", "text", 512, 8))
+    assert(p.contains("hashpartitioning(bucket"),
+      "window must partition on the hash bucket")
+    assert(!p.contains("SinglePartition"), "no single-partition funnel")
+  }
+
   test("LogID assignment sort is range-partitioned, not single-partition") {
     val bh = graft.etl.BackupHistoryDerivation
       .canonicalFrame(spark, TestSpark.sf).drop("LogID")
