@@ -50,6 +50,15 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("components refuse to return unconverged labels") {
+    // a 12-node chain cannot settle in one round even with the jump
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("transitive removal collapses chains greedy removal splits") {
     val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
     // {1~3, 2~3}: greedy drops 3 only; components keep just 1 (and the
