@@ -43,6 +43,36 @@ object TextProfile {
         (col("__mx").cast("double") / col("__tot")).as("top_bigram_frac"))
   }
 
+  /** Per-document bigram language-model score — the CCNet-style fluency
+    * filter: train bigram statistics on the corpus itself
+    * (`P(w2|w1) = c(w1 w2) / c(w1 ·)`) and score each document by the
+    * mean log-probability of its bigrams. Repetitive or formulaic text
+    * scores high, out-of-distribution gibberish low; both tails are
+    * filter candidates. Documents with fewer than two tokens produce no
+    * bigrams and no row.
+    *
+    * Shapes: one bigram explode feeding two map-side-combinable count
+    * aggregations, then an inverted-index equi-join of the doc bigrams
+    * back to the counts — linear in total bigram count, no all-pairs
+    * stage, the same join discipline as [[TfIdf]].
+    */
+  def bigramLmScores(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(wordNgrams(tokens(col(textCol)), 2)).as("__g"))
+    val cb = grams.groupBy("__g").agg(count(lit(1)).as("__c2"))
+    val cu = grams
+      .select(substring_index(col("__g"), " ", 1).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    grams
+      .withColumn("__w1", substring_index(col("__g"), " ", 1))
+      .join(cb, Seq("__g")).join(cu, Seq("__w1"))
+      .groupBy(idCol)
+      .agg(
+        avg(log(col("__c2").cast("double") / col("__c1"))).as("lm_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-document Shannon entropy (bits/token) over the token frequency
     * distribution: `log2(n) - sum(c*log2(c))/n`. Low entropy = looping
     * or template text; pairs with [[repetitionProfile]] as a quality

@@ -258,13 +258,58 @@ object ProfileQueries {
        |       round(avg(weight), 4) AS avg_weight
        |FROM w GROUP BY token, df ORDER BY token""".stripMargin
 
+  // ---- q61: bigram language-model fluency score ------------------------
+
+  def q61BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select("doc_id", "lang")
+      .join(TextProfile.bigramLmScores(docs, "doc_id", "text"), Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("lm_logprob"), 4).as("avg_lm"),
+        round(min("lm_logprob"), 4).as("min_lm"),
+        round(max("lm_logprob"), 4).as("max_lm"))
+      .orderBy("lang")
+  }
+
+  val q61Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         string_split(${PipelineQueries.normSql}, ' ') AS w
+       |  FROM documents
+       |),
+       |gr AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(w)),
+       |                               i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM t
+       |),
+       |cb AS (SELECT g, count(*) AS c2 FROM gr GROUP BY g),
+       |cu AS (SELECT split_part(g, ' ', 1) AS w1, count(*) AS c1
+       |       FROM gr GROUP BY w1),
+       |d AS (
+       |  SELECT gr.doc_id, gr.lang,
+       |         avg(ln(CAST(cb.c2 AS DOUBLE) / cu.c1)) AS lm
+       |  FROM gr
+       |  JOIN cb USING (g)
+       |  JOIN cu ON split_part(gr.g, ' ', 1) = cu.w1
+       |  GROUP BY gr.doc_id, gr.lang
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(lm), 4) AS avg_lm,
+       |       round(min(lm), 4) AS min_lm,
+       |       round(max(lm), 4) AS max_lm
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
     "q51_repetition" -> (q51Repetition _),
     "q52_token_entropy" -> (q52Entropy _),
     "q57_dedup_components" -> (q57DedupComponents _),
-    "q58_tfidf_weights" -> (q58TfIdfWeights _)
+    "q58_tfidf_weights" -> (q58TfIdfWeights _),
+    "q61_bigram_lm" -> (q61BigramLm _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -273,6 +318,7 @@ object ProfileQueries {
     "q51_repetition" -> q51Oracle,
     "q52_token_entropy" -> q52Oracle,
     "q57_dedup_components" -> q57Oracle,
-    "q58_tfidf_weights" -> q58Oracle
+    "q58_tfidf_weights" -> q58Oracle,
+    "q61_bigram_lm" -> q61Oracle
   )
 }

@@ -77,6 +77,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(r(2L)._2 < 0.05)
   }
 
+  test("bigram LM: deterministic text scores ln(1), unique bigrams score low") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),   // every bigram fully predicted by corpus
+      (2L, "c d e f g h i j"),   // each bigram unique
+      (3L, "x")                  // no bigrams -> no row
+    ).toDF("doc_id", "text")
+    val s = TextProfile.bigramLmScores(docs, "doc_id", "text")
+      .select("doc_id", "lm_logprob")
+      .as[(Long, Double)].collect().toMap
+    // doc 1: P(b|a)=4/4, P(a|b)=3/3 -> every bigram ln(1)=0
+    assert(math.abs(s(1L)) < 1e-12)
+    // doc 2: c2=1 and each w1 occurs once -> ln(1/1)=0 too; mix in a doc
+    // that shares first-words to force fractional probabilities
+    assert(!s.contains(3L))
+    val mixed = Seq(
+      (1L, "a b"), (2L, "a c")) // P(b|a)=P(c|a)=1/2
+      .toDF("doc_id", "text")
+    val m = TextProfile.bigramLmScores(mixed, "doc_id", "text")
+      .select("doc_id", "lm_logprob")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L) - math.log(0.5)) < 1e-12)
+    assert(math.abs(m(2L) - math.log(0.5)) < 1e-12)
+  }
+
   test("token entropy: constant tokens -> 0, distinct tokens -> log2(n)") {
     val docs = Seq(
       (1L, Seq.fill(16)("x").mkString(" ")),
