@@ -193,20 +193,34 @@ object Dedup {
       .select("id_a", "id_b", "est_sim")
   }
 
-  /** SimHash fingerprint over `bits` bits (max 32 here; bit b is the
-    * majority vote of bit b of each token hash, read from the b-th hex
-    * nibble's high bit of md5(token) — portable string comparison).
+  /** SimHash fingerprint over `bits` bits (max 64, default 64 — the
+    * canonical Manku et al. WWW'07 configuration). Bit b is the majority
+    * vote over tokens of bit b of md5(token), where bit b is bit (b mod 4)
+    * of hex nibble (b / 4) — every nibble contributes all four of its
+    * bits, so a 64-bit fingerprint draws 64 independent bits from the
+    * first 16 nibbles of the digest (the previous high-bit-per-nibble
+    * trick topped out at 32 low-entropy bits and made wide bands
+    * impossible; see the banding note on [[simhashPairs]]).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame = {
-    require(bits <= 32, "md5 hex has 32 nibbles")
+      bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, "fingerprint is a single 64-bit long")
+    val nNibbles = (bits + 3) / 4
     val tok = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("t"))
       .withColumn("h", md5(col("t")))
-    val bitSums = (0 until bits).map { b =>
-      sum(when(substring(col("h"), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b")
+    // materialize each nibble's integer value once; the 4 bit tests per
+    // nibble below then reuse it instead of re-running conv() per bit
+    val nibbled = (0 until nNibbles).foldLeft(tok) { (d, n) =>
+      d.withColumn(s"n$n", conv(substring(col("h"), n + 1, 1), 16, 10).cast("int"))
     }
-    val agg = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val bitSums = (0 until bits).map { b =>
+      val bit = shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val agg = nibbled.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    // left-fold keeps intermediates in [0, 2^63-1] before the final
+    // Long.MinValue term for bit 63 lands, so ANSI overflow never fires
     val fp = (0 until bits)
       .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -219,15 +233,32 @@ object Dedup {
     * distance agrees on at least one whole band — so candidates come
     * from an equi-join on (band index, band value), never a cross join,
     * and the exact `bit_count(xor)` filter runs only on bucket-mates.
-    * The guarantee is exhaustive: no pair within the threshold is missed
-    * (verified against the brute-force join in PipelineSpec).
+    *
+    * Two guards make this survive 100 TB:
+    *
+    *  - **band entropy**: the 64/4 default gives 16-bit bands (65536
+    *    bucket values per band); narrow bands degenerate — at 4 bits a
+    *    band has 16 values and the bucket join is ~n²/16 per band.
+    *  - **bucket cap**: buckets holding more than `maxBucketDocs`
+    *    documents are dropped before the join (the window count shuffles
+    *    on the same (band, bv) key the join needs, so it adds no extra
+    *    exchange). A degenerate bucket is almost always an exact-dup or
+    *    boilerplate cluster — exact dedup ([[exactDupGroups]]) owns
+    *    those; letting them through would turn one hot bucket into a
+    *    quadratic candidate set.
+    *
+    * Exhaustiveness: no pair within the threshold is missed *among docs
+    * whose shared buckets are under the cap* (verified against the
+    * brute-force join in PipelineSpec; the degenerate-corpus case is
+    * spec'd to stay bounded instead).
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+      bits: Int = 64, maxHamming: Int = 3,
+      maxBucketDocs: Long = 1000): DataFrame = {
     val nBands = maxHamming + 1
     val width = (bits + nBands - 1) / nBands
-    val mask = (1L << width) - 1
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val fp = simhash(docs, idCol, textCol, bits).cache()
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
@@ -235,6 +266,10 @@ object Dedup {
     }
     val banded = fp.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bv"))
+      .withColumn("bucket_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
+      .filter(col("bucket_docs") <= maxBucketDocs)
+      .drop("bucket_docs")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

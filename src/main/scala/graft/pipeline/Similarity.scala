@@ -221,13 +221,27 @@ object Similarity {
   /** Near-duplicate embedding pairs within a blocking key (e.g. a cluster
     * label): same-block self-join keeps the pair space linear in practice
     * while the threshold does the semantics.
+    *
+    * The self-join is quadratic INSIDE a block, so one dominant label
+    * (unbalanced clustering, a catch-all "other" bucket) would pin a
+    * reducer with ~n²/2 pairs. Blocks holding more than `maxBlockDocs`
+    * vectors are dropped before the join — the same degenerate-bucket
+    * guard as the dedup family's df-caps ([[Dedup.simhashPairs]]): a
+    * block that hot needs a finer blocking key (e.g. IVF-list assignment,
+    * [[ivfTopK]]'s centroid argmax), not a bigger reducer. The window
+    * count shuffles on the same block key the join needs, so the guard
+    * adds no extra exchange.
     */
   def embeddingDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      minSim: Double): DataFrame = {
+      minSim: Double, maxBlockDocs: Long = 10000): DataFrame = {
     val c = corpus.select(
-      col(blockCol).as("block"), col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"))
+        col(blockCol).as("block"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("block_docs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("block")))
+      .filter(col("block_docs") <= maxBlockDocs)
+      .drop("block_docs")
     c.as("a").join(c.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .withColumn("sim", round(dot(col("a.v"), col("b.v")), 4))

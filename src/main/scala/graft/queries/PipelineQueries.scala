@@ -248,7 +248,40 @@ object PipelineQueries {
 
   // ---- q26: SimHash fingerprints ---------------------------------------
 
-  private val SimhashBits = 16
+  private val SimhashBits = 64
+
+  /** DuckDB mirror of the 64-bit extraction in [[Dedup.simhash]]: nibble
+    * n's value via strpos over the hex alphabet, bit b = bit (b%4) of
+    * nibble (b/4); bit 63's weight is spelled as Long.MinValue so the
+    * BIGINT sum never overflows.
+    */
+  private def simhashSigSql(filt: String): String = {
+    val nibs = (0 until SimhashBits / 4)
+      .map(n => s"strpos('0123456789abcdef', substr(h, ${n + 1}, 1)) - 1 AS n$n")
+      .mkString(",\n         ")
+    val sums = (0 until SimhashBits)
+      .map(b => s"sum(CASE WHEN (n${b / 4} >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b")
+      .mkString(",\n         ")
+    val fp = (0 until SimhashBits).map { b =>
+      if (b == 63) "CASE WHEN s63 > 0 THEN -9223372036854775807 - 1 ELSE 0 END"
+      else s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""tok AS (
+       |  SELECT doc_id, md5(unnest(string_split($normSql, ' '))) AS h
+       |  FROM docs_aug WHERE $filt
+       |),
+       |nib AS (
+       |  SELECT doc_id,
+       |         $nibs
+       |  FROM tok
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |         $sums
+       |  FROM nib GROUP BY doc_id
+       |),
+       |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
 
   def q26Simhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(
@@ -256,26 +289,11 @@ object PipelineQueries {
         "doc_id", "text", bits = SimhashBits)
       .orderBy("doc_id")
 
-  val q26Oracle: String = {
-    val sums = (0 until SimhashBits)
-      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
-      .mkString(",\n         ")
-    val fp = (0 until SimhashBits)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
+  val q26Oracle: String =
     s"""WITH $docsAugSql,
-       |tok AS (
-       |  SELECT doc_id, md5(unnest(string_split($normSql, ' '))) AS h
-       |  FROM docs_aug WHERE doc_id % 17 = 0
-       |),
-       |s AS (
-       |  SELECT doc_id,
-       |         $sums
-       |  FROM tok GROUP BY doc_id
-       |)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash
-       |FROM s ORDER BY doc_id""".stripMargin
-  }
+       |${simhashSigSql("doc_id % 17 = 0")}
+       |SELECT doc_id, simhash
+       |FROM sig ORDER BY doc_id""".stripMargin
 
   // ---- q48: token-length quantiles ------------------------------------
 
@@ -311,36 +329,25 @@ object PipelineQueries {
 
   // ---- q47: SimHash near-dup pairs (banded hamming join) ---------------
 
-  /** doc_id % 8 keeps the planted twins together (their offset 1000000
-    * is divisible by 8), so the pair join has real near-dups to find.
+  /** doc_id % 2 keeps the planted twins together (their offset 1000000
+    * is even), so the pair join has real near-dups to find; at 64-bit
+    * entropy only genuine near-duplicates land within hamming 3, so the
+    * fixture needs the wider slice to surface enough of them.
     */
   def q47SimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(
-        docsAug(spark, dir).filter(col("doc_id") % 8 === 0),
-        "doc_id", "text", bits = SimhashBits, maxHamming = 3)
+        docsAug(spark, dir).filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", bits = SimhashBits, maxHamming = 3,
+        maxBucketDocs = 1000)
       .orderBy("id_a", "id_b")
 
-  val q47Oracle: String = {
-    val sums = (0 until SimhashBits)
-      .map(b => s"sum(CASE WHEN substr(h, ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b")
-      .mkString(",\n         ")
-    val fp = (0 until SimhashBits)
-      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString(" + ")
+  val q47Oracle: String =
     s"""WITH $docsAugSql,
-       |tok AS (
-       |  SELECT doc_id, md5(unnest(string_split($normSql, ' '))) AS h
-       |  FROM docs_aug WHERE doc_id % 8 = 0
-       |),
-       |s AS (
-       |  SELECT doc_id,
-       |         $sums
-       |  FROM tok GROUP BY doc_id
-       |),
-       |sig AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM s),
+       |${simhashSigSql("doc_id % 2 = 0")},
        |bands AS (
-       |  SELECT doc_id, bi, (simhash >> (bi * 4)) & 15 AS bv
+       |  SELECT doc_id, bi, (simhash >> (bi * 16)) & 65535 AS bv
        |  FROM sig, unnest(range(0, 4)) AS u(bi)
+       |  QUALIFY count(*) OVER (PARTITION BY bi, bv) <= 1000
        |),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -354,7 +361,6 @@ object PipelineQueries {
        |JOIN sig sb ON sb.doc_id = id_b
        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   // ---- q40: composed cleaning funnel -----------------------------------
 

@@ -60,18 +60,22 @@ object SimilarityQueries {
     spark.sql(s"WITH $embAugSql SELECT * FROM emb_aug")
   }
 
-  /** Near-duplicate embedding pairs blocked by cluster label. */
+  /** Near-duplicate embedding pairs blocked by cluster label; the
+    * degenerate-block cap is mirrored in the oracle's QUALIFY so both
+    * engines drop the same (none, at this fixture's balance) blocks.
+    */
   def q28EmbeddingDupPairs(spark: SparkSession, dir: String): DataFrame =
     Similarity.embeddingDupPairs(
         embAug(spark, dir),
         idCol = "vec_id", vecCol = "embedding", blockCol = "label",
-        minSim = 0.95)
+        minSim = 0.95, maxBlockDocs = 10000)
       .orderBy("id_a", "id_b")
 
   val q28Oracle: String =
     s"""WITH $embAugSql,
       |c AS (
       |  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM emb_aug
+      |  QUALIFY count(*) OVER (PARTITION BY label) <= 10000
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |       round(list_dot_product(a.v, b.v), 4) AS sim
