@@ -30,12 +30,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+    // median-of-N per query (default 3) with a forced GC + settle before
+    // each rep: single-shot timings on a shared 32-thread JVM showed up to
+    // 3.9x run-to-run swings from neighboring queries' garbage, which made
+    // regressions indistinguishable from noise
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val times = Seq.newBuilder[Double]
+      var ok = true
+      var r = 0
+      while (r < reps && ok) {
+        // q50 owns the memoized winnow pair graph: reset it so every rep
+        // measures pair generation, not a cache read (the final rep leaves
+        // it materialized for q57, which measures clustering on top)
+        if (name.startsWith("q50"))
+          queries.ProfileQueries.resetWinnowPairGraph(spark, sfDir)
+        System.gc()
+        Thread.sleep(200)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
+        r += 1
+      }
+      val sorted = times.result().sorted
+      val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      (name, median, ok)
     }
     // a failed query reports -1, never a normal-looking wall time
     val qs = results.map { case (k, v, ok) =>
