@@ -46,6 +46,14 @@ object Components {
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint()
+    // convergence is observed via an accumulator incremented INSIDE the
+    // checkpoint-materialization job, so each round runs exactly one
+    // action instead of checkpoint + a second count() scan. Task retries
+    // can only inflate the value, never zero it, and all we branch on is
+    // "changed == 0" — so over-count is harmless.
+    val acc = pairs.sparkSession.sparkContext.longAccumulator("graft.cc.changed")
+    val markChanged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
+      .asNondeterministic() // keep the side effect from being elided/duplicated
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -61,11 +69,14 @@ object Components {
       // pointer jump: adopt the label of the current label-holder (a
       // label is always itself a node id, so the self-join resolves)
       val holders = stepped.select(col("id").as("c1"), col("c1").as("c2"))
+      acc.reset()
       val next = stepped.join(holders, Seq("c1"), "left")
         .select(col("id"), col("old"),
           least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"))
+        .withColumn("chg", markChanged(col("component") =!= col("old")))
+        .select("id", "component", "chg")
         .localCheckpoint()
-      changed = next.filter(col("component") =!= col("old")).count()
+      changed = acc.value
       labels = next.select("id", "component")
       iter += 1
     }
