@@ -249,15 +249,137 @@ object ScriptQueries {
        |ORDER BY parameter""".stripMargin
   }
 
-  /** Fleet-wide restore chains for every (db, server) in one distributed
-    * pass. Oracle = the q18 chain rules generalized with
-    * `PARTITION BY database_name, server_name` (reference sql:560-1259
-    * applied fleet-wide); per-pair equivalence with the scalar planner is
-    * additionally asserted in FleetPlannerSpec.
+  /** Per-key fleet-plan CTE chain (the q18 rules generalized with
+    * `PARTITION BY database_name, key` — reference sql:560-1259 applied
+    * fleet-wide) over relation `rel` keyed by `keyCol`. Every CTE name
+    * carries prefix `p` so the server pass and the AG-fallback pass can
+    * coexist in one WITH; the chain ends in `${p}plan` with columns
+    * (database_name, key, restore_id, backup_type, first_lsn, last_lsn,
+    * from_clause, stopat).
+    */
+  private def fleetPlanSql(rel: String, keyCol: String, p: String): String =
+    s"""${p}fulls AS (
+       |  SELECT *, dense_rank() OVER (PARTITION BY database_name, $keyCol
+       |                               ORDER BY last_lsn DESC) AS rk
+       |  FROM $rel
+       |  WHERE backup_type = 'Full' AND device_type IN (2, 9)
+       |    AND $keyCol IS NOT NULL
+       |    AND backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+       |),
+       |${p}full_sets AS (
+       |  SELECT database_name, $keyCol,
+       |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+       |         bool_or(coalesce(is_copy_only, false)) AS full_co,
+       |         string_agg(
+       |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END ||
+       |             physical_device_name || '''',
+       |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
+       |  FROM ${p}fulls WHERE rk = 1
+       |  GROUP BY database_name, $keyCol
+       |),
+       |${p}diff_cand AS (
+       |  SELECT b.*, dense_rank() OVER (PARTITION BY b.database_name, b.$keyCol
+       |                                 ORDER BY b.last_lsn DESC) AS rk
+       |  FROM $rel b
+       |  JOIN ${p}full_sets f
+       |    ON b.database_name = f.database_name AND b.$keyCol = f.$keyCol
+       |  WHERE b.backup_type = 'Diff'
+       |    AND b.backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+       |    AND NOT f.full_co AND b.last_lsn > f.last_lsn
+       |),
+       |${p}diff_sets AS (
+       |  SELECT database_name, $keyCol,
+       |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
+       |         string_agg(
+       |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END ||
+       |             physical_device_name || '''',
+       |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
+       |  FROM ${p}diff_cand WHERE rk = 1
+       |  GROUP BY database_name, $keyCol
+       |),
+       |${p}base AS (
+       |  SELECT f.database_name, f.$keyCol,
+       |         coalesce(d.last_lsn, f.last_lsn) AS base_lsn,
+       |         CASE WHEN d.database_name IS NULL THEN 1 ELSE 2 END AS base_steps
+       |  FROM ${p}full_sets f
+       |  LEFT JOIN ${p}diff_sets d
+       |    ON f.database_name = d.database_name AND f.$keyCol = d.$keyCol
+       |),
+       |${p}logs0 AS (
+       |  SELECT b.database_name, b.$keyCol, b.first_lsn, b.last_lsn,
+       |         b.device_type, b.physical_device_name, b.backup_start_date,
+       |         b.log_id, base.base_steps
+       |  FROM $rel b
+       |  JOIN ${p}base base ON b.database_name = base.database_name
+       |           AND b.$keyCol = base.$keyCol
+       |  WHERE b.backup_type = 'Log' AND b.last_lsn > base.base_lsn
+       |),
+       |${p}in_range AS (
+       |  SELECT * FROM ${p}logs0
+       |  WHERE backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
+       |),
+       |${p}overlap AS (
+       |  SELECT * EXCLUDE (rn) FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY database_name, $keyCol
+       |                ORDER BY backup_start_date, last_lsn, log_id) AS rn
+       |    FROM ${p}logs0
+       |    WHERE backup_start_date > TIMESTAMP '2024-01-20 00:00:00')
+       |  WHERE rn = 1
+       |),
+       |${p}log_union AS (
+       |  SELECT * FROM ${p}in_range UNION ALL SELECT * FROM ${p}overlap
+       |),
+       |${p}log_sets AS (
+       |  SELECT database_name, $keyCol, first_lsn, last_lsn,
+       |         string_agg(
+       |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END ||
+       |             physical_device_name || '''',
+       |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause,
+       |         min(base_steps) AS base_steps
+       |  FROM ${p}log_union
+       |  GROUP BY database_name, $keyCol, first_lsn, last_lsn
+       |),
+       |${p}log_steps AS (
+       |  SELECT *, row_number() OVER (PARTITION BY database_name, $keyCol
+       |                               ORDER BY last_lsn) AS seq,
+       |         count(*) OVER (PARTITION BY database_name, $keyCol) AS n
+       |  FROM ${p}log_sets
+       |),
+       |${p}plan AS (
+       |  SELECT database_name, $keyCol AS key, CAST(1 AS BIGINT) AS restore_id,
+       |         'Full' AS backup_type, CAST(first_lsn AS BIGINT) AS first_lsn,
+       |         CAST(last_lsn AS BIGINT) AS last_lsn, from_clause,
+       |         false AS stopat
+       |  FROM ${p}full_sets
+       |  UNION ALL
+       |  SELECT database_name, $keyCol, CAST(2 AS BIGINT), 'Diff',
+       |         CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
+       |         from_clause, false
+       |  FROM ${p}diff_sets
+       |  UNION ALL
+       |  SELECT database_name, $keyCol, CAST(seq + base_steps AS BIGINT), 'Log',
+       |         CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
+       |         from_clause, seq >= n - 1
+       |  FROM ${p}log_steps
+       |)""".stripMargin
+
+  /** Fleet-wide restore chains for every (db, key) in one distributed
+    * pass, INCLUDING the server→AG fallback (reference sql:145-170): the
+    * fixture nulls db2's `server_name` so db2 is only plannable via its
+    * availability group, forcing [[FleetRestorePlanner.planAllWithFallback]]
+    * down the anti-join + re-plan branch. The oracle runs the same plan
+    * CTEs twice — keyed by server, then by ag over the unplanned
+    * remainder — mirroring the fallback at per-database granularity.
+    * Per-pair equivalence with the scalar planner is additionally
+    * asserted in FleetPlannerSpec.
     */
   def q39FleetPlan(spark: SparkSession, dir: String): DataFrame =
     graft.script.FleetRestorePlanner
-      .planAll(canonicalFrame(spark, dir), "server_name", T)
+      .planAllWithFallback(
+        canonicalFrame(spark, dir).withColumn("server_name",
+          when(col("database_name") === "db2", lit(null).cast("string"))
+            .otherwise(col("server_name"))),
+        T)
       .select(
         col("database_name"), col("key"), col("restore_id"),
         col("backup_type"), col("first_lsn").cast("bigint").as("first_lsn"),
@@ -266,106 +388,21 @@ object ScriptQueries {
       .orderBy("database_name", "key", "restore_id")
 
   val q39Oracle: String = oracle(
-    """, fulls AS (
-      |  SELECT *, dense_rank() OVER (PARTITION BY database_name, server_name
-      |                               ORDER BY last_lsn DESC) AS rk
-      |  FROM backup_history
-      |  WHERE backup_type = 'Full' AND device_type IN (2, 9)
-      |    AND server_name IS NOT NULL
-      |    AND backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
-      |),
-      |full_sets AS (
-      |  SELECT database_name, server_name,
-      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
-      |         bool_or(coalesce(is_copy_only, false)) AS full_co,
-      |         string_agg(
-      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
-      |             || physical_device_name || '''',
-      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
-      |  FROM fulls WHERE rk = 1
-      |  GROUP BY database_name, server_name
-      |),
-      |diff_cand AS (
-      |  SELECT b.*, dense_rank() OVER (PARTITION BY b.database_name, b.server_name
-      |                                 ORDER BY b.last_lsn DESC) AS rk
-      |  FROM backup_history b
-      |  JOIN full_sets f
-      |    ON b.database_name = f.database_name AND b.server_name = f.server_name
-      |  WHERE b.backup_type = 'Diff'
-      |    AND b.backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
-      |    AND NOT f.full_co AND b.last_lsn > f.last_lsn
-      |),
-      |diff_sets AS (
-      |  SELECT database_name, server_name,
-      |         min(first_lsn) AS first_lsn, max(last_lsn) AS last_lsn,
-      |         string_agg(
-      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
-      |             || physical_device_name || '''',
-      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause
-      |  FROM diff_cand WHERE rk = 1
-      |  GROUP BY database_name, server_name
-      |),
-      |base AS (
-      |  SELECT f.database_name, f.server_name,
-      |         coalesce(d.last_lsn, f.last_lsn) AS base_lsn,
-      |         CASE WHEN d.database_name IS NULL THEN 1 ELSE 2 END AS base_steps
-      |  FROM full_sets f
-      |  LEFT JOIN diff_sets d
-      |    ON f.database_name = d.database_name AND f.server_name = d.server_name
-      |),
-      |logs0 AS (
-      |  SELECT b.database_name, b.server_name, b.first_lsn, b.last_lsn,
-      |         b.device_type, b.physical_device_name, b.backup_start_date,
-      |         b.log_id, base.base_steps
-      |  FROM backup_history b
-      |  JOIN base ON b.database_name = base.database_name
-      |           AND b.server_name = base.server_name
-      |  WHERE b.backup_type = 'Log' AND b.last_lsn > base.base_lsn
-      |),
-      |in_range AS (
-      |  SELECT * FROM logs0
-      |  WHERE backup_start_date <= TIMESTAMP '2024-01-20 00:00:00'
-      |),
-      |overlap AS (
-      |  SELECT * EXCLUDE (rn) FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY database_name, server_name
-      |                ORDER BY backup_start_date, last_lsn, log_id) AS rn
-      |    FROM logs0
-      |    WHERE backup_start_date > TIMESTAMP '2024-01-20 00:00:00')
-      |  WHERE rn = 1
-      |),
-      |log_union AS (SELECT * FROM in_range UNION ALL SELECT * FROM overlap),
-      |log_sets AS (
-      |  SELECT database_name, server_name, first_lsn, last_lsn,
-      |         string_agg(
-      |           CASE WHEN device_type = 9 THEN 'URL = N''' ELSE 'DISK = N''' END
-      |             || physical_device_name || '''',
-      |           ',' || chr(10) ORDER BY physical_device_name) AS from_clause,
-      |         min(base_steps) AS base_steps
-      |  FROM log_union
-      |  GROUP BY database_name, server_name, first_lsn, last_lsn
-      |),
-      |log_steps AS (
-      |  SELECT *, row_number() OVER (PARTITION BY database_name, server_name
-      |                               ORDER BY last_lsn) AS seq,
-      |         count(*) OVER (PARTITION BY database_name, server_name) AS n
-      |  FROM log_sets
-      |)
-      |SELECT database_name, server_name AS key, CAST(1 AS BIGINT) AS restore_id,
-      |       'Full' AS backup_type, CAST(first_lsn AS BIGINT) AS first_lsn,
-      |       CAST(last_lsn AS BIGINT) AS last_lsn, from_clause, false AS stopat
-      |FROM full_sets
-      |UNION ALL
-      |SELECT database_name, server_name, CAST(2 AS BIGINT), 'Diff',
-      |       CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
-      |       from_clause, false
-      |FROM diff_sets
-      |UNION ALL
-      |SELECT database_name, server_name, CAST(seq + base_steps AS BIGINT), 'Log',
-      |       CAST(first_lsn AS BIGINT), CAST(last_lsn AS BIGINT),
-      |       from_clause, seq >= n - 1
-      |FROM log_steps
-      |ORDER BY database_name, key, restore_id""".stripMargin)
+    s""", bh2 AS (
+       |  SELECT * REPLACE (
+       |    CASE WHEN database_name = 'db2' THEN NULL ELSE server_name END
+       |      AS server_name)
+       |  FROM backup_history
+       |),
+       |${fleetPlanSql("bh2", "server_name", "s_")},
+       |s_planned AS (SELECT DISTINCT database_name FROM s_plan),
+       |bh_ag AS (
+       |  SELECT * FROM bh2
+       |  WHERE database_name NOT IN (SELECT database_name FROM s_planned)
+       |),
+       |${fleetPlanSql("bh_ag", "ag_name", "a_")}
+       |SELECT * FROM s_plan UNION ALL SELECT * FROM a_plan
+       |ORDER BY database_name, key, restore_id""".stripMargin)
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_restore_chain" -> (q18RestoreChain _),
