@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** Pure-JVM image codec (`javax.imageio` — PNG/BMP/GIF/JPEG readers ship
+  * with the JDK, no external libraries). This is the real decoder that
+  * slots in behind the batch boundary [[Multimodal.extractFeatures]]
+  * documents: payloads that parse as an encoded image yield true
+  * pixel-derived features; anything else falls back to the deterministic
+  * byte-summary stub so non-image corpora (and the synthetic text-byte
+  * fixtures) are unaffected.
+  *
+  * Scale note: decoding is per-record CPU work with zero shuffle — it
+  * lives inside `mapPartitions` so the codec plumbing (here: nothing; a
+  * JNI decoder would hold per-thread native contexts) initializes once
+  * per partition, and the binary column is only materialized for
+  * partitions a decode stage actually reads.
+  */
+object ImageCodec {
+
+  /** True pixel-level summary of a decoded image: dimensions from the
+    * decoder, mean luma, and an 8-bucket luma histogram (normalized) in
+    * the same shape as the stub's byte histogram so downstream feature
+    * consumers are agnostic to which path produced the vector.
+    */
+  final case class DecodedImage(
+      width: Int,
+      height: Int,
+      lumaMean: Double,
+      lumaHist: Array[Float])
+
+  /** Decode an encoded image payload, or None when the bytes are not a
+    * recognizable image (ImageIO returns null / throws on garbage —
+    * both map to None so callers can fall back).
+    */
+  def decode(bytes: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    Option(img).map { bi =>
+      val w = bi.getWidth
+      val h = bi.getHeight
+      val hist = new Array[Float](8)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = bi.getRGB(x, y)
+          // ITU-R BT.601 luma from the sRGB channels
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sum += luma
+          hist(math.min(7, (luma / 32.0).toInt)) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = math.max(1, w * h)
+      var i = 0
+      while (i < 8) { hist(i) /= n; i += 1 }
+      DecodedImage(w, h, sum / n, hist)
+    }
+  }
+}

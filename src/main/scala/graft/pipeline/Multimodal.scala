@@ -29,10 +29,11 @@ final case class MediaFeatures(
 /** Multimodal-column plumbing: schema, partition-friendly batch decode,
   * frame sampling. The Spark side — binary columns, typed Datasets,
   * mapPartitions batch shape (the JVM analog of a vectorized pandas UDF)
-  * — is real and tested; the codec itself is a STUB (this environment
-  * ships no image/audio libraries): [[decodeStub]] derives deterministic
-  * fake features from the raw bytes, and marks where a real
-  * decoder (JNI/FFI image lib) would slot in.
+  * — is real and tested. Image payloads get a REAL decode via the JDK's
+  * [[ImageCodec]] (PNG/BMP/GIF/JPEG, value-level spec in MultimodalSpec);
+  * audio/video codecs are not available in this environment, so those
+  * payloads take [[decodeStub]], which derives deterministic features
+  * from the raw bytes and marks where a JNI/FFI decoder would slot in.
   */
 object Multimodal {
 
@@ -69,6 +70,20 @@ object Multimodal {
       nFrames(r), hist.map(_ / total))
   }
 
+  /** Real decode for image records: payloads that parse as an encoded
+    * image (PNG/BMP/GIF/JPEG via the JDK's [[ImageCodec]]) yield true
+    * pixel-derived features — decoder dimensions, mean luma, luma
+    * histogram; everything else (audio/video, corrupt bytes, and the
+    * synthetic text-byte fixtures) falls back to [[decodeStub]].
+    */
+  def decodeRecord(r: MediaRecord): MediaFeatures =
+    (if (r.media_type == "image") ImageCodec.decode(r.payload) else None)
+      .map { d =>
+        MediaFeatures(r.media_id, r.media_type, r.payload.length,
+          d.lumaMean, nFrames(r), d.lumaHist)
+      }
+      .getOrElse(decodeStub(r))
+
   /** Frame count a sampler would extract: one frame per second of video,
     * 1 for stills.
     */
@@ -95,8 +110,9 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map(decodeStub)
+      // per-partition codec init would go here (ImageIO is stateless;
+      // a JNI decoder would allocate its native context at this point)
+      it.map(decodeRecord)
     }
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{ImageCodec, MediaRecord, Multimodal}
+
+/** Value-level oracle for the REAL image decode path: images with known
+  * pixel values are encoded to PNG/BMP bytes with the JDK writer, pushed
+  * through the distributed batch-decode boundary, and the pixel-derived
+  * features are checked against first-principles arithmetic — no stub in
+  * the loop. Garbage payloads must fall back to the stub exactly.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, out), s"JDK lacks a $format writer")
+    out.toByteArray
+  }
+
+  private def flat(w: Int, h: Int, rgb: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("decode recovers exact dimensions and luma of known pixels") {
+    // all-white: luma = 0.299*255 + 0.587*255 + 0.114*255 = 255
+    val white = ImageCodec.decode(encode(flat(8, 4, 0xffffff), "png")).get
+    assert(white.width == 8 && white.height == 4)
+    assert(math.abs(white.lumaMean - 255.0) < 1e-9)
+    assert(white.lumaHist(7) == 1.0f && white.lumaHist.take(7).forall(_ == 0f))
+
+    // all-black
+    val black = ImageCodec.decode(encode(flat(3, 3, 0x000000), "png")).get
+    assert(black.lumaMean == 0.0 && black.lumaHist(0) == 1.0f)
+
+    // pure red: luma = 0.299*255 = 76.245 -> bucket 2
+    val red = ImageCodec.decode(encode(flat(2, 2, 0xff0000), "png")).get
+    assert(math.abs(red.lumaMean - 0.299 * 255) < 1e-9)
+    assert(red.lumaHist(2) == 1.0f)
+
+    // half white / half black rows: mean 127.5, split histogram
+    val half = {
+      val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 4) {
+        img.setRGB(x, 0, 0xffffff); img.setRGB(x, 1, 0x000000)
+      }
+      img
+    }
+    val d = ImageCodec.decode(encode(half, "png")).get
+    assert(math.abs(d.lumaMean - 127.5) < 1e-9)
+    assert(d.lumaHist(0) == 0.5f && d.lumaHist(7) == 0.5f)
+  }
+
+  test("decode handles BMP too, and rejects garbage") {
+    val bmp = ImageCodec.decode(encode(flat(5, 7, 0xffffff), "bmp")).get
+    assert(bmp.width == 5 && bmp.height == 7 && bmp.lumaMean == 255.0)
+    assert(ImageCodec.decode("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("extractFeatures takes the real path for images, stub otherwise") {
+    import spark.implicits._
+    val png = encode(flat(4, 4, 0xffffff), "png")
+    val textBytes = "just some document text".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(1L, "image", 4, 4, 0, png),
+      MediaRecord(2L, "image", 4, 4, 0, textBytes), // corrupt image
+      MediaRecord(3L, "audio", 0, 0, 5000, png) // non-image: stub even for valid bytes
+    ).toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+
+    // real decode: luma features, not byte histogram
+    val real = feats(1L)
+    assert(real.byte_mean == 255.0 && real.n_bytes == png.length)
+    assert(real.feature(7) == 1.0f)
+
+    // corrupt payload and non-image records match the stub bit-for-bit
+    for (id <- Seq(2L, 3L)) {
+      val rec = media.as[MediaRecord].filter(_.media_id == id).head()
+      val stub = Multimodal.decodeStub(rec)
+      val got = feats(id)
+      assert(got.byte_mean == stub.byte_mean && got.n_frames == stub.n_frames
+        && got.feature.sameElements(stub.feature), s"record $id diverged from stub")
+    }
+  }
+}
