@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination (the GPT-3 appendix-C / PaLM eval-overlap
+  * check): a training document is contaminated when it shares any
+  * word n-gram with a held-out benchmark sample, and at corpus scale the
+  * check must stream the corpus once against a broadcast benchmark.
+  *
+  * Shape at 100 TB: per-document n-gram sets are built row-local
+  * (normalize + split + slide, all codegen'd — no shuffle), the
+  * benchmark's gram set is distinct-ed and BROADCAST (benchmarks are
+  * small by construction — thousands of samples, not billions), and the
+  * only shuffle is the final map-side-combinable count per doc_id.
+  * The corpus side is never collected, never self-joined.
+  */
+object Decontaminate {
+
+  /** Sliding word n-grams of a token-array column, each joined by single
+    * spaces; empty when the document has fewer than `n` tokens. Spark's
+    * `sequence` would count DOWN for start > stop, so the short-doc case
+    * is guarded explicitly.
+    */
+  def ngrams(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document contamination report against `bench`: documents
+    * sharing at least one n-gram with any benchmark sample, with the
+    * matched-gram count, the document's distinct-gram total, and the
+    * overlap fraction. Clean documents are absent (inner semantics —
+    * the common case is "flag and drop the hits").
+    */
+  def contaminationReport(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(ngrams(TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+
+    val benchGrams = bench
+      .select(explode(
+        array_distinct(ngrams(TextAnalysis.tokens(col(benchTextCol)), n)))
+        .as("gram"))
+      .distinct()
+
+    docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_matched"))
+      .select(
+        col("doc_id").as(idCol),
+        col("n_matched"),
+        col("n_grams"),
+        round(col("n_matched").cast("double") / col("n_grams"), 4)
+          .as("overlap_frac"))
+  }
+}

@@ -453,8 +453,133 @@ object PipelineQueries {
        |       (SELECT count(*) FROM s3) AS n_after_near""".stripMargin
   }
 
+  // ---- q62: boilerplate line removal ------------------------------------
+
+  /** Fixture: the corpus has no newlines, so per-source boilerplate is
+    * planted deterministically — a subscribe banner on every 3rd doc, a
+    * copyright footer on every 2nd — and [[Boilerplate.stripBoilerplate]]
+    * must remove exactly those (per-source df >= 5) while reassembling
+    * the body lines untouched.
+    */
+  private def docsLines(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      concat(
+        when(col("doc_id") % 3 === 0,
+          concat(lit("subscribe to the "), col("source"), lit(" newsletter\n")))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\nall rights reserved by "), col("source")))
+          .otherwise(lit(""))).as("text"))
+
+  private val docsLinesSql: String =
+    """docs_lines AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN 'subscribe to the ' || source || ' newsletter' || chr(10)
+      |              ELSE '' END ||
+      |         text ||
+      |         CASE WHEN doc_id % 2 = 0
+      |              THEN chr(10) || 'all rights reserved by ' || source
+      |              ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  def q62Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Boilerplate
+      .stripBoilerplate(docsLines(spark, dir), "doc_id", "text", "source",
+        minDf = 5)
+      .filter(col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val q62Oracle: String =
+    s"""WITH $docsLinesSql,
+       |lines AS (
+       |  SELECT doc_id, source,
+       |         unnest(string_split(text, chr(10))) AS line,
+       |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+       |  FROM docs_lines
+       |),
+       |boiler AS (
+       |  SELECT source, line FROM lines
+       |  GROUP BY source, line HAVING count(DISTINCT doc_id) >= 5
+       |),
+       |kept AS (
+       |  SELECT l.* FROM lines l
+       |  ANTI JOIN boiler b ON l.source = b.source AND l.line = b.line
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_after,
+       |         string_agg(line, chr(10) ORDER BY pos) AS text_clean
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines_before,
+       |       coalesce(a.n_lines_after, 0) AS n_lines_after,
+       |       coalesce(a.text_clean, '') AS text_clean
+       |FROM docs_lines d LEFT JOIN agg a USING (doc_id)
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q63: benchmark decontamination -----------------------------------
+
+  private val DecontamN = 8
+
+  /** Fixture: every 53rd document donates a 16-token excerpt (tokens
+    * 3..18 of its normalized text) as a "benchmark sample", so those
+    * documents — and any exact duplicates of them — must surface as
+    * contaminated via shared 8-grams.
+    */
+  private def benchSamples(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 53 === 0)
+      .select(array_join(
+        slice(TextAnalysis.tokens(col("text")), 3, 16), " ").as("btext"))
+
+  def q63Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Decontaminate
+      .contaminationReport(
+        Tables.documents(spark, dir), "doc_id", "text",
+        benchSamples(spark, dir), "btext", n = DecontamN)
+      .orderBy("doc_id")
+
+  val q63Oracle: String = {
+    val n = DecontamN
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |),
+       |dg AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |         unnest(grams) AS gram
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_distinct(list_transform(
+       |             range(1, greatest(len(w) - $n + 2, 1)),
+       |             i -> array_to_string(list_slice(w, i, i + ${n - 1}), ' ')))
+       |             AS grams
+       |    FROM w)
+       |),
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |           range(1, greatest(len(bw) - $n + 2, 1)),
+       |           i -> array_to_string(list_slice(bw, i, i + ${n - 1}), ' ')))
+       |           AS gram
+       |  FROM (
+       |    SELECT list_slice(string_split($normSql, ' '), 3, 18) AS bw
+       |    FROM documents WHERE doc_id % 53 = 0)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, n_grams,
+       |       round(count(*)::DOUBLE / n_grams, 4) AS overlap_frac
+       |FROM dg JOIN bg USING (gram)
+       |GROUP BY doc_id, n_grams
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cleaning_funnel" -> (q40CleaningFunnel _),
+    "q62_boilerplate_lines" -> (q62Boilerplate _),
+    "q63_decontaminate" -> (q63Decontaminate _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -468,6 +593,8 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q40_cleaning_funnel" -> q40Oracle,
+    "q62_boilerplate_lines" -> q62Oracle,
+    "q63_decontaminate" -> q63Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

@@ -257,6 +257,52 @@ class PipelineSpec extends AnyFunSuite {
       s"cap must drop only the degenerate bucket, got $pairs")
   }
 
+  test("boilerplate: repeated lines stripped per source, body order kept") {
+    val docs = Seq(
+      (1L, "s", "banner\nalpha one\nfooter"),
+      (2L, "s", "banner\nbeta two\nfooter"),
+      (3L, "s", "banner\ngamma three\nfooter"),
+      (4L, "s", "banner\nfooter"), // nothing but boilerplate
+      (5L, "t", "banner\ndelta four") // same line, different source: df=1
+    ).toDF("doc_id", "source", "text")
+    val out = pipeline.Boilerplate
+      .stripBoilerplate(docs, "doc_id", "text", "source", minDf = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 1L, "alpha one")))
+    assert(out(4L) == ((4L, 2L, 0L, "")), "all-boilerplate doc must empty")
+    assert(out(5L) == ((5L, 2L, 2L, "banner\ndelta four")),
+      "df is per-source; a foreign source's unique lines survive")
+    // multi-line body reassembles in original order
+    val ordered = pipeline.Boilerplate.stripBoilerplate(
+        Seq((9L, "s", "keep one\nkeep two\nkeep three")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", minDf = 2)
+      .select("text_clean").as[String].head()
+    assert(ordered == "keep one\nkeep two\nkeep three")
+  }
+
+  test("decontamination flags exactly the docs sharing a benchmark n-gram") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // holds the bench 8-gram at offset 1
+      (2L, "totally different words here with no overlap at all present"),
+      (3L, "x a b c d e f g h i") // holds it at the tail
+    ).toDF("doc_id", "text")
+    val bench = Seq("b c d e f g h i").toDF("btext")
+    val rep = pipeline.Decontaminate
+      .contaminationReport(docs, "doc_id", "text", bench, "btext", n = 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // 10 tokens -> 3 distinct 8-grams, 1 matched
+    assert(rep.keySet == Set(1L, 3L))
+    assert(rep(1L) == ((1L, 1L, 3L, 0.3333)))
+    assert(rep(3L) == ((3L, 1L, 3L, 0.3333)))
+    // short docs (< n tokens) can never match and never divide by zero
+    val short = pipeline.Decontaminate.contaminationReport(
+      Seq((7L, "too short")).toDF("doc_id", "text"), "doc_id", "text",
+      bench, "btext", n = 8)
+    assert(short.count() == 0)
+  }
+
   test("hash split: deterministic, exhaustive, near the requested weights") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = pipeline.Curation.hashSplit(docs, "doc_id")
