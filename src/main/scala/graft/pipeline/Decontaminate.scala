@@ -20,13 +20,17 @@ object Decontaminate {
   /** Sliding word n-grams of a token-array column, each joined by single
     * spaces; empty when the document has fewer than `n` tokens. Spark's
     * `sequence` would count DOWN for start > stop, so the short-doc case
-    * is guarded explicitly.
+    * is guarded explicitly. The token array is let-bound
+    * ([[graft.functions.Let]]) because a raw expression referenced inside
+    * the `transform` lambda re-evaluates per element — for a
+    * tokenization subtree that turns one split into one split per gram.
     */
   def ngrams(words: Column, n: Int): Column =
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => array_join(slice(words, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.Let.let(words, w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n),
+          i => array_join(slice(w, i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
 
   /** Per-document contamination report against `bench`: documents
     * sharing at least one n-gram with any benchmark sample, with the

@@ -161,7 +161,16 @@ object FleetRestorePlanner {
       bh: DataFrame,
       restoreTo: java.sql.Timestamp): DataFrame = {
     val byServer = planAll(bh, "server_name", restoreTo)
-    val planned = byServer.select("database_name").distinct()
+    // a database yields server-keyed steps iff it has a qualifying full
+    // keyed by server (the diff and log phases join onto the full sets,
+    // so no full => no steps at all) — so the fallback membership comes
+    // from that one filtered scan, NOT from byServer itself: reading
+    // byServer twice would re-evaluate the whole multi-window cascade a
+    // second (and via byAg's pruned input, third) time, measured 3.8x
+    // on the q39 bench row
+    val planned = RestoreQueries
+      .latestFullBackupsPerKey(bh, "server_name", asOf = Some(lit(restoreTo)))
+      .select("database_name").distinct()
     val unplanned = bh.select("database_name").distinct()
       .join(planned, Seq("database_name"), "left_anti")
     val byAg = planAll(
