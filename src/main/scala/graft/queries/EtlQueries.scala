@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.{BackupHistoryDerivation, ExtractTransform, MsdbDerivation}
+import graft.etl.{BackupHistoryDerivation, EtlRunner, ExtractTransform, MsdbDerivation}
 import graft.maintenance.Retention
 import graft.store.ConsolidatedStore
 
@@ -27,8 +27,12 @@ object EtlQueries {
       .orderBy(col("database_name"), col("last_lsn"), col("physical_device_name"))
   }
 
-  val q14Oracle: String = MsdbDerivation.oracle(
-    """, fileinfo AS (
+  /** The full extract as a reusable CTE (`extract0`, NO watermark
+    * filter) — q14 reads it with the fixed-watermark predicate, q64
+    * derives its end-to-end run expectations from it.
+    */
+  private val extractCte: String =
+    """fileinfo AS (
       |  SELECT backup_set_id,
       |         '[' || string_agg(
       |           '{"logical_name":"' || logical_name
@@ -40,29 +44,38 @@ object EtlQueries {
       |           AS db_file_information
       |  FROM msdb_backupfile WHERE state <> 8
       |  GROUP BY backup_set_id
-      |)
-      |SELECT s.database_name,
-      |  CASE s.type WHEN 'D' THEN 'Full' WHEN 'I' THEN 'Diff'
-      |              WHEN 'L' THEN 'Log' END AS backup_type,
-      |  m.physical_device_name,
-      |  s.backup_start_date, s.backup_finish_date,
-      |  s.server_name, g.ag_name, s.recovery_model,
-      |  CAST(s.first_lsn AS BIGINT) AS first_lsn,
-      |  CAST(s.last_lsn AS BIGINT) AS last_lsn,
-      |  CAST(floor(s.backup_size / 1048576) AS INT) AS uncompressed_size_mb,
-      |  CAST(floor(s.compressed_backup_size / 1048576) AS INT) AS compressed_size_mb,
-      |  s.is_copy_only, s.encryptor_type, s.key_algorithm,
-      |  m.device_type, s.position,
-      |  fi.db_file_information
-      |FROM msdb_backupset s
-      |JOIN msdb_backupmediafamily m ON s.media_set_id = m.media_set_id
-      |LEFT JOIN msdb_databases d ON d.name = s.database_name
-      |LEFT JOIN msdb_replica_states rs
-      |  ON rs.database_id = d.database_id AND rs.is_local = 1
-      |LEFT JOIN msdb_ags g ON g.group_id = rs.group_id
-      |LEFT JOIN fileinfo fi ON fi.backup_set_id = s.backup_set_id
-      |WHERE s.backup_finish_date >= TIMESTAMP '2000-05-31 23:55:00'
-      |ORDER BY s.database_name, s.last_lsn, m.physical_device_name""".stripMargin)
+      |),
+      |extract0 AS (
+      |  SELECT s.database_name,
+      |    CASE s.type WHEN 'D' THEN 'Full' WHEN 'I' THEN 'Diff'
+      |                WHEN 'L' THEN 'Log' END AS backup_type,
+      |    m.physical_device_name,
+      |    s.backup_start_date, s.backup_finish_date,
+      |    s.server_name, g.ag_name, s.recovery_model,
+      |    CAST(s.first_lsn AS BIGINT) AS first_lsn,
+      |    CAST(s.last_lsn AS BIGINT) AS last_lsn,
+      |    CAST(floor(s.backup_size / 1048576) AS INT) AS uncompressed_size_mb,
+      |    CAST(floor(s.compressed_backup_size / 1048576) AS INT) AS compressed_size_mb,
+      |    s.is_copy_only, s.encryptor_type, s.key_algorithm,
+      |    m.device_type, s.position,
+      |    fi.db_file_information
+      |  FROM msdb_backupset s
+      |  JOIN msdb_backupmediafamily m ON s.media_set_id = m.media_set_id
+      |  LEFT JOIN msdb_databases d ON d.name = s.database_name
+      |  LEFT JOIN msdb_replica_states rs
+      |    ON rs.database_id = d.database_id AND rs.is_local = 1
+      |  LEFT JOIN msdb_ags g ON g.group_id = rs.group_id
+      |  LEFT JOIN fileinfo fi ON fi.backup_set_id = s.backup_set_id
+      |)""".stripMargin
+
+  // NB: extractCte is concatenated, never re-interpolated under another
+  // stripMargin — its continuation lines start with `||`, which a second
+  // strip would truncate to `|`
+  val q14Oracle: String = MsdbDerivation.oracle(
+    ", " + extractCte + "\n" +
+      """SELECT * FROM extract0
+        |WHERE backup_finish_date >= TIMESTAMP '2000-05-31 23:55:00'
+        |ORDER BY database_name, last_lsn, physical_device_name""".stripMargin)
 
   /** S5: idempotent dedup-on-write — re-ingesting the whole history over
     * itself must be a no-op; per-database counts prove it.
@@ -145,17 +158,85 @@ object EtlQueries {
       |GROUP BY b.server_name
       |ORDER BY b.server_name""".stripMargin)
 
+  /** S2/S4/S6 + §2.9 end-to-end: TWO full ETL cycles over a fresh store
+    * with two simulated servers sharing one msdb fixture.
+    *
+    * Run 1: both servers extract everything (default 1900 watermark);
+    * srvA's load appends every distinct dedup key, srvB's identical
+    * batch then appends ZERO rows (the `ignore_dup_key` contract across
+    * sources) yet still advances srvB's watermark. Run 2: both servers
+    * re-extract only the 5-minute rewind window of their advanced
+    * watermark and append nothing (idempotent re-delivery). The final
+    * store must hold exactly the distinct keys with unique LogIDs.
+    *
+    * The oracle derives every number from the shared extract CTE — no
+    * state, just the advance/rewind/dedup algebra.
+    */
+  def q64EtlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val store = s"$tmp/consolidated"
+    val wmPath = s"$tmp/watermarks"
+    val src = MsdbDerivation.sources(spark, dir)
+    val servers = Map("srvA" -> src, "srvB" -> src)
+
+    val run1 = EtlRunner.runOnce(spark, servers, store, wmPath)
+    val run2 = EtlRunner.runOnce(spark, servers, store, wmPath)
+
+    val stored = ConsolidatedStore.read(spark, store)
+    val nStore = stored.count()
+    val nIds = stored.select("LogID").distinct().count()
+    val finalWm = graft.store.WatermarkStore.read(spark, wmPath)("srvA")
+
+    val rows =
+      (0, "store", nStore, nIds, finalWm) +:
+        (run1.map(r => (1, r.server, r.extracted, r.appended,
+          r.newWatermark.orNull.asInstanceOf[java.sql.Timestamp])) ++
+          run2.map(r => (2, r.server, r.extracted, r.appended,
+            r.newWatermark.orNull.asInstanceOf[java.sql.Timestamp])))
+    rows.toDF("run", "server", "n_extracted", "n_appended", "wm")
+      .orderBy("run", "server")
+  }
+
+  val q64Oracle: String = MsdbDerivation.oracle(
+    ", " + extractCte + ",\n" +
+      """mx AS (SELECT max(backup_finish_date) AS wm FROM extract0),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM extract0),
+        |k AS (
+        |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+        |                              physical_device_name)) AS BIGINT) AS n
+        |  FROM extract0
+        |),
+        |win AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n
+        |  FROM extract0, mx
+        |  WHERE backup_finish_date >= mx.wm - INTERVAL 5 MINUTE
+        |)
+        |SELECT 0 AS run, 'store' AS server, k.n AS n_extracted,
+        |       k.n AS n_appended, mx.wm FROM k, mx
+        |UNION ALL
+        |SELECT 1, 'srvA', n1.n, k.n, mx.wm FROM n1, k, mx
+        |UNION ALL
+        |SELECT 1, 'srvB', n1.n, 0, mx.wm FROM n1, mx
+        |UNION ALL
+        |SELECT 2, 'srvA', win.n, 0, mx.wm FROM win, mx
+        |UNION ALL
+        |SELECT 2, 'srvB', win.n, 0, mx.wm FROM win, mx
+        |ORDER BY run, server""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
-    "q17_watermark_window" -> (q17WatermarkWindow _)
+    "q17_watermark_window" -> (q17WatermarkWindow _),
+    "q64_etl_round_trip" -> (q64EtlRoundTrip _)
   )
 
   def oracles: Map[String, String] = Map(
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,
-    "q17_watermark_window" -> q17Oracle
+    "q17_watermark_window" -> q17Oracle,
+    "q64_etl_round_trip" -> q64Oracle
   )
 }

@@ -177,4 +177,19 @@ class PlanSpec extends AnyFunSuite {
       s"range partitioning expected:\n${p.take(800)}")
     assert(!p.contains("SinglePartition"), "no single-partition funnel")
   }
+
+  test("boilerplate anti-join broadcasts the df-filtered line set") {
+    val p = plan(queries.PipelineQueries.q62Boilerplate(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "boilerplate set must broadcast to the exploded lines")
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded line relation must never sort-merge")
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val p = plan(queries.PipelineQueries.q63Decontaminate(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark grams must broadcast; the corpus streams once")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
