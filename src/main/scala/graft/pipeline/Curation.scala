@@ -60,6 +60,33 @@ object Curation {
     df.filter(splitFraction(col(idCol)) < rate)
   }
 
+  /** Temperature-scaled domain mixing (the multilingual/domain rebalance
+    * of XLM-R §3.1 and mC4): sampling probability p_d ∝ n_d^alpha
+    * flattens the domain distribution — alpha < 1 upweights tail
+    * domains — and each domain's keep-rate is budget·p_d/n_d capped at
+    * 1. Domain counts are a driver-small aggregate (domains are a
+    * catalog, not a corpus: hundreds, not millions), the summation runs
+    * in sorted-domain order for reproducibility, and membership reuses
+    * the md5-fraction rule via [[stratifiedSample]] — so the mix is a
+    * pure deterministic filter: no RNG, no extra shuffle, stable across
+    * re-ingestion. Rows whose domain is NULL are dropped (rate 0).
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, domainCol: String,
+      alpha: Double, budget: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha in [0, 1]")
+    require(budget > 0, "budget must be positive")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("__n"))
+      .collect()
+      .flatMap(r => Option(r.getAs[String](0)).map(_ -> r.getLong(1)))
+      .sortBy(_._1)
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val rates = counts.map { case (d, n) =>
+      d -> math.min(1.0, budget * math.pow(n.toDouble, alpha) / z / n)
+    }.toMap
+    stratifiedSample(df, idCol, domainCol, rates, defaultRate = 0.0)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins — the pretraining step that turns a cleaned corpus into
     * near-full context windows. Exact bin packing is inherently serial,

@@ -254,8 +254,60 @@ object CurationQueries {
        |       max(n_tok) AS max_tok
        |FROM b GROUP BY bucket, bin ORDER BY bucket, bin""".stripMargin
 
+  // ---- q65: temperature-scaled domain mixing ---------------------------
+
+  /** Skewed domain fixture: every even doc collapses into one dominant
+    * 'web' domain (~half the corpus), odd docs keep their source —
+    * alpha = 0.5 must upweight the 20 small domains relative to 'web'.
+    * Budget is half the corpus, derived from the data so the query is
+    * scale-free.
+    */
+  def q65TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("domain",
+        when(col("doc_id") % 2 === 0, lit("web")).otherwise(col("source")))
+    val budget = docs.count() / 2
+    val mixed = Curation
+      .temperatureMix(docs, "doc_id", "domain", alpha = 0.5, budget = budget)
+      .groupBy(col("domain").as("m_domain"))
+      .agg(count(lit(1)).as("n_sampled"))
+    docs.groupBy("domain").agg(count(lit(1)).as("n_total"))
+      .join(mixed, col("domain") === col("m_domain"), "left")
+      .select(col("domain"), col("n_total"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy("domain")
+  }
+
+  val q65Oracle: String =
+    """WITH dom AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE source END AS domain
+      |  FROM documents
+      |),
+      |c AS (SELECT domain, count(*) AS n FROM dom GROUP BY domain),
+      |z AS (SELECT sum(pow(n, 0.5)) AS z,
+      |             (SELECT count(*) // 2 FROM documents) AS budget
+      |      FROM c),
+      |r AS (
+      |  SELECT domain, n,
+      |         least(1.0, z.budget * pow(n, 0.5) / z.z / n) AS rate
+      |  FROM c, z
+      |),
+      |f AS (
+      |  SELECT domain,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |           / 65536.0 AS frac
+      |  FROM dom
+      |)
+      |SELECT f.domain, CAST(count(*) AS BIGINT) AS n_total,
+      |       CAST(sum(CASE WHEN frac < rate THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_sampled
+      |FROM f JOIN r ON f.domain = r.domain
+      |GROUP BY f.domain ORDER BY f.domain""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
+    "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
     "q43_vocabulary" -> (q43Vocabulary _),
     "q44_label_centroids" -> (q44LabelCentroids _),
@@ -266,6 +318,7 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q41_hash_split" -> q41Oracle,
+    "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,
     "q43_vocabulary" -> q43Oracle,
     "q44_label_centroids" -> q44Oracle,

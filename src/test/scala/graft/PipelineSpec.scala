@@ -303,6 +303,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(short.count() == 0)
   }
 
+  test("temperature mix flattens the domain distribution, capped at 1") {
+    // one fat domain, two thin: z = sqrt(400) + 2*sqrt(50) ~ 34.14;
+    // thin rate = 250*7.07/34.14/50 ~ 1.04 -> capped, everything kept;
+    // fat rate = 250*20/34.14/400 ~ 0.366 -> downsampled
+    val docs = ((1L to 400L).map(i => (i, "fat")) ++
+      (401L to 450L).map(i => (i, "thin1")) ++
+      (451L to 500L).map(i => (i, "thin2"))).toDF("doc_id", "domain")
+    val out = pipeline.Curation
+      .temperatureMix(docs, "doc_id", "domain", alpha = 0.5, budget = 250)
+    val n = out.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(n("thin1") == 50 && n("thin2") == 50,
+      s"thin domains keep everything under the rate cap: $n")
+    assert(n("fat") > 100 && n("fat") < 200,
+      s"fat domain samples near its 0.366 rate: $n")
+    // deterministic: same rows, not just same counts
+    val again = pipeline.Curation
+      .temperatureMix(docs, "doc_id", "domain", alpha = 0.5, budget = 250)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      again.select("doc_id").as[Long].collect().sorted.toSeq)
+    // alpha = 1 degenerates to uniform proportional sampling: one shared
+    // rate (budget/corpus), so expectations stay proportional to size
+    val prop = pipeline.Curation
+      .temperatureMix(docs, "doc_id", "domain", alpha = 1.0, budget = 250)
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(prop("fat").toDouble / 400 > prop.getOrElse("thin1", 0L).toDouble / 50 - 0.2,
+      s"alpha=1 keeps domains proportional: $prop")
+  }
+
   test("hash split: deterministic, exhaustive, near the requested weights") {
     val docs = Tables.documents(spark, TestSpark.sf)
     val a = pipeline.Curation.hashSplit(docs, "doc_id")
