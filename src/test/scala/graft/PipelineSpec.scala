@@ -281,6 +281,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(ordered == "keep one\nkeep two\nkeep three")
   }
 
+  test("boilerplate reassembly is the identity when nothing is stripped") {
+    // an unreachable threshold strips no lines, so split + anti-join +
+    // ordered reassembly must reconstruct every document byte-for-byte
+    // (the invariant that makes the operator safe to run at any minDf)
+    val docs = PipelineQueries.docsAug(spark, TestSpark.sf)
+      .limit(200)
+      .withColumn("source", (col("doc_id") % 5).cast("string"))
+    val out = pipeline.Boilerplate
+      .stripBoilerplate(docs, "doc_id", "text", "source", minDf = Int.MaxValue)
+    val diff = out.join(docs, Seq("doc_id"))
+      .filter(col("text_clean") =!= col("text"))
+      .count()
+    assert(diff == 0, s"$diff documents were not reconstructed exactly")
+  }
+
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // holds the bench 8-gram at offset 1
