@@ -154,10 +154,21 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame = {
+    // the coarse quantizer: the nCentroids lowest-id vectors as-is, or —
+    // with refineIters > 0 — that same seed pushed through Lloyd rounds
+    // ([[lloydCentroids]]), the k-means-trained IVF of a production index
+    val c0 = corpus.select(
+      col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val centArr =
+      if (refineIters > 0) lloydCentroids(c0, nCentroids, refineIters)
+      else c0.orderBy(col("id")).limit(nCentroids).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    import corpus.sparkSession.implicits._
     val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cid"), asDouble(col(vecCol)).as("centroid")))
+      centArr.toSeq.toDF("cid", "centroid")
+        .select(col("cid"), col("centroid").cast("array<double>")
+          .as("centroid")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     // invert: each corpus vector to its single nearest centroid. The
@@ -168,12 +179,12 @@ object Similarity {
     // then smallest cid (rows pre-sorted cid desc => higher pref wins).
     // Centroid similarities are ROUNDED (like the output sim) so the
     // assignment is reproducible across engines/summation orders.
-    val centRows = cents.orderBy(col("cid").desc).collect()
-    val argmax = array_max(array(centRows.zipWithIndex.map { case (r, i) =>
-      val cvec = array(r.getSeq[Double](1).map(lit): _*)
-      struct(round(dot(col("cv"), cvec), 6).as("csim"), lit(i).as("pref"),
-        lit(r.get(0)).as("cid"))
-    }.toIndexedSeq: _*))
+    val argmax = array_max(array(
+      centArr.sortBy(-_._1).zipWithIndex.map { case ((cid, cv), i) =>
+        val cvec = array(cv.map(lit): _*)
+        struct(round(dot(col("cv"), cvec), 6).as("csim"), lit(i).as("pref"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*))
     val assigned = c.withColumn("cid", argmax.getField("cid"))
     // each query probes its nProbe nearest lists
     val q = queries.select(
@@ -216,6 +227,112 @@ object Similarity {
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("centroid"),
         round(sqrt(sum(col("m") * col("m"))), 4).as("centroid_norm"))
+  }
+
+  /** Lloyd's k-means over the embedding corpus with deterministic
+    * seeding: the `k` lowest-id vectors start the centroid set (the same
+    * seed rule as [[ivfTopK]]'s coarse quantizer), then `iters` rounds of
+    * assign → per-cluster mean. Each round is one corpus scan: assignment
+    * is a pure projection-argmax over centroid literals (no join, no row
+    * inflation, stays in whole-stage codegen) and the mean is a single
+    * map-side-combinable (cid, dim) aggregate — the classic Spark Lloyd
+    * shape, with only k x dim doubles ever crossing the driver. Clusters
+    * that attract no vectors drop out (k shrinks), mirroring the SQL
+    * oracle's GROUP BY semantics.
+    *
+    * Centroid similarities round to 6 decimals and cluster means to 6
+    * decimals per dimension, so assignments and centroids are
+    * bit-reproducible across engines and summation orders.
+    *
+    * The literal-argmax assignment is O(k x dim) expression nodes — the
+    * right trade up to a few hundred centroids (zero joins, whole-stage
+    * codegen). Past that, flip the assignment to a broadcast join against
+    * the centroid table + `max_by` aggregate (the [[labelCentroids]] /
+    * q35-oracle shape); the Lloyd loop and update agg are unchanged.
+    *
+    * Output: (id, cid, sim) — the assignment after `iters` mean updates.
+    */
+  /** The assignment projection: argmax over centroid literals. Rows are
+    * pre-sorted cid desc so on a similarity tie the later (higher pref)
+    * struct — the smaller cid — wins, matching the oracle's
+    * row_number ORDER BY csim DESC, cid.
+    */
+  private def assignToCentroids(
+      df: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val argmax = array_max(array(
+      cents.sortBy(-_._1).zipWithIndex.map { case ((cid, cv), i) =>
+        struct(
+          round(dot(col("v"), array(cv.map(lit): _*)), 6).as("csim"),
+          lit(i).as("pref"), lit(cid).as("cid"))
+      }.toIndexedSeq: _*))
+    df.withColumn("a", argmax)
+      .withColumn("cid", col("a.cid")).withColumn("csim", col("a.csim"))
+      .drop("a")
+  }
+
+  /** Lloyd refinement: seed with the k lowest-id vectors, run `iters`
+    * assign → per-cluster-mean rounds, return the final centroid set.
+    * Expects `c` shaped (id, v array<double>). Only k x dim doubles ever
+    * reach the driver; each round is one corpus scan ending in a
+    * map-side-combinable (cid, dim) aggregate.
+    */
+  private def lloydCentroids(
+      c: DataFrame, k: Int, iters: Int): Array[(Long, Seq[Double])] = {
+    var cents: Array[(Long, Seq[Double])] =
+      c.orderBy(col("id")).limit(k).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    var it = 0
+    while (it < iters) {
+      val perDim = assignToCentroids(c, cents).select(
+          col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(round(avg("x"), 6).as("m"))
+      cents = perDim.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      it += 1
+    }
+    cents
+  }
+
+  def kmeansAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // sim stays at the assignment's 6-decimal rounding: re-rounding a
+    // pre-rounded value to 4 decimals lands on exact .5 boundaries ~1% of
+    // the time, where Spark's BigDecimal HALF_UP and other engines'
+    // multiply-then-round disagree — single rounding is engine-stable
+    assignToCentroids(c, lloydCentroids(c, k, iters)).select(
+      col("id"), col("cid"), col("csim").as("sim"))
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters become the blocking key, near-duplicate cosine pairs are
+    * generated only within a cluster ([[embeddingDupPairs]]), and the
+    * higher id of every pair is marked for removal (greedy keep-lowest-id,
+    * so exactly one representative per duplicate group survives any chain
+    * of pairwise matches). Candidate generation never leaves a cluster —
+    * the whole operator is the cluster assignment plus one blocked
+    * self-join, linear in corpus size for balanced clusterings, with the
+    * degenerate-cluster cap inherited from [[embeddingDupPairs]].
+    *
+    * Output: (id, cid) for every removed vector.
+    */
+  def semanticDupRemovals(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, minSim: Double,
+      maxBlockDocs: Long = 10000): DataFrame = {
+    val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
+    val blocked = corpus.join(
+      asg.select(col("id"), col("cid")),
+      corpus(idCol) === col("id")).drop("id")
+    val pairs = embeddingDupPairs(
+      blocked, idCol, vecCol, "cid", minSim, maxBlockDocs)
+    pairs.select(col("id_b").as("id")).distinct()
+      .join(asg.select("id", "cid"), Seq("id"))
   }
 
   /** Near-duplicate embedding pairs within a blocking key (e.g. a cluster

@@ -167,4 +167,34 @@ object TextAnalysis {
         regexp_replace(text, PiiEmail, "[EMAIL]"),
         PiiPhone, "[PHONE]"),
       PiiIp, "[IP]")
+
+  /** fastText-style hashed linear quality classifier: each token hashes
+    * into one of `buckets` feature slots (hashing trick), the slot's
+    * weight is an md5-derived deterministic stand-in for a trained
+    * coefficient (the env ships no model artifacts; swapping in real
+    * weights is a broadcast-map change, the plan shape is identical), and
+    * the document score is the sigmoid of the mean token weight — the
+    * linear bag-of-features architecture of fastText (Joulin et al. 2017)
+    * and the CCNet/Gopher quality-filter stage.
+    *
+    * Entirely row-local — tokenize, transform, fold, sigmoid — so the
+    * classifier is one projection over the corpus scan: zero shuffles,
+    * zero joins, linear at 100 TB (the HOF lambdas are interpreted, not
+    * codegen'd, but the md5 calls dominate either way; a native
+    * Expression à la [[graft.functions.WinnowFingerprints]] is the
+    * escape hatch if this ever shows up hot). The fold starts at 0.0 and
+    * sums in token order, bit-identical to the oracle's list_reduce.
+    */
+  def hashedLinearScore(
+      text: Column, buckets: Int, seed: String): Column = {
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 14), 16, 10).cast("long") % buckets
+    def weight(b: Column): Column =
+      conv(substring(md5(concat_ws(":", lit(seed), b.cast("string"))),
+        1, 14), 16, 10).cast("long") / lit(math.pow(16, 14)) - 0.5
+    graft.functions.Let.let(
+      transform(tokens(text), t => weight(bucket(t))), ws =>
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(aggregate(ws, lit(0.0), (a, x) => a + x) / size(ws)))), 4))
+  }
 }

@@ -327,6 +327,47 @@ object PipelineQueries {
        |       round(quantile_cont(n_tok, 0.9), 4) AS p90
        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q70: approximate quantiles under an exact error gate ------------
+
+  /** The 100 TB quantile path: `approx_percentile` (Greenwald-Khanna
+    * style mergeable sketch, one map-side-combinable agg — no global
+    * sort) gated against the exact interpolated percentiles. With
+    * accuracy A the sketch guarantees rank error <= 1/A, so each
+    * estimate must land inside the exact value envelope at p +- 3/A —
+    * the same estimate-plus-proven-bound shape as q38's HLL gate. The
+    * oracle states the exact values and the (therefore provable) flags.
+    */
+  def q70ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val eps3 = 0.03 // 3 / accuracy
+    def within(p: Double): org.apache.spark.sql.Column = {
+      val lo = expr(s"percentile(n_tok, ${math.max(0.0, p - eps3)}D)")
+      val hi = expr(s"percentile(n_tok, ${math.min(1.0, p + eps3)}D)")
+      val ap = expr(s"approx_percentile(n_tok, ${p}D, 100)")
+      (ap >= lo && ap <= hi).as(s"ok_p${(p * 100).toInt}")
+    }
+    docs
+      .withColumn("n_tok", TextAnalysis.tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tok, 0.5D)"), 4).as("p50"),
+        round(expr("percentile(n_tok, 0.9D)"), 4).as("p90"),
+        within(0.5), within(0.9))
+      .orderBy("lang")
+  }
+
+  val q70Oracle: String =
+    s"""WITH t AS (
+       |  SELECT lang, len(string_split($normSql, ' ')) AS n_tok
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(quantile_cont(n_tok, 0.5), 4) AS p50,
+       |       round(quantile_cont(n_tok, 0.9), 4) AS p90,
+       |       true AS ok_p50, true AS ok_p90
+       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- q47: SimHash near-dup pairs (banded hamming join) ---------------
 
   /** doc_id % 2 keeps the planted twins together (their offset 1000000
@@ -576,8 +617,42 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Hashed linear quality classifier (fastText-style): one codegen'd
+    * projection — tokenize, hash to feature slot, md5-derived weight,
+    * sigmoid of the mean. The oracle regenerates the same hashing trick
+    * with list_reduce (fold from 0.0 in token order = Spark's aggregate),
+    * so scores are bit-comparable at 4 decimals.
+    */
+  def q68QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        graft.pipeline.TextAnalysis
+          .hashedLinearScore(col("text"), buckets = 4096, seed = "qc")
+          .as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("int"))
+      .orderBy("doc_id")
+
+  val q68Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS toks FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(toks, tk ->
+       |      ('0x' || substr(md5('qc:' ||
+       |         (('0x' || substr(md5(tk), 1, 14))::BIGINT % 4096)::VARCHAR),
+       |         1, 14))::BIGINT / 72057594037927936.0 - 0.5)),
+       |      (a, x) -> a + x) / len(toks) AS z
+       |  FROM t
+       |)
+       |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 4) AS score,
+       |       CAST(round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS INT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cleaning_funnel" -> (q40CleaningFunnel _),
+    "q68_quality_classifier" -> (q68QualityClassifier _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q20_token_stats" -> (q20TokenStats _),
@@ -588,11 +663,13 @@ object PipelineQueries {
     "q25_minhash_lsh_pairs" -> (q25MinhashLsh _),
     "q26_simhash" -> (q26Simhash _),
     "q47_simhash_pairs" -> (q47SimhashPairs _),
-    "q48_length_quantiles" -> (q48LengthQuantiles _)
+    "q48_length_quantiles" -> (q48LengthQuantiles _),
+    "q70_approx_quantiles" -> (q70ApproxQuantiles _)
   )
 
   def oracles: Map[String, String] = Map(
     "q40_cleaning_funnel" -> q40Oracle,
+    "q68_quality_classifier" -> q68Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q20_token_stats" -> q20Oracle,
@@ -603,6 +680,7 @@ object PipelineQueries {
     "q25_minhash_lsh_pairs" -> q25Oracle,
     "q26_simhash" -> q26Oracle,
     "q47_simhash_pairs" -> q47Oracle,
-    "q48_length_quantiles" -> q48Oracle
+    "q48_length_quantiles" -> q48Oracle,
+    "q70_approx_quantiles" -> q70Oracle
   )
 }

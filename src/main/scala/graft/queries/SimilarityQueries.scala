@@ -301,6 +301,143 @@ object SimilarityQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Unrolled Lloyd iterations in SQL, mirroring
+    * [[Similarity.kmeansAssign]] exactly: seed = k lowest-id vectors,
+    * assignment = rounded-dot argmax (row_number tie-broken by cid),
+    * update = per-(cid, dim) avg rounded to 6, empty clusters dropped by
+    * GROUP BY. Expects a CTE named `c(id, v)` in scope; leaves `afinal`
+    * (id, cid, csim, rn) for the caller to project.
+    */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"cents0 AS (SELECT id AS cid, v AS cv FROM c ORDER BY id LIMIT $k)")
+    for (i <- 0 until iters) {
+      sb.append(s""",
+        |a$i AS (
+        |  SELECT c.id, cid,
+        |         row_number() OVER (PARTITION BY c.id
+        |           ORDER BY round(list_dot_product(c.v, cv), 6) DESC, cid)
+        |           AS rn
+        |  FROM c, cents$i),
+        |m$i AS (
+        |  SELECT a.cid, u.i, round(avg(c.v[u.i]), 6) AS m
+        |  FROM c JOIN (SELECT id, cid FROM a$i WHERE rn = 1) a USING (id),
+        |       unnest(range(1, ${dim + 1})) AS u(i)
+        |  GROUP BY a.cid, u.i),
+        |cents${i + 1} AS (
+        |  SELECT cid, list(m ORDER BY i) AS cv FROM m$i GROUP BY cid)"""
+        .stripMargin)
+    }
+    sb.append(s""",
+      |afinal AS (
+      |  SELECT c.id, cid, round(list_dot_product(c.v, cv), 6) AS csim,
+      |         row_number() OVER (PARTITION BY c.id
+      |           ORDER BY round(list_dot_product(c.v, cv), 6) DESC, cid)
+      |           AS rn
+      |  FROM c, cents$iters)""".stripMargin)
+    sb.toString
+  }
+
+  /** Distributed Lloyd's k-means: deterministic seed, two mean updates,
+    * final assignment. The oracle replays every iteration in SQL.
+    */
+  def q66KmeansClusters(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select(col("id").as("vec_id"), col("cid"), col("sim"))
+      .orderBy("vec_id")
+
+  val q66Oracle: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      |),
+      |${kmeansSql(k = 8, iters = 2, dim = 64)}
+      |SELECT id AS vec_id, cid, csim AS sim
+      |FROM afinal WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup over the twin-planted corpus: k-means blocks, within-block
+    * cosine pairs, greedy keep-lowest-id. Output = the removed vectors.
+    */
+  def q67SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDupRemovals(
+        embAug(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 2, minSim = 0.95, maxBlockDocs = 10000)
+      .select(col("id").as("vec_id"), col("cid"))
+      .orderBy("vec_id")
+
+  val q67Oracle: String =
+    s"""WITH $embAugSql,
+      |c AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM emb_aug
+      |),
+      |${kmeansSql(k = 8, iters = 2, dim = 64)},
+      |asg AS (SELECT id, cid FROM afinal WHERE rn = 1),
+      |blocked AS (
+      |  SELECT c.id, c.v, a.cid FROM c JOIN asg a USING (id)
+      |  QUALIFY count(*) OVER (PARTITION BY a.cid) <= 10000
+      |),
+      |pairs AS (
+      |  SELECT b.id AS id_b
+      |  FROM blocked a JOIN blocked b ON a.cid = b.cid AND a.id < b.id
+      |  WHERE round(list_dot_product(a.v, b.v), 4) >= 0.95
+      |)
+      |SELECT DISTINCT p.id_b AS vec_id, a.cid
+      |FROM pairs p JOIN asg a ON a.id = p.id_b
+      |ORDER BY vec_id""".stripMargin
+
+  /** IVF with a k-means-trained coarse quantizer: the production-index
+    * composition ([[Similarity.ivfTopK]] with refineIters > 0 routes the
+    * seed centroids through [[Similarity.kmeansAssign]]'s Lloyd rounds
+    * before building inverted lists). The oracle replays the Lloyd
+    * rounds (same CTEs as q66) and probes against the refined set —
+    * `afinal` IS the corpus-to-list assignment.
+    */
+  def q69AnnIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopK(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 3,
+        nCentroids = 16, nProbe = 4, refineIters = 2)
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q69Oracle: String =
+    s"""WITH c AS (
+      |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+      |),
+      |${kmeansSql(k = 16, iters = 2, dim = 64)},
+      |assigned AS (
+      |  SELECT c.id AS neighbor_id, c.v AS cv, a.cid
+      |  FROM c JOIN (SELECT id, cid FROM afinal WHERE rn = 1) a USING (id)
+      |),
+      |q AS (
+      |  SELECT id AS query_id, v AS qv FROM c WHERE id % 100 = 0
+      |),
+      |probes0 AS (
+      |  SELECT query_id, qv, cid,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(list_dot_product(qv, cv2), 6) DESC, cid) AS pr
+      |  FROM q, (SELECT cid, cv AS cv2 FROM cents2) cc
+      |),
+      |probes AS (SELECT query_id, qv, cid FROM probes0 WHERE pr <= 4),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_dot_product(qv, cv), 4) AS sim
+      |  FROM assigned JOIN probes USING (cid)
+      |  WHERE query_id <> neighbor_id
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, sim, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY query_id, rnk""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -308,7 +445,10 @@ object SimilarityQueries {
     "q30_media_meta" -> (q30MediaMeta _),
     "q31_media_features" -> (q31MediaFeatures _),
     "q35_ann_ivf" -> (q35AnnIvf _),
-    "q45_frame_samples" -> (q45FrameSamples _)
+    "q45_frame_samples" -> (q45FrameSamples _),
+    "q66_kmeans_clusters" -> (q66KmeansClusters _),
+    "q67_semantic_dedup" -> (q67SemanticDedup _),
+    "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -318,6 +458,9 @@ object SimilarityQueries {
     "q30_media_meta" -> q30Oracle,
     "q31_media_features" -> q31Oracle,
     "q35_ann_ivf" -> q35Oracle,
-    "q45_frame_samples" -> q45Oracle
+    "q45_frame_samples" -> q45Oracle,
+    "q66_kmeans_clusters" -> q66Oracle,
+    "q67_semantic_dedup" -> q67Oracle,
+    "q69_ann_ivf_kmeans" -> q69Oracle
   )
 }

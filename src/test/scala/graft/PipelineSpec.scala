@@ -112,6 +112,12 @@ class PipelineSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall") // 4/16 lists probed
+    // the k-means-trained quantizer must clear the same floor
+    val ivfKm = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 3,
+        nCentroids = 16, nProbe = 4, refineIters = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallKm = (exact & ivfKm).size.toDouble / exact.size
+    assert(recallKm >= 0.3, s"refined recall $recallKm")
     // identical twin shares the nearest list with its original
     val embA = SimilarityQueries.embAug(spark, TestSpark.sf)
     val twinTop = Similarity.ivfTopK(embA,
@@ -434,5 +440,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad == 0)
     val langs = scored.select("l").distinct().as[String].collect().toSet
     assert(langs.subsetOf(Set("de", "en", "es", "fr")))
+  }
+
+  test("kmeans: exhaustive assignment, deterministic, twin co-location") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val asg = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val rows = asg.select("id", "cid").as[(Long, Long)].collect()
+    // every vector assigned exactly once, to a surviving cluster
+    assert(rows.length.toLong == emb.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).distinct.length > 1, "clustering must split")
+    // deterministic: a re-run reproduces the identical assignment
+    val rerun = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select("id", "cid").as[(Long, Long)].collect()
+    assert(rerun.sortBy(_._1).sameElements(rows.sortBy(_._1)))
+    // identical twins always co-locate: identical vectors get identical
+    // rounded sims against every centroid, so the argmax cannot diverge
+    val planted = SimilarityQueries.embAug(spark, TestSpark.sf)
+    val m = Similarity.kmeansAssign(planted, "vec_id", "embedding",
+        k = 8, iters = 2)
+      .select("id", "cid").as[(Long, Long)].collect().toMap
+    m.keys.filter(_ >= 1000000).foreach { id =>
+      assert(m(id) == m(id - 1000000),
+        "identical twin must land in the identical cluster")
+    }
+  }
+
+  test("semantic dedup removes every planted twin and keeps all originals") {
+    val planted = SimilarityQueries.embAug(spark, TestSpark.sf)
+    val removed = Similarity.semanticDupRemovals(planted,
+        "vec_id", "embedding", k = 8, iters = 2, minSim = 0.95)
+      .select("id").as[Long].collect().toSet
+    val twins = planted.filter(col("vec_id") >= 1000000)
+      .select("vec_id").as[Long].collect().toSet
+    assert(twins.nonEmpty)
+    // greedy keep-lowest-id: the planted twin (higher id) goes, its
+    // original stays. Exact twins always share a cluster (identical
+    // rounded sims, identical tie-break) so blocking cannot hide them,
+    // and the raw corpus has no 0.95+ pairs (max within-label cosine
+    // ~0.47) so nothing else may be removed.
+    assert(removed == twins,
+      s"missed ${(twins -- removed).take(3)}, extra ${(removed -- twins).take(3)}")
+  }
+
+  test("hashed linear classifier: deterministic, bounded, matches manual md5") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "Gamma!"))
+      .toDF("doc_id", "text")
+    val scored = docs.select(col("doc_id"),
+        TextAnalysis.hashedLinearScore(col("text"), 4096, "qc").as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(scored(1L) == scored(2L), "same text, same score")
+    assert(scored.values.forall(s => s > 0.0 && s < 1.0))
+    // replicate the hashing trick on the driver for one document
+    def h14(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(7).map("%02x".format(_)).mkString,
+      16)
+    val z = Seq("alpha", "beta")
+      .map(t => h14(s"qc:${h14(t) % 4096}") / math.pow(16, 14) - 0.5)
+      .foldLeft(0.0)(_ + _) / 2
+    val expected = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored(1L) == expected, s"got ${scored(1L)}, want $expected")
   }
 }

@@ -192,4 +192,30 @@ class PlanSpec extends AnyFunSuite {
       "benchmark grams must broadcast; the corpus streams once")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("kmeans final assignment is a join-free projection over one scan") {
+    val asg = pipeline.Similarity.kmeansAssign(
+      Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding",
+      k = 8, iters = 1)
+    val p = plan(asg)
+    // centroids enter as literals: no join, no aggregate, no shuffle in
+    // the assignment the corpus-sized pass actually pays for
+    assert(!p.contains("Join"), "assignment must not plan a join")
+    assert(!p.contains("HashAggregate"), "assignment must not aggregate")
+    assert(!p.contains("Exchange"), "assignment must not shuffle")
+  }
+
+  test("hashed linear classifier is one shuffle-free projection over the scan") {
+    val p = plan(Tables.documents(spark, TestSpark.sf).select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      pipeline.TextAnalysis.hashedLinearScore(
+        org.apache.spark.sql.functions.col("text"), 4096, "qc").as("s")))
+    // HOF lambdas are CodegenFallback, so the projection is interpreted —
+    // but it must stay exactly one Project over the parquet scan: no
+    // shuffle, no join, no aggregate
+    assert(!p.contains("Exchange") && !p.contains("Join"))
+    assert(!p.contains("HashAggregate"))
+    // one scan node (formatted explain prints it twice: tree + detail)
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
+  }
 }
