@@ -35,16 +35,31 @@ object Bench {
     // 3.9x run-to-run swings from neighboring queries' garbage, which made
     // regressions indistinguishable from noise
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // Cache-state isolation per rep: cached plans accumulated by earlier
+    // queries/reps poison later ones — the CacheManager dedups identical
+    // plans into shared entries, so a consumer can end up bound to an
+    // entry a neighboring query's unpersist dropped and silently
+    // recompute its whole subtree once per action (measured 6x on the
+    // fleet-planner row, 67.7s in-suite vs 11.0s alone). Every rep starts
+    // from a clean session cache, then re-warms the deliberate shared
+    // scaffolding untimed, so timings measure the operator under test.
+    def isolate(name: String): Unit = {
+      spark.sqlContext.clearCache()
+      queries.ProfileQueries.resetWinnowPairGraph(spark, sfDir)
+      graft.etl.BackupHistoryDerivation.reset(spark, sfDir)
+      try graft.etl.BackupHistoryDerivation.canonicalFrame(spark, sfDir).count()
+      catch { case _: Throwable => () }
+      // q57's contract: clustering is measured on top of a materialized
+      // pair graph (q50 measures the pair generation itself)
+      if (name.startsWith("q57"))
+        queries.ProfileQueries.warmWinnowPairGraph(spark, sfDir)
+    }
     val results = selected.map { case (name, fn) =>
       val times = Seq.newBuilder[Double]
       var ok = true
       var r = 0
       while (r < reps && ok) {
-        // q50 owns the memoized winnow pair graph: reset it so every rep
-        // measures pair generation, not a cache read (the final rep leaves
-        // it materialized for q57, which measures clustering on top)
-        if (name.startsWith("q50"))
-          queries.ProfileQueries.resetWinnowPairGraph(spark, sfDir)
+        isolate(name)
         System.gc()
         Thread.sleep(200)
         val t0 = System.nanoTime()

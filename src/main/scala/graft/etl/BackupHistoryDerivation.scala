@@ -87,6 +87,13 @@ object BackupHistoryDerivation {
       spark.sql(s"WITH $withClauses SELECT * FROM backup_history").cache()
     })
 
+  /** Bench-only: drop the memoized derivation so a caller that just
+    * cleared the session cache can rebuild a live entry instead of
+    * holding a reference whose cache backing is gone.
+    */
+  private[graft] def reset(spark: SparkSession, sfDir: String): Unit =
+    memo.remove((spark, sfDir)).foreach(_.unpersist(blocking = true))
+
   /** derived lowercase name → canonical consolidated-schema name
     * (FIXTURES.md §1); columns absent from the derivation are added as
     * NULL so library code sees the full 19-column schema.

@@ -52,12 +52,27 @@ object EtlRunner {
     val ordered = sources.toSeq.sortBy(_._1)
 
     // phase 1 (parallelizable): extract + materialize. Spark is lazy, so
-    // "extract failure" is only observable at materialization — count()
-    // inside the try is what makes skip-this-server-only work.
+    // "extract failure" is only observable at materialization — the eager
+    // localCheckpoint inside the try is what makes skip-this-server-only
+    // work.
+    //
+    // localCheckpoint, NOT cache: servers pointing at the same source
+    // produce byte-identical extract plans, and the CacheManager dedups
+    // identical plans into one shared entry — so cache/unpersist cycles
+    // across servers and runs (exactly this loop's shape) can leave a
+    // later consumer bound to a dropped entry, silently recomputing the
+    // whole extract once per downstream action (measured: a 6 s append
+    // becoming 108 s). Checkpoint blocks are plan-identity-free, live in
+    // evictable storage memory, and are collected with the RDD reference.
+    // Lineage truncation is safe here: a lost block fails the run, and
+    // the reference driver's retry semantics (re-run the batch) are
+    // exactly what the idempotent dedup-append is designed to absorb.
     def extractOne(server: String, src: MsdbSources) = {
       val wm = watermarks.getOrElse(server, DefaultWatermark)
       try {
-        val batch = ExtractTransform.extract(src, ExtractTransform.rewind(wm)).cache()
+        val batch = ExtractTransform.extract(
+          src, ExtractTransform.rewind(wm), sortOutput = false)
+          .localCheckpoint()
         val n = batch.count()
         Right((batch, n))
       } catch { case e: Exception => Left(e.getClass.getSimpleName) }
@@ -82,17 +97,15 @@ object EtlRunner {
         // extract failed: skip server, keep going (ps:91-95)
         SourceBatchResult(server, 0, 0, None, Some(s"extract failed: $err"))
       case (server, Right((batch, n))) =>
-        try {
-          if (n == 0) {
-            // empty batch: do not advance the watermark (ps:69-71)
-            SourceBatchResult(server, 0, 0, None, None)
-          } else {
-            val newWm = batch.agg(max("backup_finish_date")).head().getTimestamp(0)
-            val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
-            WatermarkStore.advance(spark, watermarkPath, server, newWm)
-            SourceBatchResult(server, n, appended, Some(newWm), None)
-          }
-        } finally batch.unpersist()
+        if (n == 0) {
+          // empty batch: do not advance the watermark (ps:69-71)
+          SourceBatchResult(server, 0, 0, None, None)
+        } else {
+          val newWm = batch.agg(max("backup_finish_date")).head().getTimestamp(0)
+          val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
+          WatermarkStore.advance(spark, watermarkPath, server, newWm)
+          SourceBatchResult(server, n, appended, Some(newWm), None)
+        }
     }
   }
 }

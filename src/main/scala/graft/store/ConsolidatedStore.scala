@@ -47,7 +47,8 @@ object ConsolidatedStore {
     * per-partition offsets via `zipWithIndex` (one extra count job, no
     * single-partition exchange). Ids are contiguous from `base + 1`.
     */
-  def withLogIds(existing: DataFrame, freshBatch: DataFrame): DataFrame = {
+  def withLogIds(existing: DataFrame, freshBatch: DataFrame,
+      batchRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val maxRow = existing.agg(max("LogID")).head()
@@ -56,7 +57,17 @@ object ConsolidatedStore {
     val orderCols = Seq(
       col("backup_finish_date"), col("database_name"), col("last_lsn"),
       col("physical_device_name"))
-    val n = spark.sessionState.conf.numShufflePartitions
+    // partition count follows the batch, not the session default: each
+    // range partition becomes one output file, and a steady incremental
+    // batch shredded into 32 near-empty files costs twice — 32 parquet
+    // writers' worth of column buffers now (driver-sized batches do not
+    // amortize them) and a shard-per-append store for every later scan.
+    // ~250k rows/file keeps a backfill parallel and a trickle compact.
+    val n =
+      if (batchRows < 0) spark.sessionState.conf.numShufflePartitions
+      else math.max(1L, math.min(
+        spark.sessionState.conf.numShufflePartitions.toLong,
+        (batchRows + 249999) / 250000)).toInt
     val sorted = freshBatch
       .repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -98,7 +109,7 @@ object ConsolidatedStore {
     try {
       val n = fresh.count()
       if (n > 0) {
-        val assigned = withLogIds(existing, fresh)
+        val assigned = withLogIds(existing, fresh, batchRows = n)
         val laidOut =
           if (sortWithin.isEmpty) assigned
           else assigned.sortWithinPartitions(sortWithin.map(col): _*)
