@@ -37,6 +37,20 @@ class EtlSpec extends AnyFunSuite {
     bh.unpersist()
   }
 
+  test("append writes one compact file per small batch, not one per core") {
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    ConsolidatedStore.append(spark, path, bh)
+    // the batch is far below the ~250k rows/file target, so the range
+    // partitioning must collapse to a single output file — 32 near-empty
+    // parquet files per trickle append would shard the store and pay 32
+    // writers' worth of column buffers
+    val files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 data file for a small batch, got $files")
+  }
+
   test("LogID assignment is distributed and follows the deterministic order") {
     val bh = graft.etl.BackupHistoryDerivation
       .canonicalFrame(spark, TestSpark.sf).drop("LogID")
