@@ -49,10 +49,19 @@ object ConsolidatedStore {
     */
   def withLogIds(existing: DataFrame, freshBatch: DataFrame,
       batchRows: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val maxRow = existing.agg(max("LogID")).head()
     val base = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    withLogIdsFrom(base, freshBatch, batchRows)
+  }
+
+  /** [[withLogIds]] with a known id base — the sidecar-metadata append
+    * path reads the base from [[StoreMeta]] instead of aggregating over
+    * the whole table.
+    */
+  def withLogIdsFrom(base: Long, freshBatch: DataFrame,
+      batchRows: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = freshBatch.sparkSession
     val orderCols = Seq(
       col("backup_finish_date"), col("database_name"), col("last_lsn"),
@@ -104,6 +113,85 @@ object ConsolidatedStore {
   def append(spark: SparkSession, path: String, incoming: DataFrame,
       partitionBy: Seq[String] = Nil,
       sortWithin: Seq[String] = Seq("database_name", "last_lsn")): Long = {
+    // hive-partitioned layouts keep key columns in directory names, which
+    // the sidecar's per-file scans cannot reconstruct — full-scan path.
+    val meta =
+      if (partitionBy.nonEmpty) None else StoreMeta.load(spark, path)
+    meta match {
+      case Some(loaded) => appendPruned(spark, path, incoming, sortWithin, loaded)
+      case None => appendFullScan(spark, path, incoming, partitionBy, sortWithin)
+    }
+  }
+
+  /** O(batch + overlap) append: the anti-join's existing side is pruned
+    * by [[StoreMeta]]'s per-file zone maps to files whose dedup-key
+    * ranges can intersect the batch, and the LogID base comes from the
+    * sidecar instead of a whole-table aggregate. A trickle append onto a
+    * huge store touches only the few files sharing its LSN window — the
+    * reference's unique index (sql:33) behaving like an index.
+    *
+    * Appends to one store are assumed serialized (as in [[graft.etl.EtlRunner]],
+    * which serializes its load phase) — same contract the read-modify-
+    * append full-scan path already had.
+    */
+  private def appendPruned(
+      spark: SparkSession, path: String, incoming: DataFrame,
+      sortWithin: Seq[String], loaded: StoreMeta.Loaded): Long = {
+    val deduped = incoming.dropDuplicates(dedupKey).cache()
+    try {
+      val r = deduped.agg(
+        count(lit(1)),
+        min("last_lsn"), max("last_lsn"),
+        min("first_lsn"), max("first_lsn"),
+        min("database_name"), max("database_name"),
+        min("physical_device_name"), max("physical_device_name")).head()
+      if (r.getLong(0) == 0L) {
+        if (loaded.dirty) StoreMeta.save(spark, path, loaded.files)
+        return 0L
+      }
+      val ranges = KeyRanges(
+        r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
+        r.getString(5), r.getString(6),
+        if (r.isNullAt(7)) null else r.getString(7),
+        if (r.isNullAt(8)) null else r.getString(8))
+      val overlapping = StoreMeta.overlapping(loaded.files, ranges)
+      // no overlapping files → every deduped row is fresh; reuse the
+      // already-cached batch instead of stacking a second cache on it
+      val fresh =
+        if (overlapping.isEmpty) deduped
+        else {
+          val existingKeys = spark.read.schema(Schemas.consolidated)
+            .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+            .select(dedupKey.map(col): _*)
+          deduped.join(existingKeys, dedupKey, "left_anti").cache()
+        }
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          val before = loaded.files.map(_.file).toSet
+          val assigned = withLogIdsFrom(loaded.maxLogId, fresh, batchRows = n)
+          val laidOut =
+            if (sortWithin.isEmpty) assigned
+            else assigned.sortWithinPartitions(sortWithin.map(col): _*)
+          laidOut.write.mode(SaveMode.Append).parquet(path)
+          val newFiles = StoreMeta.listDataFiles(spark, path)
+            .getOrElse(Nil).filterNot(before)
+          StoreMeta.save(spark, path,
+            loaded.files ++ StoreMeta.scanStats(spark, path, newFiles))
+        } else if (loaded.dirty) {
+          StoreMeta.save(spark, path, loaded.files)
+        }
+        n
+      } finally if (fresh ne deduped) fresh.unpersist()
+    } finally deduped.unpersist()
+  }
+
+  /** The pre-sidecar shape — whole-table key scan + whole-table max —
+    * kept for hive-partitioned stores.
+    */
+  private def appendFullScan(
+      spark: SparkSession, path: String, incoming: DataFrame,
+      partitionBy: Seq[String], sortWithin: Seq[String]): Long = {
     val existing = read(spark, path)
     val fresh = mergeNew(existing, incoming).cache()
     try {

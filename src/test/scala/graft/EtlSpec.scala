@@ -99,6 +99,65 @@ class EtlSpec extends AnyFunSuite {
     assert(rows == rows.sortBy(r => (r._1, r._2)), "file not locally sorted")
   }
 
+  test("append prunes the anti-join to files overlapping the batch's key ranges") {
+    import graft.store.{KeyRanges, StoreMeta}
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID").cache()
+    // three appends of disjoint last_lsn tertiles → three files with
+    // disjoint zone maps on the leading dedup-key column
+    val cuts = bh.stat.approxQuantile("last_lsn", Array(0.34, 0.67), 0.001)
+    val t1 = bh.filter(col("last_lsn") < cuts(0))
+    val t2 = bh.filter(col("last_lsn") >= cuts(0) && col("last_lsn") < cuts(1))
+    val t3 = bh.filter(col("last_lsn") >= cuts(1))
+    Seq(t1, t2, t3).foreach(t => ConsolidatedStore.append(spark, path, t))
+    val loaded = StoreMeta.load(spark, path).get
+    assert(loaded.files.size == 3 && !loaded.dirty)
+
+    // a batch drawn from the middle tertile must consult ONLY its file:
+    // this is the O(batch + overlap) contract — a trickle append onto a
+    // many-file store reads just the files sharing its LSN window
+    val r = t2.agg(
+      min("last_lsn"), max("last_lsn"), min("first_lsn"), max("first_lsn"),
+      min("database_name"), max("database_name"),
+      min("physical_device_name"), max("physical_device_name")).head()
+    val ranges = KeyRanges(
+      r.getDecimal(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3),
+      r.getString(4), r.getString(5), r.getString(6), r.getString(7))
+    val overlapping = StoreMeta.overlapping(loaded.files, ranges)
+    assert(overlapping.size == 1,
+      s"expected 1 overlapping file, got ${overlapping.map(_.file)}")
+
+    // and the pruned anti-join still upholds the dedup contract
+    assert(ConsolidatedStore.append(spark, path, t2) == 0)
+    val total = bh.count()
+    assert(spark.read.parquet(path).count() == total)
+    assert(spark.read.parquet(path).select("LogID").distinct().count() == total)
+    bh.unpersist()
+  }
+
+  test("sidecar is a cache: compaction invalidates it, the next append self-heals") {
+    import graft.store.StoreMeta
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID").cache()
+    val total = bh.count()
+    ConsolidatedStore.append(spark, path, bh.limit(150))
+    ConsolidatedStore.append(spark, path, bh)
+    // compaction rewrites the directory and drops the sidecar with it
+    graft.maintenance.Compaction.compact(spark, path)
+    assert(!new java.io.File(s"$path/${StoreMeta.dirName}").exists())
+    // next append scans the unknown files once, rebuilds the sidecar,
+    // and still dedups correctly with the recovered LogID base
+    assert(ConsolidatedStore.append(spark, path, bh) == 0)
+    assert(new java.io.File(s"$path/${StoreMeta.dirName}").exists())
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == total)
+    assert(stored.agg(max("LogID")).head().getLong(0) == total,
+      "LogID base recovered from healed sidecar")
+    bh.unpersist()
+  }
+
   test("etl run: first pass loads, second pass is a no-op that keeps watermarks") {
     val cons = tmp(); val wms = tmp()
     val sources = Map("srcA" -> MsdbDerivation.sources(spark, TestSpark.sf))
