@@ -2,8 +2,8 @@ package graft.etl
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.max
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit, max}
 
 import graft.store.{ConsolidatedStore, WatermarkStore}
 
@@ -73,8 +73,11 @@ object EtlRunner {
         val batch = ExtractTransform.extract(
           src, ExtractTransform.rewind(wm), sortOutput = false)
           .localCheckpoint()
-        val n = batch.count()
-        Right((batch, n))
+        // one pass for both the row count and the watermark candidate —
+        // these were two separate actions (count, then max) per batch
+        val r = batch.agg(count(lit(1)), max("backup_finish_date")).head()
+        Right((batch, r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getTimestamp(1))))
       } catch { case e: Exception => Left(e.getClass.getSimpleName) }
     }
     val extracted =
@@ -96,16 +99,33 @@ object EtlRunner {
       case (server, Left(err)) =>
         // extract failed: skip server, keep going (ps:91-95)
         SourceBatchResult(server, 0, 0, None, Some(s"extract failed: $err"))
-      case (server, Right((batch, n))) =>
-        if (n == 0) {
-          // empty batch: do not advance the watermark (ps:69-71)
-          SourceBatchResult(server, 0, 0, None, None)
-        } else {
-          val newWm = batch.agg(max("backup_finish_date")).head().getTimestamp(0)
-          val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
-          WatermarkStore.advance(spark, watermarkPath, server, newWm)
-          SourceBatchResult(server, n, appended, Some(newWm), None)
-        }
+      case (server, Right((batch, n, wmCandidate))) =>
+        try {
+          if (n == 0) {
+            // empty batch: do not advance the watermark (ps:69-71)
+            SourceBatchResult(server, 0, 0, None, None)
+          } else {
+            val newWm = wmCandidate.get
+            val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
+            WatermarkStore.advance(spark, watermarkPath, server, newWm)
+            SourceBatchResult(server, n, appended, Some(newWm), None)
+          }
+        } finally release(batch)
     }
   }
+
+  /** Free a localCheckpoint'd batch's storage blocks as soon as its load
+    * is done: a long-lived driver looping over many servers/cycles would
+    * otherwise hold every batch's blocks until the RDD reference happens
+    * to be GC'd (ContextCleaner timing), accumulating storage memory
+    * between collections.
+    */
+  private def release(batch: DataFrame): Unit =
+    try {
+      batch.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
 }

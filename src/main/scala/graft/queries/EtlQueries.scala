@@ -180,8 +180,10 @@ object EtlQueries {
     val src = MsdbDerivation.sources(spark, dir)
     val servers = Map("srvA" -> src, "srvB" -> src)
 
-    val run1 = EtlRunner.runOnce(spark, servers, store, wmPath)
-    val run2 = EtlRunner.runOnce(spark, servers, store, wmPath)
+    // parallelism = 2 overlaps the two servers' extracts (the loads stay
+    // serialized) — the concurrent driver path the runner supports
+    val run1 = EtlRunner.runOnce(spark, servers, store, wmPath, parallelism = 2)
+    val run2 = EtlRunner.runOnce(spark, servers, store, wmPath, parallelism = 2)
 
     val stored = ConsolidatedStore.read(spark, store)
     val nStore = stored.count()
