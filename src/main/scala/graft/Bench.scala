@@ -47,8 +47,12 @@ object Bench {
       spark.sqlContext.clearCache()
       queries.ProfileQueries.resetWinnowPairGraph(spark, sfDir)
       graft.etl.BackupHistoryDerivation.reset(spark, sfDir)
+      // untimed rewarm of the shared derivation: a failure here must be
+      // VISIBLE — swallowed, it resurfaces as a timed cold rebuild inside
+      // whichever query first touches the derivation, skewing that row
       try graft.etl.BackupHistoryDerivation.canonicalFrame(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up for $name failed: $e") }
       // q57's contract: clustering is measured on top of a materialized
       // pair graph (q50 measures the pair generation itself)
       if (name.startsWith("q57"))
@@ -70,17 +74,24 @@ object Bench {
       }
       val sorted = times.result().sorted
       val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
-      (name, median, ok)
+      (name, sorted, median, ok)
     }
     // a failed query reports -1, never a normal-looking wall time
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, _, v, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    // min/median/max per query: the medians-only artifact could not
+    // distinguish uniformly-cold reps from warm-state flattery (the
+    // round-4 q39-in-suite-vs-alone discrepancy) — three numbers can
+    val stats = results.collect { case (k, ts, med, true) if ts.nonEmpty =>
+      "\"" + k + "\":" +
+        f"""{"min":${ts.head}%.3f,"med":$med%.3f,"max":${ts.last}%.3f}"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    val total = results.filter(_._4).map(_._3).sum
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errors,"sf":"$sfDir"}"""
     // stdout goes through sbt's [info]-prefixed logger, which breaks the
     // driver's JSON parse — the file is the machine-readable channel
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
