@@ -246,29 +246,68 @@ object Similarity {
     *
     * The literal-argmax assignment is O(k x dim) expression nodes — the
     * right trade up to a few hundred centroids (zero joins, whole-stage
-    * codegen). Past that, flip the assignment to a broadcast join against
-    * the centroid table + `max_by` aggregate (the [[labelCentroids]] /
-    * q35-oracle shape); the Lloyd loop and update agg are unchanged.
+    * codegen). Past [[LiteralAssignMaxK]] the assignment automatically
+    * flips to a broadcast join against the centroid table + `max_by`
+    * aggregate (same semantics and tie-break, tested equivalent in
+    * PipelineSpec); the Lloyd loop and update agg are unchanged.
     *
     * Output: (id, cid, sim) — the assignment after `iters` mean updates.
     */
-  /** The assignment projection: argmax over centroid literals. Rows are
-    * pre-sorted cid desc so on a similarity tie the later (higher pref)
-    * struct — the smaller cid — wins, matching the oracle's
-    * row_number ORDER BY csim DESC, cid.
+  /** Above this k, centroid assignment switches from the literal-argmax
+    * projection to the broadcast-join shape: the literal form embeds
+    * k x dim constants into one generated method, and codegen methods hit
+    * the JVM's 64 KB bytecode ceiling somewhere past a few hundred
+    * centroids x typical dims — falling back to interpreted evaluation
+    * (or failing) exactly when k gets production-sized (SemDeDup runs
+    * 10^3-10^5 clusters).
+    */
+  val LiteralAssignMaxK: Int = 256
+
+  /** The assignment step: each (id, v) row to its nearest centroid,
+    * appending (cid, csim). Tie-break everywhere: highest csim, then
+    * smallest cid — matching the oracle's row_number ORDER BY csim DESC,
+    * cid.
+    *
+    * Two physically different, semantically identical shapes:
+    *  - k <= maxLiteralK: argmax over centroid LITERALS — a pure
+    *    projection, no join, no row inflation, whole-stage codegen. Rows
+    *    are pre-sorted cid desc so on a similarity tie the later (higher
+    *    pref) struct — the smaller cid — wins.
+    *  - k > maxLiteralK: broadcast the centroid table, inflate x k,
+    *    map-side-combine a max_by per id (`first(v)` rides along, every
+    *    duplicate is identical) — one shuffle on id, no codegen ceiling.
     */
   private def assignToCentroids(
-      df: DataFrame, cents: Array[(Long, Seq[Double])]): DataFrame = {
-    val argmax = array_max(array(
-      cents.sortBy(-_._1).zipWithIndex.map { case ((cid, cv), i) =>
-        struct(
-          round(dot(col("v"), array(cv.map(lit): _*)), 6).as("csim"),
-          lit(i).as("pref"), lit(cid).as("cid"))
-      }.toIndexedSeq: _*))
-    df.withColumn("a", argmax)
-      .withColumn("cid", col("a.cid")).withColumn("csim", col("a.csim"))
-      .drop("a")
-  }
+      df: DataFrame, cents: Array[(Long, Seq[Double])],
+      maxLiteralK: Int = LiteralAssignMaxK): DataFrame =
+    if (cents.length <= maxLiteralK) {
+      val argmax = array_max(array(
+        cents.sortBy(-_._1).zipWithIndex.map { case ((cid, cv), i) =>
+          struct(
+            round(dot(col("v"), array(cv.map(lit): _*)), 6).as("csim"),
+            lit(i).as("pref"), lit(cid).as("cid"))
+        }.toIndexedSeq: _*))
+      df.withColumn("a", argmax)
+        .withColumn("cid", col("a.cid")).withColumn("csim", col("a.csim"))
+        .drop("a")
+    } else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val centDf = broadcast(
+        cents.toSeq.toDF("__c_cid", "__c_v")
+          .select(col("__c_cid"), col("__c_v").cast("array<double>").as("__c_v")))
+      df.crossJoin(centDf)
+        .withColumn("__c_sim", round(dot(col("v"), col("__c_v")), 6))
+        .groupBy("id")
+        .agg(
+          first("v").as("v"),
+          max_by(
+            struct(col("__c_cid").as("cid"), col("__c_sim").as("csim")),
+            struct(col("__c_sim"), -col("__c_cid"))).as("__best"))
+        .select(
+          col("id"), col("v"),
+          col("__best.cid").as("cid"), col("__best.csim").as("csim"))
+    }
 
   /** Lloyd refinement: seed with the k lowest-id vectors, run `iters`
     * assign → per-cluster-mean rounds, return the final centroid set.
@@ -277,13 +316,14 @@ object Similarity {
     * map-side-combinable (cid, dim) aggregate.
     */
   private def lloydCentroids(
-      c: DataFrame, k: Int, iters: Int): Array[(Long, Seq[Double])] = {
+      c: DataFrame, k: Int, iters: Int,
+      maxLiteralK: Int = LiteralAssignMaxK): Array[(Long, Seq[Double])] = {
     var cents: Array[(Long, Seq[Double])] =
       c.orderBy(col("id")).limit(k).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
     var it = 0
     while (it < iters) {
-      val perDim = assignToCentroids(c, cents).select(
+      val perDim = assignToCentroids(c, cents, maxLiteralK).select(
           col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos").agg(round(avg("x"), 6).as("m"))
       cents = perDim.groupBy("cid")
@@ -299,25 +339,30 @@ object Similarity {
 
   def kmeansAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int,
+      maxLiteralK: Int = LiteralAssignMaxK): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     // sim stays at the assignment's 6-decimal rounding: re-rounding a
     // pre-rounded value to 4 decimals lands on exact .5 boundaries ~1% of
     // the time, where Spark's BigDecimal HALF_UP and other engines'
     // multiply-then-round disagree — single rounding is engine-stable
-    assignToCentroids(c, lloydCentroids(c, k, iters)).select(
-      col("id"), col("cid"), col("csim").as("sim"))
+    assignToCentroids(c, lloydCentroids(c, k, iters, maxLiteralK), maxLiteralK)
+      .select(col("id"), col("cid"), col("csim").as("sim"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     * clusters become the blocking key, near-duplicate cosine pairs are
-    * generated only within a cluster ([[embeddingDupPairs]]), and the
-    * higher id of every pair is marked for removal (greedy keep-lowest-id,
-    * so exactly one representative per duplicate group survives any chain
-    * of pairwise matches). Candidate generation never leaves a cluster —
-    * the whole operator is the cluster assignment plus one blocked
-    * self-join, linear in corpus size for balanced clusterings, with the
-    * degenerate-cluster cap inherited from [[embeddingDupPairs]].
+    * generated only within a cluster ([[embeddingDupPairs]]), and any
+    * vector that is the HIGHER id of at least one qualifying pair is
+    * removed. For transitive duplicate groups this keeps exactly the
+    * lowest id; for non-transitive chains it can remove more than a
+    * greedy sweep would (pairs (1,3),(3,5) remove both 3 and 5, where
+    * greedy keep-lowest retains 5) — the cheaper rule is the point: it
+    * stays one distinct over the pair list, no iterative sweep.
+    * Candidate generation never leaves a cluster — the whole operator is
+    * the cluster assignment plus one blocked self-join, linear in corpus
+    * size for balanced clusterings, with the degenerate-cluster cap
+    * inherited from [[embeddingDupPairs]].
     *
     * Output: (id, cid) for every removed vector.
     */
@@ -325,14 +370,19 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, minSim: Double,
       maxBlockDocs: Long = 10000): DataFrame = {
+    // assignment columns live under reserved names while joined against
+    // the caller's corpus: a corpus whose idCol is literally "id" (or
+    // that carries its own "id"/"cid") would otherwise make these joins
+    // ambiguous
     val asg = kmeansAssign(corpus, idCol, vecCol, k, iters)
-    val blocked = corpus.join(
-      asg.select(col("id"), col("cid")),
-      corpus(idCol) === col("id")).drop("id")
+      .select(col("id").as("__sdd_id"), col("cid").as("__sdd_cid"))
+    val blocked = corpus.join(asg, corpus(idCol) === col("__sdd_id"))
+      .drop("__sdd_id")
     val pairs = embeddingDupPairs(
-      blocked, idCol, vecCol, "cid", minSim, maxBlockDocs)
-    pairs.select(col("id_b").as("id")).distinct()
-      .join(asg.select("id", "cid"), Seq("id"))
+      blocked, idCol, vecCol, "__sdd_cid", minSim, maxBlockDocs)
+    pairs.select(col("id_b").as("__sdd_rm")).distinct()
+      .join(asg, col("__sdd_rm") === col("__sdd_id"))
+      .select(col("__sdd_id").as("id"), col("__sdd_cid").as("cid"))
   }
 
   /** Near-duplicate embedding pairs within a blocking key (e.g. a cluster

@@ -468,6 +468,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans large-k: broadcast-join assignment matches the literal argmax") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    // identical k forced through both physical shapes must agree exactly
+    // (same rounded sims, same csim-desc/cid-asc tie-break)
+    val viaLiteral = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxLiteralK = Int.MaxValue)
+      .select("id", "cid", "sim").as[(Long, Long, Double)].collect().sortBy(_._1)
+    val viaJoin = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+        k = 8, iters = 2, maxLiteralK = 0)
+      .select("id", "cid", "sim").as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaJoin.sameElements(viaLiteral))
+
+    // production-sized k routes through the join path by default
+    // (k > LiteralAssignMaxK), clear of the codegen 64 KB method ceiling
+    // the literal form would hit
+    assert(Similarity.LiteralAssignMaxK < 512)
+    val big = (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 31 + d * 7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Similarity.kmeansAssign(big, "vec_id", "embedding",
+        k = 512, iters = 1)
+      .select("id", "cid").as[(Long, Long)].collect()
+    assert(rows.length == 600, "every vector assigned")
+    assert(rows.map(_._1).distinct.length == 600, "assigned exactly once")
+    assert(rows.map(_._2).distinct.length > 100, "large-k split must hold")
+  }
+
   test("semantic dedup removes every planted twin and keeps all originals") {
     val planted = SimilarityQueries.embAug(spark, TestSpark.sf)
     val removed = Similarity.semanticDupRemovals(planted,
