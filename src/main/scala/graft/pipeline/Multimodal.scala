@@ -30,10 +30,12 @@ final case class MediaFeatures(
   * frame sampling. The Spark side — binary columns, typed Datasets,
   * mapPartitions batch shape (the JVM analog of a vectorized pandas UDF)
   * — is real and tested. Image payloads get a REAL decode via the JDK's
-  * [[ImageCodec]] (PNG/BMP/GIF/JPEG, value-level spec in MultimodalSpec);
-  * audio/video codecs are not available in this environment, so those
-  * payloads take [[decodeStub]], which derives deterministic features
-  * from the raw bytes and marks where a JNI/FFI decoder would slot in.
+  * [[ImageCodec]] (PNG/BMP/GIF/JPEG) and audio payloads via the JDK's
+  * [[AudioCodec]] (16-bit PCM WAV) — both value-level-tested in
+  * MultimodalSpec and oracle-checked; video codecs (and compressed audio)
+  * are not available in this environment, so those payloads take
+  * [[decodeStub]], which derives deterministic features from the raw
+  * bytes and marks where a JNI/FFI decoder would slot in.
   */
 object Multimodal {
 
@@ -70,19 +72,27 @@ object Multimodal {
       nFrames(r), hist.map(_ / total))
   }
 
-  /** Real decode for image records: payloads that parse as an encoded
-    * image (PNG/BMP/GIF/JPEG via the JDK's [[ImageCodec]]) yield true
-    * pixel-derived features — decoder dimensions, mean luma, luma
-    * histogram; everything else (audio/video, corrupt bytes, and the
-    * synthetic text-byte fixtures) falls back to [[decodeStub]].
+  /** Real decode for image and audio records: image payloads that parse
+    * as PNG/BMP/GIF/JPEG (JDK [[ImageCodec]]) yield pixel-derived
+    * features — mean luma + luma histogram; audio payloads that parse as
+    * 16-bit PCM WAV (JDK [[AudioCodec]]) yield sample-derived features —
+    * mean absolute amplitude + amplitude histogram. Everything else
+    * (video, compressed audio, corrupt bytes, and the synthetic text-byte
+    * fixtures) falls back to [[decodeStub]].
     */
-  def decodeRecord(r: MediaRecord): MediaFeatures =
-    (if (r.media_type == "image") ImageCodec.decode(r.payload) else None)
-      .map { d =>
-        MediaFeatures(r.media_id, r.media_type, r.payload.length,
-          d.lumaMean, nFrames(r), d.lumaHist)
-      }
-      .getOrElse(decodeStub(r))
+  def decodeRecord(r: MediaRecord): MediaFeatures = r.media_type match {
+    case "image" =>
+      ImageCodec.decode(r.payload)
+        .map(d => MediaFeatures(r.media_id, r.media_type, r.payload.length,
+          d.lumaMean, nFrames(r), d.lumaHist))
+        .getOrElse(decodeStub(r))
+    case "audio" =>
+      AudioCodec.decode(r.payload)
+        .map(d => MediaFeatures(r.media_id, r.media_type, r.payload.length,
+          d.ampMean, nFrames(r), d.ampHist))
+        .getOrElse(decodeStub(r))
+    case _ => decodeStub(r)
+  }
 
   /** Frame count a sampler would extract: one frame per second of video,
     * 1 for stills.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{Multimodal, Similarity}
+import graft.pipeline.{AudioCodec, MediaRecord, Multimodal, Similarity}
 
 /** Oracle-checked similarity-search and multimodal queries over the
   * `embeddings` and `documents` tables. The embedding vectors are
@@ -243,6 +243,72 @@ object SimilarityQueries {
       |FROM documents WHERE doc_id % 13 = 0
       |ORDER BY media_id""".stripMargin
 
+  /** REAL audio decode through the same mapPartitions boundary as the
+    * image path: deterministic 16-bit PCM samples (pure integer
+    * arithmetic on (doc_id, i)) are wrapped in a hand-rolled RIFF/WAVE
+    * container, decoded back through the JDK's `javax.sound.sampled`
+    * parser ([[AudioCodec]]), and summarized. The oracle regenerates the
+    * PCM from the same formula — decode(encode(pcm)) must reproduce it
+    * exactly, so a wrong data offset, byte order, or sign convention in
+    * the decode path breaks the match.
+    *
+    * The oracle-facing projection de-normalizes the float features back
+    * to EXACT integers (amplitude sum, per-bucket counts): histogram
+    * fractions like count/800 terminate on a 5th decimal '5', where
+    * float32 representation error makes cross-engine rounding a coin
+    * flip — integers have no such boundary.
+    */
+  def q71WavFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val n = (800 + (id % 5) * 100).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort
+      }
+      MediaRecord(id, "audio", 0, 0, 0, AudioCodec.encodePcm16Wav(samples, 8000))
+    }.toDF()
+    val total = ((col("n_bytes") - 44) / 2).cast("bigint")
+    val counts = (0 until 8).map(i =>
+      round(element_at(col("feature"), i + 1).cast("double") * total)
+        .cast("bigint").as(s"c$i"))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(Seq(
+        col("media_id"),
+        col("n_bytes").cast("bigint").as("n_bytes"),
+        total.as("n_samples"),
+        round(col("byte_mean") * total).cast("bigint").as("amp_sum")) ++ counts: _*)
+      .orderBy("media_id")
+  }
+
+  val q71Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(800 + (doc_id % 5) * 100 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 17 = 0
+      |),
+      |s AS (
+      |  SELECT p.doc_id, p.n,
+      |         ((p.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS v
+      |  FROM p, generate_series(0, 1199) AS t(i)
+      |  WHERE t.i < p.n
+      |)
+      |SELECT doc_id AS media_id,
+      |       CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+      |       n AS n_samples,
+      |       CAST(sum(abs(v)) AS BIGINT) AS amp_sum,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+      |       CAST(sum(CASE WHEN least(7, abs(v) // 4096) = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+      |FROM s GROUP BY doc_id, n
+      |ORDER BY media_id""".stripMargin
+
   /** IVF-bucketed approximate top-k. Assignment/probe ranking rounds
     * centroid similarities to 6 decimals (and output sims to 4), making
     * the whole operator engine-reproducible — the oracle re-runs the
@@ -446,6 +512,7 @@ object SimilarityQueries {
     "q31_media_features" -> (q31MediaFeatures _),
     "q35_ann_ivf" -> (q35AnnIvf _),
     "q45_frame_samples" -> (q45FrameSamples _),
+    "q71_wav_features" -> (q71WavFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
     "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _)
@@ -459,6 +526,7 @@ object SimilarityQueries {
     "q31_media_features" -> q31Oracle,
     "q35_ann_ivf" -> q35Oracle,
     "q45_frame_samples" -> q45Oracle,
+    "q71_wav_features" -> q71Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
     "q69_ann_ivf_kmeans" -> q69Oracle

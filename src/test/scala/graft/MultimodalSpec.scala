@@ -66,6 +66,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("WAV decode recovers exact samples of known PCM") {
+    import graft.pipeline.AudioCodec
+    // known amplitudes: 0 -> bucket 0, 4096 -> 1, -8192 -> 2, 32767 -> 7
+    val samples = Array[Short](0, 4096, -8192, 32767)
+    val d = AudioCodec.decode(AudioCodec.encodePcm16Wav(samples, 8000)).get
+    assert(d.sampleRate == 8000f && d.channels == 1 && d.nSamples == 4)
+    assert(d.ampMean == (0 + 4096 + 8192 + 32767) / 4.0)
+    assert(d.ampHist(0) == 0.25f && d.ampHist(1) == 0.25f &&
+      d.ampHist(2) == 0.25f && d.ampHist(7) == 0.25f)
+
+    // Short.MinValue: abs = 32768, bucket capped at 7 (not out of range)
+    val edge = AudioCodec.decode(
+      AudioCodec.encodePcm16Wav(Array[Short](Short.MinValue), 44100)).get
+    assert(edge.ampMean == 32768.0 && edge.ampHist(7) == 1.0f)
+
+    // garbage and non-WAV payloads are None
+    assert(AudioCodec.decode("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
+  }
+
+  test("extractFeatures takes the real audio path for WAV payloads") {
+    import spark.implicits._
+    import graft.pipeline.AudioCodec
+    val wav = AudioCodec.encodePcm16Wav(Array[Short](100, -200, 300), 8000)
+    val media = Seq(
+      MediaRecord(1L, "audio", 0, 0, 0, wav),
+      MediaRecord(2L, "audio", 0, 0, 0, "plain text".getBytes("UTF-8")),
+      MediaRecord(3L, "video", 0, 0, 3000, wav) // video: stub even for valid WAV
+    ).toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).byte_mean == (100 + 200 + 300) / 3.0)
+    assert(feats(1L).feature(0) == 1.0f, "all three samples in bucket 0")
+    for (id <- Seq(2L, 3L)) {
+      val rec = media.as[MediaRecord].filter(_.media_id == id).head()
+      val stub = Multimodal.decodeStub(rec)
+      assert(feats(id).byte_mean == stub.byte_mean &&
+        feats(id).feature.sameElements(stub.feature),
+        s"record $id diverged from stub")
+    }
+  }
+
   test("extractFeatures takes the real path for images, stub otherwise") {
     import spark.implicits._
     val png = encode(flat(4, 4, 0xffffff), "png")
