@@ -46,6 +46,23 @@ class PlanSpec extends AnyFunSuite {
       p.contains("windowspecdefinition(database_name"), "partitioned window")
   }
 
+  test("fleet planner: phase bases are materialized, not re-derived per consumer") {
+    val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+    val planned = graft.script.FleetRestorePlanner.planAllWithFallback(
+      bh, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    val p = plan(planned)
+    // the full/diff phase bases run their rank window exactly once,
+    // eagerly, behind a localCheckpoint when the plan is BUILT — the
+    // consuming union must contain ZERO dense_rank windows. One leaking
+    // in here means a consumer would re-run the whole-table window once
+    // per action (the round-4 7x q39 regression, caught structurally).
+    assert(!p.contains("dense_rank"),
+      "phase-base rank window leaked into the consumer plan")
+    // what remains are the two log-phase passes (overlap row_number +
+    // step numbering) per keying — bounded, not per-consumer
+    assert(p.contains("Scan ExistingRDD"), "checkpointed bases expected")
+  }
+
   test("bucketed consolidated table: per-key aggregation runs shuffle-free") {
     val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
     store.BucketedStore.create(spark, "graft_bucketed_test", bh, buckets = 4)
