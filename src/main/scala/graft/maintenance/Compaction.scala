@@ -46,6 +46,16 @@ object Compaction {
     require(fs.rename(dst, bak), s"compaction swap failed: $dst -> $bak")
     require(fs.rename(tmp, dst), s"compaction swap failed: $tmp -> $dst")
     fs.delete(bak, true)
+    // re-seed the store's zone-map sidecar for the files just written:
+    // the swap dropped the old one (it described pre-compaction files),
+    // and without this the NEXT append pays a full heal scan. One extra
+    // pass over data that is already hot from the rewrite. Sidecars only
+    // apply to flat layouts; listDataFiles returns None for partitioned
+    // stores and the append path falls back to full scans there anyway.
+    graft.store.StoreMeta.listDataFiles(spark, path).foreach { files =>
+      graft.store.StoreMeta.save(
+        spark, path, graft.store.StoreMeta.scanStats(spark, path, files))
+    }
     dataFileCount(spark, path)
   }
 

@@ -169,23 +169,16 @@ object Similarity {
       centArr.toSeq.toDF("cid", "centroid")
         .select(col("cid"), col("centroid").cast("array<double>")
           .as("centroid")))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
-    // invert: each corpus vector to its single nearest centroid. The
-    // centroid set is driver-sized (it IS the coarse quantizer), so the
-    // argmax is a pure projection over literal vectors — no x-nCentroids
-    // row inflation, no aggregate, stays inside whole-stage codegen.
-    // Tie-break matches max_by(cid, struct(csim, -cid)): highest csim,
-    // then smallest cid (rows pre-sorted cid desc => higher pref wins).
-    // Centroid similarities are ROUNDED (like the output sim) so the
-    // assignment is reproducible across engines/summation orders.
-    val argmax = array_max(array(
-      centArr.sortBy(-_._1).zipWithIndex.map { case ((cid, cv), i) =>
-        val cvec = array(cv.map(lit): _*)
-        struct(round(dot(col("cv"), cvec), 6).as("csim"), lit(i).as("pref"),
-          lit(cid).as("cid"))
-      }.toIndexedSeq: _*))
-    val assigned = c.withColumn("cid", argmax.getField("cid"))
+    // invert: each corpus vector to its single nearest centroid, via the
+    // shared [[assignToCentroids]] — a literal-projection argmax (no
+    // join, no row inflation, whole-stage codegen) up to
+    // [[LiteralAssignMaxK]] lists, the broadcast-join shape above it.
+    // Tie-break: highest rounded csim, then smallest cid — reproducible
+    // across engines/summation orders, mirrored by the oracle.
+    val assigned = assignToCentroids(
+        corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v")),
+        centArr)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid"))
     // each query probes its nProbe nearest lists
     val q = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))

@@ -136,7 +136,7 @@ class EtlSpec extends AnyFunSuite {
     bh.unpersist()
   }
 
-  test("sidecar is a cache: compaction invalidates it, the next append self-heals") {
+  test("sidecar survives compaction re-seeded; losing it self-heals on append") {
     import graft.store.StoreMeta
     val path = tmp()
     val bh = graft.etl.BackupHistoryDerivation
@@ -144,13 +144,23 @@ class EtlSpec extends AnyFunSuite {
     val total = bh.count()
     ConsolidatedStore.append(spark, path, bh.limit(150))
     ConsolidatedStore.append(spark, path, bh)
-    // compaction rewrites the directory and drops the sidecar with it
+    // compaction rewrites the directory and re-seeds the sidecar for the
+    // new file set, so the next append pays no heal scan
     graft.maintenance.Compaction.compact(spark, path)
-    assert(!new java.io.File(s"$path/${StoreMeta.dirName}").exists())
-    // next append scans the unknown files once, rebuilds the sidecar,
-    // and still dedups correctly with the recovered LogID base
+    val metaDir = new java.io.File(s"$path/${StoreMeta.dirName}")
+    assert(metaDir.exists(), "compaction re-seeds the sidecar")
+    assert(!StoreMeta.load(spark, path).get.dirty, "re-seeded sidecar consistent")
+    // a deleted sidecar (operator error, foreign writer) degrades to one
+    // rebuild scan, never to wrong answers: the next append heals it and
+    // still dedups against the recovered LogID base
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete()
+    }
+    rm(metaDir)
+    assert(!metaDir.exists())
     assert(ConsolidatedStore.append(spark, path, bh) == 0)
-    assert(new java.io.File(s"$path/${StoreMeta.dirName}").exists())
+    assert(metaDir.exists(), "append rebuilt the sidecar")
     val stored = spark.read.parquet(path)
     assert(stored.count() == total)
     assert(stored.agg(max("LogID")).head().getLong(0) == total,
