@@ -62,34 +62,50 @@ object Bench {
       val times = Seq.newBuilder[Double]
       var ok = true
       var r = 0
+      var stages = -1L
       while (r < reps && ok) {
         isolate(name)
         System.gc()
         Thread.sleep(200)
+        // plan-drift canary: total scheduler stages of this rep's jobs,
+        // via the public status tracker + a per-rep job group (counts
+        // planned stages deterministically — a silently added shuffle
+        // moves this number before wall time flags it)
+        val group = s"bench-$name-$r"
+        spark.sparkContext.setJobGroup(group, name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); times += (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+          val st = spark.sparkContext.statusTracker
+          stages = st.getJobIdsForGroup(group)
+            .flatMap(id => st.getJobInfo(id).map(_.stageIds().length.toLong))
+            .sum
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
+        finally spark.sparkContext.clearJobGroup()
         r += 1
       }
       val sorted = times.result().sorted
       val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
-      (name, sorted, median, ok)
+      (name, sorted, median, stages, ok)
     }
     // a failed query reports -1, never a normal-looking wall time
-    val qs = results.map { case (k, _, v, ok) =>
+    val qs = results.map { case (k, _, v, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
     // min/median/max per query: the medians-only artifact could not
     // distinguish uniformly-cold reps from warm-state flattery (the
-    // round-4 q39-in-suite-vs-alone discrepancy) — three numbers can
-    val stats = results.collect { case (k, ts, med, true) if ts.nonEmpty =>
+    // round-4 q39-in-suite-vs-alone discrepancy) — three numbers can.
+    // stages = scheduler stage count of the last rep: the plan-drift
+    // canary (a silently added shuffle moves it before wall time flags).
+    val stats = results.collect { case (k, ts, med, st, true) if ts.nonEmpty =>
       "\"" + k + "\":" +
-        f"""{"min":${ts.head}%.3f,"med":$med%.3f,"max":${ts.last}%.3f}"""
+        f"""{"min":${ts.head}%.3f,"med":$med%.3f,"max":${ts.last}%.3f,"stages":$st}"""
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.filter(_._4).map(_._3).sum
+    val total = results.filter(_._5).map(_._3).sum
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$stats,"errors":$errors,"sf":"$sfDir"}"""
     // stdout goes through sbt's [info]-prefixed logger, which breaks the
