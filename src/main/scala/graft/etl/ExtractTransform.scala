@@ -74,13 +74,23 @@ object ExtractTransform {
     val localReplicas = src.replicaStates
       .filter(col("is_local") === 1)
       .select("database_id", "group_id")
-    val joined = src.backupset
+    val filtered = src.backupset
       .filter(col("backup_finish_date") >= lit(sinceInclusive))
+    // restrict the file-list aggregation to sets in the watermark window
+    // BEFORE the groupBy: the left join below could never match the other
+    // sets anyway (semantics identical), but Catalyst cannot infer a
+    // join-based restriction through an aggregate — without the semi-join
+    // a 3-row trickle window still paid a groupBy over the entire
+    // backupfile table, the extract's biggest shuffle at steady state
+    val files = fileInfoJson(
+      src.backupfile.join(
+        filtered.select("backup_set_id"), Seq("backup_set_id"), "left_semi"))
+    val joined = filtered
       .join(src.backupmediafamily, Seq("media_set_id"))
       .join(broadcast(src.databases), col("database_name") === col("name"), "left")
       .join(broadcast(localReplicas), Seq("database_id"), "left")
       .join(broadcast(src.availabilityGroups), Seq("group_id"), "left")
-      .join(fileInfoJson(src.backupfile), Seq("backup_set_id"), "left")
+      .join(files, Seq("backup_set_id"), "left")
     val projected = joined.select(
       col("database_name"),
       when(col("type") === "D", BackupTypes.Full)

@@ -38,6 +38,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "catalog dims broadcast")
   }
 
+  test("extract file-list aggregation is window-restricted by a semi join") {
+    val p = plan(queries.EtlQueries.q14Extract(spark, TestSpark.sf))
+    // the backupfile groupBy must sit ABOVE a left-semi join against the
+    // watermark-filtered set ids — without it a 3-row trickle window
+    // still aggregates the entire backupfile table (Catalyst cannot push
+    // a join restriction through the aggregate on its own)
+    assert(p.contains("LeftSemi"),
+      "file aggregation must be semi-join-restricted to the window")
+  }
+
   test("per-key restore windows partition on the access-path key") {
     val p = plan(queries.BackupQueries.q10LatestFull(spark, TestSpark.sf))
     assert(p.contains("dense_rank"), "rank-one-stripes window present")
