@@ -78,6 +78,44 @@ object CorpusClean {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-cluster representative selection: connected components over the
+    * near-dup pair graph, keeping each component's BEST-scoring member
+    * (highest `scoreCol`, lowest id tie-break) — the "keep the longest /
+    * highest-quality duplicate" rule production pipelines prefer over
+    * the keep-lowest-id of [[removeNearDupsTransitive]] (an arbitrary id
+    * ordering shouldn't decide which near-duplicate survives when one
+    * copy is truncated or boilerplate-padded).
+    *
+    * Returns (id, component, keep_id) for every clustered id; a doc
+    * survives iff id == keep_id (unclustered docs are absent and always
+    * survive). The selection is a combinable min(struct(-score, id))
+    * aggregate per component — no per-cluster window sort, so a
+    * pathological million-member component still partial-aggregates.
+    */
+  def clusterRepresentatives(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val scored = Components.connectedComponents(pairs)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).as("__score")), Seq("id"))
+    val best = scored.groupBy("component")
+      .agg(min(struct((-col("__score")).as("n"), col("id").as("i"))).as("__b"))
+      .select(col("component"), col("__b").getField("i").as("keep_id"))
+    scored.join(best, Seq("component")).select("id", "component", "keep_id")
+  }
+
+  /** [[clusterRepresentatives]] composed to survivors: drop every
+    * clustered doc that is not its component's representative.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val losers = clusterRepresentatives(docs, idCol, scoreCol, pairs)
+      .filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Single-row funnel report, oracle-comparable. */
   def report(spark: SparkSession, r: CleanResult): DataFrame = {
     import spark.implicits._

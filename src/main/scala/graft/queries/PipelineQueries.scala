@@ -563,6 +563,66 @@ object PipelineQueries {
        |WHERE d.doc_id % 5 = 0
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q72: corpus-wide paragraph dedup (keep first occurrence) ---------
+
+  /** Fixture: the corpus is single-line, so shared paragraphs are
+    * planted — 7 rotating "shared quote" headers on every 4th doc, 3
+    * rotating footers on every 5th. [[ParagraphDedup.dedupParagraphs]]
+    * must keep exactly the first (doc, pos) occurrence of each and drop
+    * every later one, while the unique body lines all survive.
+    */
+  private def docsParas(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      concat(
+        when(col("doc_id") % 4 === 0,
+          concat(lit("shared quote "), (col("doc_id") % 7).cast("string"),
+            lit("\n"))).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("\nfooter note "), (col("doc_id") % 3).cast("string")))
+          .otherwise(lit(""))).as("text"))
+
+  def q72ParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.ParagraphDedup
+      .dedupParagraphs(docsParas(spark, dir), "doc_id", "text")
+      .filter(col("doc_id") % 5 === 0)
+      .orderBy("doc_id")
+
+  val q72Oracle: String =
+    """WITH docs_paras AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 0
+      |         THEN 'shared quote ' || (doc_id % 7) || chr(10) ELSE '' END ||
+      |    text ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN chr(10) || 'footer note ' || (doc_id % 3) ELSE '' END AS text
+      |  FROM documents
+      |),
+      |paras AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, chr(10))) AS para,
+      |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+      |  FROM docs_paras
+      |),
+      |ranked AS (
+      |  SELECT doc_id, pos, para,
+      |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      |  FROM paras
+      |),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras_after,
+      |         string_agg(para, chr(10) ORDER BY pos) AS text_clean
+      |  FROM ranked WHERE rn = 1 GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_paras_before,
+      |       coalesce(a.n_paras_after, 0) AS n_paras_after,
+      |       coalesce(a.text_clean, '') AS text_clean
+      |FROM docs_paras d LEFT JOIN agg a USING (doc_id)
+      |WHERE d.doc_id % 5 = 0
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- q63: benchmark decontamination -----------------------------------
 
   private val DecontamN = 8
@@ -655,6 +715,7 @@ object PipelineQueries {
     "q68_quality_classifier" -> (q68QualityClassifier _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
+    "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -672,6 +733,7 @@ object PipelineQueries {
     "q68_quality_classifier" -> q68Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
+    "q72_paragraph_dedup" -> q72Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

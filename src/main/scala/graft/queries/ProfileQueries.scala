@@ -250,6 +250,61 @@ object ProfileQueries {
        |SELECT component, count(*) AS n_members
        |FROM comp GROUP BY component ORDER BY component""".stripMargin
 
+  // ---- q73: best-quality representative per near-dup cluster ------------
+
+  /** Keep-best dedup over the q50/q57 pair graph: each component's
+    * representative is its LONGEST member (char length; lowest id breaks
+    * ties) — the industry rule that a truncated near-duplicate should
+    * lose to the full copy, vs q57's arbitrary keep-lowest-id. The
+    * oracle replays the same recursive closure plus a rank-one pick.
+    */
+  def q73ClusterRepresentatives(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.CorpusClean.clusterRepresentatives(
+        PipelineQueries.docsAug(spark, dir)
+          .withColumn("len", length(col("text")).cast("long")),
+        "doc_id", "len",
+        winnowPairGraph(spark, dir).select("id_a", "id_b"))
+      .orderBy("id")
+
+  val q73Oracle: String =
+    s"""WITH RECURSIVE ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5
+       |),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+       |),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |scored AS (
+       |  SELECT c.id, c.component, length(d.text) AS len
+       |  FROM comp c JOIN docs d ON c.id = d.doc_id
+       |),
+       |ranked AS (
+       |  SELECT id, component,
+       |         row_number() OVER (PARTITION BY component
+       |                            ORDER BY len DESC, id ASC) AS rn
+       |  FROM scored
+       |),
+       |best AS (SELECT component, id AS keep_id FROM ranked WHERE rn = 1)
+       |SELECT s.id, s.component, b.keep_id
+       |FROM scored s JOIN best b USING (component)
+       |ORDER BY s.id""".stripMargin
+
   // ---- q58: TF-IDF weights ---------------------------------------------
 
   def q58TfIdfWeights(spark: SparkSession, dir: String): DataFrame =
@@ -333,6 +388,7 @@ object ProfileQueries {
     "q51_repetition" -> (q51Repetition _),
     "q52_token_entropy" -> (q52Entropy _),
     "q57_dedup_components" -> (q57DedupComponents _),
+    "q73_cluster_representatives" -> (q73ClusterRepresentatives _),
     "q58_tfidf_weights" -> (q58TfIdfWeights _),
     "q61_bigram_lm" -> (q61BigramLm _)
   )
@@ -343,6 +399,7 @@ object ProfileQueries {
     "q51_repetition" -> q51Oracle,
     "q52_token_entropy" -> q52Oracle,
     "q57_dedup_components" -> q57Oracle,
+    "q73_cluster_representatives" -> q73Oracle,
     "q58_tfidf_weights" -> q58Oracle,
     "q61_bigram_lm" -> q61Oracle
   )

@@ -287,6 +287,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(ordered == "keep one\nkeep two\nkeep three")
   }
 
+  test("paragraph dedup keeps exactly the first occurrence in corpus order") {
+    val docs = Seq(
+      (1L, "quote\nalpha one"),
+      (2L, "quote\nbeta two\nquote"), // later copies of quote, incl. in-doc
+      (3L, "quote"),                  // nothing but a later duplicate
+      (4L, "beta two\ngamma")         // "beta two" is a LINE dup of doc 2's
+    ).toDF("doc_id", "text")
+    val out = pipeline.ParagraphDedup
+      .dedupParagraphs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, "quote\nalpha one")),
+      "first occurrence survives with its document intact")
+    assert(out(2L) == ((2L, 3L, 1L, "beta two")),
+      "both later copies drop — cross-doc and within-doc")
+    assert(out(3L) == ((3L, 1L, 0L, "")), "all-duplicate doc must empty")
+    assert(out(4L) == ((4L, 2L, 1L, "gamma")),
+      "keep-first is corpus-wide, ordered by (doc, pos)")
+  }
+
+  test("paragraph dedup: short paragraphs are exempt below minChars") {
+    val docs = Seq(
+      (1L, "ok\nlong paragraph body"),
+      (2L, "ok\nlong paragraph body")
+    ).toDF("doc_id", "text")
+    val out = pipeline.ParagraphDedup
+      .dedupParagraphs(docs, "doc_id", "text", minChars = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(2L) == ((2L, 2L, 1L, "ok")),
+      "the short line survives everywhere; only the long body dedups")
+  }
+
   test("boilerplate reassembly is the identity when nothing is stripped") {
     // an unreachable threshold strips no lines, so split + anti-join +
     // ordered reassembly must reconstruct every document byte-for-byte
@@ -300,6 +333,25 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("text_clean") =!= col("text"))
       .count()
     assert(diff == 0, s"$diff documents were not reconstructed exactly")
+  }
+
+  test("cluster representatives: longest member wins, lowest id breaks ties") {
+    val pairs = Seq((1L, 3L), (3L, 5L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (3L, 99L), (5L, 99L), (7L, 4L), (8L, 4L), (9L, 1L))
+      .toDF("doc_id", "len")
+    val reps = pipeline.CorpusClean
+      .clusterRepresentatives(docs, "doc_id", "len", pairs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // chain {1,3,5}: 3 and 5 tie on score, lowest id 3 represents —
+    // NOT keep-lowest-id overall (that would pick 1, the shortest)
+    assert(Seq(1L, 3L, 5L).forall(reps(_)._3 == 3L))
+    assert(Seq(7L, 8L).forall(reps(_)._3 == 7L))
+    assert(!reps.contains(9L), "unclustered docs never enter the decision")
+    val surv = pipeline.CorpusClean
+      .keepBestPerCluster(docs, "doc_id", "len", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(3L, 7L, 9L),
+      "survivors = representatives + unclustered docs")
   }
 
   test("decontamination flags exactly the docs sharing a benchmark n-gram") {

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
       "file aggregation must be semi-join-restricted to the window")
   }
 
+  test("paragraph dedup: keep-first is a combinable agg, not a window sort") {
+    val p = plan(queries.PipelineQueries.q72ParagraphDedup(spark, TestSpark.sf))
+    // min(struct(doc,pos)) grouped on the paragraph digest map-side
+    // combines — a row_number window here would sort every occurrence of
+    // a hot paragraph in one partition (the 10M-duplicate skew shape)
+    assert(!p.contains("Window"), "keep-first must not be a window")
+  }
+
   test("per-key restore windows partition on the access-path key") {
     val p = plan(queries.BackupQueries.q10LatestFull(spark, TestSpark.sf))
     assert(p.contains("dense_rank"), "rank-one-stripes window present")
