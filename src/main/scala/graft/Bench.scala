@@ -53,9 +53,10 @@ object Bench {
       try graft.etl.BackupHistoryDerivation.canonicalFrame(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up for $name failed: $e") }
-      // q57's contract: clustering is measured on top of a materialized
-      // pair graph (q50 measures the pair generation itself)
-      if (name.startsWith("q57"))
+      // q57/q73's contract: clustering and representative selection are
+      // measured on top of a materialized pair graph (q50 measures the
+      // pair generation itself)
+      if (name.startsWith("q57") || name.startsWith("q73"))
         queries.ProfileQueries.warmWinnowPairGraph(spark, sfDir)
     }
     val results = selected.map { case (name, fn) =>
