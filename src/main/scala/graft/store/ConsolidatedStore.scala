@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Schemas
@@ -16,6 +16,13 @@ import graft.model.Schemas
   * at-least-once extract idempotent. Here that is an explicit
   * dedup + left-anti join before every append ([[mergeNew]]).
   *
+  * NULL semantics: `physical_device_name` is nullable (sql:12), and a
+  * SQL Server unique index treats NULLs as EQUAL — a re-extracted row
+  * with a null device and matching other keys is dropped by
+  * `ignore_dup_key`. The anti-join therefore uses null-safe equality
+  * (`<=>`) on every key column; plain equality would let such a row
+  * append twice across overlapping watermark windows.
+  *
   * Scale notes: the anti-join only needs the 4 key columns of the
   * existing table (column-pruned scan), and the incoming batch is tiny
   * next to the table — Catalyst/AQE turns it into a broadcast of the
@@ -26,12 +33,24 @@ object ConsolidatedStore {
 
   val dedupKey: Seq[String] = Schemas.dedupKey
 
-  /** Batch-internal dedup + drop rows already present (sql:33 semantics). */
+  /** Null-safe equi-join condition on the dedup key between two aliased
+    * sides — `<=>` keeps the join hashable (EqualNullSafe is a
+    * supported equi-join key) while matching the unique index's
+    * NULLs-are-equal comparison.
+    */
+  private def keyCondition(left: String, right: String): Column =
+    dedupKey.map(k => col(s"$left.$k") <=> col(s"$right.$k")).reduce(_ && _)
+
+  /** Batch-internal dedup + drop rows already present (sql:33 semantics,
+    * including NULLs-are-equal: `dropDuplicates` already groups nulls
+    * together, and the anti-join matches via `<=>`).
+    */
   def mergeNew(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val existingKeys = existing.select(dedupKey.map(col): _*)
+    val existingKeys = existing.select(dedupKey.map(col): _*).alias("ex")
     incoming
       .dropDuplicates(dedupKey)
-      .join(existingKeys, dedupKey, "left_anti")
+      .alias("in")
+      .join(existingKeys, keyCondition("in", "ex"), "left_anti")
   }
 
   /** Identity-column emulation (reference sql:9; SURVEY §7 hard-part 3):
@@ -102,68 +121,95 @@ object ConsolidatedStore {
     *   by `database_name` keeps every restore query's scan pruned to one
     *   directory, which is the access path all of them share. Date-based
     *   partitioning additionally serves the retention job. Must be the
-    *   same on every append to a given path.
+    *   same on every append to a given path. Hive-partitioned layouts
+    *   use the same sidecar-pruned O(batch + overlap) path as flat ones
+    *   (the sidecar records root-relative paths and reads them back with
+    *   `basePath`); only foreign/non-hive layouts fall back to the full
+    *   scan.
     * @param sortWithin columns to sort by inside each written file
     *   (default `(database_name, last_lsn)` — the second half of the
     *   covering-index analogy): parquet row-group min/max stats on the
     *   sort keys let every LSN range predicate (P5, the hottest restore
     *   filter) skip row groups, not just directories. A local sort only —
     *   no extra shuffle on the write path.
+    * @param foldEvery sidecar segment-count threshold past which the
+    *   append folds the segment log into one rewrite (see
+    *   [[StoreMeta.SegmentFoldThreshold]]).
     */
   def append(spark: SparkSession, path: String, incoming: DataFrame,
       partitionBy: Seq[String] = Nil,
-      sortWithin: Seq[String] = Seq("database_name", "last_lsn")): Long = {
-    // hive-partitioned layouts keep key columns in directory names, which
-    // the sidecar's per-file scans cannot reconstruct — full-scan path.
-    val meta =
-      if (partitionBy.nonEmpty) None else StoreMeta.load(spark, path)
-    meta match {
-      case Some(loaded) => appendPruned(spark, path, incoming, sortWithin, loaded)
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      foldEvery: Int = StoreMeta.SegmentFoldThreshold): Long = {
+    StoreMeta.load(spark, path) match {
+      case Some(loaded) =>
+        appendPruned(spark, path, incoming, partitionBy, sortWithin, loaded,
+          foldEvery)
       case None => appendFullScan(spark, path, incoming, partitionBy, sortWithin)
     }
   }
 
+  /** Per-`database_name` key envelopes of a deduped batch — driver-small
+    * (one row per database present in the batch). Package-visible for
+    * the pruning specs.
+    */
+  private[graft] def batchEnvelopes(deduped: DataFrame): Seq[KeyRanges] =
+    deduped.groupBy("database_name")
+      .agg(
+        min("last_lsn"), max("last_lsn"),
+        min("first_lsn"), max("first_lsn"),
+        min("physical_device_name"), max("physical_device_name"),
+        sum(when(col("physical_device_name").isNull, 1L).otherwise(0L)))
+      .collect().toSeq
+      .map { r =>
+        val db = r.getString(0)
+        KeyRanges(
+          r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
+          db, db,
+          if (r.isNullAt(5)) null else r.getString(5),
+          if (r.isNullAt(6)) null else r.getString(6),
+          r.getLong(7))
+      }
+
   /** O(batch + overlap) append: the anti-join's existing side is pruned
     * by [[StoreMeta]]'s per-file zone maps to files whose dedup-key
-    * ranges can intersect the batch, and the LogID base comes from the
-    * sidecar instead of a whole-table aggregate. A trickle append onto a
-    * huge store touches only the few files sharing its LSN window — the
-    * reference's unique index (sql:33) behaving like an index.
+    * ranges can intersect the batch's per-database envelopes, and the
+    * LogID base comes from the sidecar instead of a whole-table
+    * aggregate. A trickle append onto a huge store touches only the few
+    * files sharing its (database, LSN) windows — the reference's unique
+    * index (sql:33) behaving like an index. Sidecar maintenance is one
+    * O(batch) delta segment per clean append; a full fold only on drift
+    * or past the segment threshold.
     *
     * Appends to one store are assumed serialized (as in [[graft.etl.EtlRunner]],
     * which serializes its load phase) — same contract the read-modify-
     * append full-scan path already had.
     */
-  private def appendPruned(
+  private[graft] def appendPruned(
       spark: SparkSession, path: String, incoming: DataFrame,
-      sortWithin: Seq[String], loaded: StoreMeta.Loaded): Long = {
+      partitionBy: Seq[String], sortWithin: Seq[String],
+      loaded: StoreMeta.Loaded, foldEvery: Int): Long = {
+    def foldIfDirty(): Unit =
+      if (loaded.dirty) StoreMeta.save(spark, path, loaded.files)
     val deduped = incoming.dropDuplicates(dedupKey).cache()
     try {
-      val r = deduped.agg(
-        count(lit(1)),
-        min("last_lsn"), max("last_lsn"),
-        min("first_lsn"), max("first_lsn"),
-        min("database_name"), max("database_name"),
-        min("physical_device_name"), max("physical_device_name")).head()
-      if (r.getLong(0) == 0L) {
-        if (loaded.dirty) StoreMeta.save(spark, path, loaded.files)
-        return 0L
-      }
-      val ranges = KeyRanges(
-        r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
-        r.getString(5), r.getString(6),
-        if (r.isNullAt(7)) null else r.getString(7),
-        if (r.isNullAt(8)) null else r.getString(8))
-      val overlapping = StoreMeta.overlapping(loaded.files, ranges)
+      val envelopes = batchEnvelopes(deduped)
+      if (envelopes.isEmpty) { foldIfDirty(); return 0L }
+      val overlapping = loaded.files
+        .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
       // no overlapping files → every deduped row is fresh; reuse the
       // already-cached batch instead of stacking a second cache on it
       val fresh =
         if (overlapping.isEmpty) deduped
         else {
-          val existingKeys = spark.read.schema(Schemas.consolidated)
+          val existingKeys = spark.read
+            .option("basePath", path)
+            .schema(Schemas.consolidated)
             .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
             .select(dedupKey.map(col): _*)
-          deduped.join(existingKeys, dedupKey, "left_anti").cache()
+            .alias("ex")
+          deduped.alias("in")
+            .join(existingKeys, keyCondition("in", "ex"), "left_anti")
+            .cache()
         }
       try {
         val n = fresh.count()
@@ -173,23 +219,26 @@ object ConsolidatedStore {
           val laidOut =
             if (sortWithin.isEmpty) assigned
             else assigned.sortWithinPartitions(sortWithin.map(col): _*)
-          laidOut.write.mode(SaveMode.Append).parquet(path)
+          val writer = laidOut.write.mode(SaveMode.Append)
+          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+           else writer).parquet(path)
           val newFiles = StoreMeta.listDataFiles(spark, path)
             .getOrElse(Nil).filterNot(before)
-          StoreMeta.save(spark, path,
-            loaded.files ++ StoreMeta.scanStats(spark, path, newFiles))
-        } else if (loaded.dirty) {
-          StoreMeta.save(spark, path, loaded.files)
-        }
+          val newStats = StoreMeta.scanStats(spark, path, newFiles)
+          if (loaded.dirty || loaded.segments + 1 > foldEvery)
+            StoreMeta.save(spark, path, loaded.files ++ newStats)
+          else StoreMeta.saveDelta(spark, path, newStats)
+        } else foldIfDirty()
         n
       } finally if (fresh ne deduped) fresh.unpersist()
     } finally deduped.unpersist()
   }
 
   /** The pre-sidecar shape — whole-table key scan + whole-table max —
-    * kept for hive-partitioned stores.
+    * kept for foreign (non-hive) layouts where per-file zone maps cannot
+    * be reconstructed.
     */
-  private def appendFullScan(
+  private[graft] def appendFullScan(
       spark: SparkSession, path: String, incoming: DataFrame,
       partitionBy: Seq[String], sortWithin: Seq[String]): Long = {
     val existing = read(spark, path)

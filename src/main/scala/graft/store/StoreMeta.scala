@@ -3,7 +3,7 @@ package graft.store
 import java.math.{BigDecimal => JBigDecimal}
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,9 +13,18 @@ import graft.model.Schemas
 /** Zone-map statistics of one consolidated-store data file: running max
   * LogID plus min/max of the four dedup-key columns (reference sql:33).
   *
-  * `devMin`/`devMax` are null iff every `physical_device_name` in the
-  * file is null — such a file holds no joinable dedup keys at all (SQL
-  * equality never matches null), so it prunes unconditionally.
+  * `file` is the path RELATIVE to the store root, so hive-partitioned
+  * layouts (`database_name=.../part-*.parquet`) are first-class: the
+  * partition-carried key columns are reconstructed at scan time via
+  * `basePath` and show up in these stats like any data column.
+  *
+  * `devNullCount` counts rows whose `physical_device_name` is null.
+  * SQL Server's unique index treats NULLs as equal (sql:33 dedups a
+  * re-extracted NULL-device row), so a null key IS joinable under the
+  * store's null-safe anti-join — a file needs to be consulted when both
+  * it and the batch carry null-device rows, even though `min`/`max`
+  * ignore nulls. `devMin`/`devMax` are null iff every device name in the
+  * file is null.
   */
 final case class FileStats(
     file: String, // path relative to the store root
@@ -27,11 +36,15 @@ final case class FileStats(
     dbMin: String,
     dbMax: String,
     devMin: String,
-    devMax: String)
+    devMax: String,
+    devNullCount: Long)
 
-/** Min/max of the dedup-key columns over one incoming (deduped) batch.
-  * Mins/maxes ignore nulls, so `devMin == null` means every batch device
-  * name is null.
+/** Min/max of the dedup-key columns over one incoming (deduped) batch —
+  * or over one `database_name` group of it: the append path computes one
+  * envelope per database (the natural batch grouping), so a fleet batch
+  * spanning lexicographically distant databases prunes to their files
+  * only, not every file between them. Mins/maxes ignore nulls;
+  * `devNullCount` carries the has-null-device bit the ranges lose.
   */
 final case class KeyRanges(
     lastLsnMin: JBigDecimal,
@@ -41,7 +54,8 @@ final case class KeyRanges(
     dbMin: String,
     dbMax: String,
     devMin: String,
-    devMax: String)
+    devMax: String,
+    devNullCount: Long)
 
 /** Store-metadata sidecar: the Spark analog of the reference's unique
   * index on `(last_lsn, first_lsn, database_name, physical_device_name)`
@@ -51,9 +65,15 @@ final case class KeyRanges(
   * O(table) per trickle batch and the one shape that cannot survive a
   * 100 TB store.
   *
-  * The sidecar lives at `<root>/_graft_meta` (underscore-prefixed, so
-  * table scans never see it) and is a pure CACHE, never a correctness
-  * dependency: [[load]] reconciles it against the directory listing on
+  * The sidecar is LOG-STRUCTURED: `<root>/_graft_meta` (underscore-
+  * prefixed, so table scans never see it) holds parquet segments, and a
+  * normal append writes ONE new small segment describing just its new
+  * files ([[saveDelta]]) — O(batch) sidecar bytes, not O(store). A full
+  * rewrite ([[save]], the fold) happens only when reconciliation found
+  * drift or the segment count passed a threshold — the same
+  * log + periodic checkpoint shape a transaction log uses, minus the
+  * transactional claims: this is a pure CACHE, never a correctness
+  * dependency. [[load]] reconciles it against the directory listing on
   * every append — entries for vanished files (compaction, manual
   * cleanup) are dropped, files missing from the sidecar (first run,
   * post-compaction, a crashed sidecar write) are scanned once and folded
@@ -63,6 +83,14 @@ final case class KeyRanges(
 object StoreMeta {
 
   val dirName = "_graft_meta"
+
+  /** Fold (full-rewrite) the segment log when an append would push it
+    * past this many segments: load cost is a read of every segment, so
+    * unbounded trickle appends would slowly grow it back to the O(store)
+    * rewrite this design removed — 64 keeps the log read driver-trivial
+    * while amortizing the fold to 1/64 appends.
+    */
+  val SegmentFoldThreshold = 64
 
   private val metaSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
@@ -74,70 +102,101 @@ object StoreMeta {
     StructField("db_min", StringType, nullable = true),
     StructField("db_max", StringType, nullable = true),
     StructField("dev_min", StringType, nullable = true),
-    StructField("dev_max", StringType, nullable = true)))
+    StructField("dev_max", StringType, nullable = true),
+    // nullable for migration: pre-log-structured sidecars lack the
+    // column; such rows read as null and are treated as unrecorded, so
+    // they heal via one rescan instead of mis-pruning null-device keys
+    StructField("dev_null_count", LongType, nullable = true)))
 
-  /** Result of [[load]]: reconciled per-file stats plus whether the
-    * sidecar on disk is stale (caller should re-save even if the append
-    * itself writes nothing).
+  /** Result of [[load]]: reconciled per-file stats, whether the sidecar
+    * on disk drifted from the listing (caller should fold a full rewrite
+    * even if the append itself writes nothing), and the current segment
+    * count (drives the fold threshold).
     */
-  final case class Loaded(files: Seq[FileStats], dirty: Boolean) {
+  final case class Loaded(files: Seq[FileStats], dirty: Boolean, segments: Int) {
     def maxLogId: Long = files.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
   }
 
-  /** Data-file names (relative) of an UNPARTITIONED store directory.
-    * Returns None when the layout has subdirectories (hive-partitioned
-    * stores carry key columns in directory names, which per-file reads
-    * cannot reconstruct) — callers fall back to the full-scan path.
+  /** Root-relative paths of a store directory's data files, recursively.
+    * Subdirectories must be hive-style `key=value` partition dirs (the
+    * only layout whose directory names the `basePath` read option can
+    * turn back into columns); any other subdirectory means a foreign
+    * layout → None, and callers fall back to the full-scan append.
     */
   def listDataFiles(spark: SparkSession, root: String): Option[Seq[String]] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Some(Nil)
-    val entries = fs.listStatus(p)
     val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < entries.length) {
-      val e = entries(i)
-      val n = e.getPath.getName
-      if (!n.startsWith("_") && !n.startsWith(".")) {
-        if (e.isDirectory) return None // partitioned / foreign layout
-        if (n.endsWith(".parquet")) names += n
+    def walk(dir: Path, prefix: String): Boolean = { // false = foreign layout
+      val entries = fs.listStatus(dir)
+      var i = 0
+      while (i < entries.length) {
+        val e = entries(i)
+        val n = e.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (e.isDirectory) {
+            if (!n.contains("=")) return false
+            if (!walk(e.getPath, s"$prefix$n/")) return false
+          } else if (n.endsWith(".parquet")) names += s"$prefix$n"
+        }
+        i += 1
       }
-      i += 1
+      true
     }
-    Some(names.toSeq)
+    if (walk(p, "")) Some(names.toSeq) else None
   }
 
-  /** Read the sidecar and reconcile it with the actual file listing.
-    * None = unsupported layout (fall back to full scans).
+  /** Read all sidecar segments and reconcile them with the actual file
+    * listing. None = unsupported layout (fall back to full scans).
     */
   def load(spark: SparkSession, root: String): Option[Loaded] =
     listDataFiles(spark, root).map { actual =>
       val actualSet = actual.toSet
-      val recorded =
+      val mp = s"$root/$dirName"
+      val (recorded, segments) =
         try {
-          val mp = s"$root/$dirName"
-          if (StorePath.exists(spark, mp))
-            spark.read.schema(metaSchema).parquet(mp).collect().toSeq
-              .map(fromRow)
-          else Nil
-        } catch { case _: Exception => Nil } // corrupt sidecar = absent
-      val kept = recorded.filter(f => actualSet.contains(f.file))
+          if (StorePath.exists(spark, mp)) {
+            val rows = spark.read.schema(metaSchema).parquet(mp).collect().toSeq
+            (rows.map(fromRow), segmentCount(spark, mp))
+          } else (Nil, 0)
+        } catch { case _: Exception => (Nil, 0) } // corrupt sidecar = absent
+      // rows with devNullCount < 0 are pre-migration entries: rescan them
+      // once rather than guess at their null-device population
+      val usable = recorded.filter(_.devNullCount >= 0)
+        .groupBy(_.file).map(_._2.head).toSeq // segments may overlap after a heal
+      val kept = usable.filter(f => actualSet.contains(f.file))
       val unknown = actualSet -- kept.map(_.file)
       val healed =
         if (unknown.isEmpty) kept
         else kept ++ scanStats(spark, root, unknown.toSeq.sorted)
-      Loaded(healed, dirty = kept.size != recorded.size || unknown.nonEmpty)
+      Loaded(healed,
+        dirty = kept.size != recorded.size || unknown.nonEmpty,
+        segments = segments)
     }
+
+  private def segmentCount(spark: SparkSession, metaDir: String): Int = {
+    val p = new Path(metaDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).count { e =>
+      val n = e.getPath.getName
+      e.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
 
   /** Compute [[FileStats]] for specific data files by scanning just
     * them — the heal path (and the stats pass over freshly written
-    * batch files, which is O(batch)).
+    * batch files, which is O(batch)). `basePath` makes the read
+    * reconstruct partition-directory columns for hive layouts, so the
+    * stats see `database_name` even when it lives in the dir name.
     */
   def scanStats(
       spark: SparkSession, root: String, files: Seq[String]): Seq[FileStats] = {
     if (files.isEmpty) return Nil
-    spark.read.schema(Schemas.consolidated)
+    val rootPath = qualifiedPath(spark, root)
+    val grouped = spark.read
+      .option("basePath", rootPath.toString)
+      .schema(Schemas.consolidated)
       .parquet(files.map(f => s"$root/$f"): _*)
       .groupBy(input_file_name().as("__file"))
       .agg(
@@ -146,45 +205,90 @@ object StoreMeta {
         min("first_lsn").as("first_lsn_min"), max("first_lsn").as("first_lsn_max"),
         min("database_name").as("db_min"), max("database_name").as("db_max"),
         min("physical_device_name").as("dev_min"),
-        max("physical_device_name").as("dev_max"))
+        max("physical_device_name").as("dev_max"),
+        sum(when(col("physical_device_name").isNull, 1L).otherwise(0L))
+          .as("dev_null_count"))
       .collect().toSeq
-      .map { r =>
-        FileStats(
-          new Path(r.getString(0)).getName,
-          r.getLong(1),
-          r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5),
-          r.getString(6), r.getString(7),
-          if (r.isNullAt(8)) null else r.getString(8),
-          if (r.isNullAt(9)) null else r.getString(9))
-      }
+    // input_file_name() may return a zero-row file's name never (no rows
+    // → no group): emit a sentinel so load() does not re-mark such a
+    // file unknown-and-dirty on every subsequent append
+    val seen = grouped.map(r => relativize(rootPath, r.getString(0))).toSet
+    val sentinels = files.filterNot(seen).map { f =>
+      FileStats(f, 0L, null, null, null, null, null, null, null, null, 0L)
+    }
+    grouped.map { r =>
+      FileStats(
+        relativize(rootPath, r.getString(0)),
+        r.getLong(1),
+        r.getDecimal(2), r.getDecimal(3), r.getDecimal(4), r.getDecimal(5),
+        r.getString(6), r.getString(7),
+        if (r.isNullAt(8)) null else r.getString(8),
+        if (r.isNullAt(9)) null else r.getString(9),
+        r.getLong(10))
+    } ++ sentinels
   }
 
-  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
+  private def qualifiedPath(spark: SparkSession, root: String): Path = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+  }
+
+  /** Store-root-relative path of an `input_file_name()` URI. Compared on
+    * URI paths so scheme/authority spelling differences between the
+    * qualified root and Spark's file-name rendering cannot break the
+    * prefix match.
+    */
+  private def relativize(root: Path, fileUri: String): String = {
+    val rootPath = root.toUri.getPath
+    val filePath = new Path(fileUri).toUri.getPath
+    require(filePath.startsWith(rootPath + "/"),
+      s"file $filePath not under store root $rootPath")
+    filePath.substring(rootPath.length + 1)
+  }
+
+  /** Fold: rewrite the whole sidecar as one segment. Used when [[load]]
+    * found drift, when the segment count passed
+    * [[SegmentFoldThreshold]], and by compaction's re-seed.
+    */
+  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
+    write(spark, root, files, overwrite = true)
+
+  /** Append ONE new segment describing just `files` — the O(batch)
+    * sidecar maintenance path of a clean trickle append.
+    */
+  def saveDelta(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
+    write(spark, root, files, overwrite = false)
+
+  private def write(spark: SparkSession, root: String, files: Seq[FileStats],
+      overwrite: Boolean): Unit = {
     val rows = new java.util.ArrayList[Row](files.size)
     files.foreach { f =>
       rows.add(Row(
         f.file, f.logIdMax,
         f.lastLsnMin, f.lastLsnMax, f.firstLsnMin, f.firstLsnMax,
-        f.dbMin, f.dbMax, f.devMin, f.devMax))
+        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount))
     }
     spark.createDataFrame(rows, metaSchema)
       .coalesce(1)
-      .write.mode("overwrite")
+      .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"$root/$dirName")
   }
 
-  /** Files whose key ranges can contain a key from the batch — the
-    * anti-join's existing side. Unknown (null) lsn/db stats are
-    * conservative (overlap); an all-null device range on either side
-    * prunes, because null device names never participate in a key match.
+  /** Files whose key ranges can contain a key from the batch envelope —
+    * the anti-join's existing side. Unknown (null) lsn/db stats are
+    * conservative (overlap). Device names: ranges compare over the
+    * non-null populations, and the null populations match iff BOTH sides
+    * hold null-device rows (null-safe key equality, matching SQL
+    * Server's NULLs-are-equal unique index).
     */
   def overlapping(files: Seq[FileStats], b: KeyRanges): Seq[FileStats] =
-    files.filter { f =>
-      decOverlap(f.lastLsnMin, f.lastLsnMax, b.lastLsnMin, b.lastLsnMax) &&
-        decOverlap(f.firstLsnMin, f.firstLsnMax, b.firstLsnMin, b.firstLsnMax) &&
-        strOverlap(f.dbMin, f.dbMax, b.dbMin, b.dbMax) &&
-        devOverlap(f.devMin, f.devMax, b.devMin, b.devMax)
-    }
+    files.filter(f => overlaps(f, b))
+
+  def overlaps(f: FileStats, b: KeyRanges): Boolean =
+    decOverlap(f.lastLsnMin, f.lastLsnMax, b.lastLsnMin, b.lastLsnMax) &&
+      decOverlap(f.firstLsnMin, f.firstLsnMax, b.firstLsnMin, b.firstLsnMax) &&
+      strOverlap(f.dbMin, f.dbMax, b.dbMin, b.dbMax) &&
+      devOverlap(f, b)
 
   private def fromRow(r: Row): FileStats = FileStats(
     r.getString(0), r.getLong(1),
@@ -192,7 +296,8 @@ object StoreMeta {
     if (r.isNullAt(6)) null else r.getString(6),
     if (r.isNullAt(7)) null else r.getString(7),
     if (r.isNullAt(8)) null else r.getString(8),
-    if (r.isNullAt(9)) null else r.getString(9))
+    if (r.isNullAt(9)) null else r.getString(9),
+    if (r.isNullAt(10)) -1L else r.getLong(10)) // -1 = pre-migration row
 
   private def decOverlap(
       fMin: JBigDecimal, fMax: JBigDecimal,
@@ -205,11 +310,13 @@ object StoreMeta {
     fMin == null || fMax == null || bMin == null || bMax == null ||
       !(cmpUtf8(fMax, bMin) < 0 || cmpUtf8(fMin, bMax) > 0)
 
-  private def devOverlap(
-      fMin: String, fMax: String, bMin: String, bMax: String): Boolean =
-    if (fMin == null || fMax == null) false // file has only null devices
-    else if (bMin == null || bMax == null) false // batch has only null devices
-    else !(cmpUtf8(fMax, bMin) < 0 || cmpUtf8(fMin, bMax) > 0)
+  private def devOverlap(f: FileStats, b: KeyRanges): Boolean = {
+    val nullsMeet = f.devNullCount != 0 && b.devNullCount != 0
+    val rangesMeet =
+      f.devMin != null && f.devMax != null && b.devMin != null && b.devMax != null &&
+        !(cmpUtf8(f.devMax, b.devMin) < 0 || cmpUtf8(f.devMin, b.devMax) > 0)
+    nullsMeet || rangesMeet
+  }
 
   /** UTF-8 byte-order comparison — matches Spark's binary string
     * ordering (which parquet min/max stats and `min`/`max` aggregates

@@ -100,7 +100,7 @@ class EtlSpec extends AnyFunSuite {
   }
 
   test("append prunes the anti-join to files overlapping the batch's key ranges") {
-    import graft.store.{KeyRanges, StoreMeta}
+    import graft.store.StoreMeta
     val path = tmp()
     val bh = graft.etl.BackupHistoryDerivation
       .canonicalFrame(spark, TestSpark.sf).drop("LogID").cache()
@@ -117,14 +117,10 @@ class EtlSpec extends AnyFunSuite {
     // a batch drawn from the middle tertile must consult ONLY its file:
     // this is the O(batch + overlap) contract — a trickle append onto a
     // many-file store reads just the files sharing its LSN window
-    val r = t2.agg(
-      min("last_lsn"), max("last_lsn"), min("first_lsn"), max("first_lsn"),
-      min("database_name"), max("database_name"),
-      min("physical_device_name"), max("physical_device_name")).head()
-    val ranges = KeyRanges(
-      r.getDecimal(0), r.getDecimal(1), r.getDecimal(2), r.getDecimal(3),
-      r.getString(4), r.getString(5), r.getString(6), r.getString(7))
-    val overlapping = StoreMeta.overlapping(loaded.files, ranges)
+    val envelopes = ConsolidatedStore.batchEnvelopes(
+      t2.dropDuplicates(ConsolidatedStore.dedupKey))
+    val overlapping = loaded.files
+      .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
     assert(overlapping.size == 1,
       s"expected 1 overlapping file, got ${overlapping.map(_.file)}")
 
@@ -134,6 +130,117 @@ class EtlSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == total)
     assert(spark.read.parquet(path).select("LogID").distinct().count() == total)
     bh.unpersist()
+  }
+
+  private def segmentFiles(path: String): Seq[java.io.File] = {
+    val d = new java.io.File(s"$path/${graft.store.StoreMeta.dirName}")
+    if (!d.exists()) Nil
+    else d.listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+  }
+
+  test("sidecar log: clean appends write one O(batch) delta segment; fold compacts") {
+    import graft.store.StoreMeta
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID").cache()
+    val cuts = bh.stat.approxQuantile("last_lsn", Array(0.34, 0.67), 0.001)
+    val t1 = bh.filter(col("last_lsn") < cuts(0))
+    val t2 = bh.filter(col("last_lsn") >= cuts(0) && col("last_lsn") < cuts(1))
+    val t3 = bh.filter(col("last_lsn") >= cuts(1))
+    // each clean append adds exactly ONE sidecar segment describing only
+    // its own new files — O(batch) sidecar bytes, never a manifest rewrite
+    ConsolidatedStore.append(spark, path, t1)
+    assert(segmentFiles(path).size == 1)
+    ConsolidatedStore.append(spark, path, t2)
+    assert(segmentFiles(path).size == 2)
+    ConsolidatedStore.append(spark, path, t3)
+    val segs = segmentFiles(path)
+    assert(segs.size == 3, s"expected 3 delta segments, got ${segs.size}")
+    // proportionality: every segment holds stats for 1 file (its batch
+    // wrote 1 data file), not the whole store
+    segs.foreach { s =>
+      assert(spark.read.parquet(s.getPath).count() == 1,
+        s"segment ${s.getName} not batch-sized")
+    }
+    val loaded = StoreMeta.load(spark, path).get
+    assert(loaded.files.size == 3 && !loaded.dirty && loaded.segments == 3)
+
+    // fold: an append pushing the log past foldEvery rewrites it as one
+    // segment covering every file, and nothing is lost
+    val path2 = tmp()
+    ConsolidatedStore.append(spark, path2, t1)
+    ConsolidatedStore.append(spark, path2, t2, foldEvery = 1)
+    assert(segmentFiles(path2).size == 1, "fold collapses the segment log")
+    val folded = StoreMeta.load(spark, path2).get
+    assert(folded.files.size == 2 && !folded.dirty)
+    assert(ConsolidatedStore.append(spark, path2, t2) == 0, "fold kept the stats")
+    bh.unpersist()
+  }
+
+  test("partitioned store: pruned append reads only the touched database dirs") {
+    import graft.store.StoreMeta
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID").cache()
+    val total = bh.count()
+    val part = Seq("database_name")
+    val n1 = ConsolidatedStore.append(spark, path, bh, partitionBy = part)
+    assert(n1 == total)
+    // hive layout is sidecar-first-class now: root-relative paths under
+    // database_name= dirs, key columns reconstructed via basePath
+    val loaded = StoreMeta.load(spark, path).get
+    assert(loaded.files.nonEmpty && !loaded.dirty)
+    assert(loaded.files.forall(_.file.startsWith("database_name=")),
+      s"expected partition-relative paths, got ${loaded.files.map(_.file)}")
+    assert(loaded.files.forall(f => f.dbMin == f.dbMax),
+      "partition dirs must yield single-db zone maps")
+
+    // per-database envelopes: a batch touching the two lexicographic
+    // extremes must consult only THEIR files, not every db between — a
+    // single global (dbMin, dbMax) envelope would span all five
+    val dbs = bh.select("database_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val distant = bh.filter(
+      col("database_name").isin(dbs.head, dbs.last))
+    val envelopes = ConsolidatedStore.batchEnvelopes(
+      distant.dropDuplicates(ConsolidatedStore.dedupKey))
+    assert(envelopes.size == 2)
+    val overlapping = loaded.files
+      .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+    val touched = overlapping.map(_.file.split("/").head).distinct.sorted
+    assert(touched == Seq(s"database_name=${dbs.head}", s"database_name=${dbs.last}"),
+      s"pruning touched $touched")
+
+    // the pruned partitioned append upholds the dedup contract end-to-end
+    assert(ConsolidatedStore.append(spark, path, distant, partitionBy = part) == 0)
+    assert(spark.read.parquet(path).count() == total)
+    assert(spark.read.parquet(path).select("LogID").distinct().count() == total)
+    bh.unpersist()
+  }
+
+  test("NULL-device rows dedup across overlapping appends (NULLs-are-equal index)") {
+    val path = tmp()
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    // physical_device_name is nullable in the reference DDL (sql:12); a
+    // SQL Server unique index compares NULLs as EQUAL, so ignore_dup_key
+    // drops a re-extracted NULL-device row. Null one db's devices out.
+    val withNulls = bh.withColumn("physical_device_name",
+      when(col("database_name") === "db1", lit(null).cast("string"))
+        .otherwise(col("physical_device_name")))
+    val n1 = ConsolidatedStore.append(spark, path, withNulls)
+    assert(n1 > 0)
+    // full overlapping re-delivery: plain-equality anti-joins would let
+    // every NULL-device row through again; null-safe keys drop them all
+    val n2 = ConsolidatedStore.append(spark, path, withNulls)
+    assert(n2 == 0, s"NULL-device rows duplicated on re-append ($n2)")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == n1)
+    // no two stored rows share a (null-safe) dedup key
+    val dupKeys = stored.groupBy(ConsolidatedStore.dedupKey.map(col): _*)
+      .count().filter(col("count") > 1).count()
+    assert(dupKeys == 0)
   }
 
   test("sidecar survives compaction re-seeded; losing it self-heals on append") {
