@@ -120,12 +120,5 @@ object EtlRunner {
     * to be GC'd (ContextCleaner timing), accumulating storage memory
     * between collections.
     */
-  private def release(batch: DataFrame): Unit =
-    try {
-      batch.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-    } catch { case _: Throwable => () }
+  private def release(batch: DataFrame): Unit = graft.util.Checkpoints.release(batch)
 }

@@ -33,15 +33,23 @@ object ParagraphDedup {
     * production pipelines don't dedup "", list bullets, or one-word
     * lines, whose global collision rate is semantic noise.
     *
+    * `sep` is a LITERAL separator (quoted before the regex split, so a
+    * metacharacter separator like "." or "|" splits and reassembles with
+    * identical semantics). Keying on a 128-bit md5 digest accepts the
+    * standard 2^64 birthday bound: a digest collision would merge two
+    * distinct paragraphs — the industry trade-off every digest-keyed
+    * dedup makes.
+    *
     * Returns one row per input document:
     * (idCol, n_paras_before, n_paras_after, text_clean).
     */
   def dedupParagraphs(
       docs: DataFrame, idCol: String, textCol: String,
       minChars: Int = 0, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val paras = docs.select(
       col(idCol).as("__pd_doc"),
-      posexplode(split(col(textCol), sep)).as(Seq("__pd_pos", "__pd_para")))
+      posexplode(split(col(textCol), sepRe)).as(Seq("__pd_pos", "__pd_para")))
 
     val dedupable = paras.filter(length(col("__pd_para")) >= minChars)
     val firsts = dedupable
@@ -69,7 +77,7 @@ object ParagraphDedup {
     // documents whose every paragraph was a later duplicate
     docs
       .select(col(idCol).as("__pd_doc"),
-        size(split(col(textCol), sep)).cast("long").as("n_paras_before"))
+        size(split(col(textCol), sepRe)).cast("long").as("n_paras_before"))
       .join(reassembled, Seq("__pd_doc"), "left")
       .select(
         col("__pd_doc").as(idCol),

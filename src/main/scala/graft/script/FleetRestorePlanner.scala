@@ -54,9 +54,17 @@ object FleetRestorePlanner {
 
   /** The step union plus the materialized full-phase base — the latter is
     * what [[planAllWithFallback]] probes for membership, so it never
-    * re-runs the full-phase rank window.
+    * re-runs the full-phase rank window. `bases` are the checkpointed
+    * phase frames whose storage blocks the consumer should release once
+    * its action has run ([[graft.util.Checkpoints.release]]).
+    *
+    * [[planAll]] hands its (lazy) plan to the caller, so its two bases
+    * stay checkpointed until the ContextCleaner collects them with the
+    * plan reference — driver-small (one row per (db, key)), accepted.
+    * [[planAllWithFallback]] consumes everything eagerly and releases.
     */
-  private final case class PlanParts(plan: DataFrame, fullSets: DataFrame)
+  private final case class PlanParts(
+      plan: DataFrame, fullSets: DataFrame, bases: Seq[DataFrame])
 
   private def planParts(
       bh: DataFrame,
@@ -165,7 +173,8 @@ object FleetRestorePlanner {
     PlanParts(
       fullSteps.union(diffSteps).union(logSteps)
         .withColumnRenamed(keyCol, "key"),
-      fullSets)
+      fullSets,
+      bases = Seq(fullSets, diffSets))
   }
 
   /** Fleet analog of the reference's server→AG fallback (sql:145-170,
@@ -192,8 +201,15 @@ object FleetRestorePlanner {
     val planned = byServer.fullSets.select("database_name").distinct()
     val unplanned = bh.select("database_name").distinct()
       .join(planned, Seq("database_name"), "left_anti")
-    val byAg = planAll(
+    val byAg = planParts(
       bh.join(broadcast(unplanned), Seq("database_name")), "ag_name", restoreTo)
-    byServer.plan.union(byAg)
+    // one eager action consumes all four checkpointed phase bases, whose
+    // blocks are then freed immediately instead of on ContextCleaner GC
+    // (a long-lived driver looping over plans would accumulate them).
+    // The returned frame is itself checkpointed — plan-sized, owned by
+    // the caller, collected with its reference.
+    val result = byServer.plan.union(byAg.plan).localCheckpoint()
+    (byServer.bases ++ byAg.bases).foreach(graft.util.Checkpoints.release)
+    result
   }
 }
