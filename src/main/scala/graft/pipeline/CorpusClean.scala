@@ -6,27 +6,38 @@ import org.apache.spark.sql.functions._
 
 final case class CleanResult(
     survivors: DataFrame,
-    nRaw: Long, nAfterQuality: Long, nAfterExact: Long, nAfterNear: Long)
+    nRaw: Long, nAfterQuality: Long, nAfterExact: Long, nAfterNear: Long,
+    nParasDropped: Long = 0L)
 
 /** The composed corpus-cleaning pipeline every LLM-data run needs:
   *
   *   1. quality gate — drop documents scoring under `minQuality`;
-  *   2. exact dedup — keep the lowest id per content fingerprint;
-  *   3. near-dup removal — MinHash-LSH pairs among the survivors; of
+  *   2. (optional) corpus-wide paragraph dedup — every duplicated
+  *      paragraph keeps only its first (doc, pos) occurrence and the
+  *      documents are reassembled ([[ParagraphDedup]]), the RefinedWeb /
+  *      Dolma production order: paragraph-level before document-level,
+  *      so a boilerplate-padded copy collapses onto its source and the
+  *      later exact stage sees the CLEANED text;
+  *   3. exact dedup — keep the lowest id per content fingerprint;
+  *   4. near-dup removal — MinHash-LSH pairs among the survivors; of
   *      each pair the higher id is dropped (greedy, one pass — a
   *      connected-components pass would also drop transitive dups, at
   *      the cost of an iterative join; at threshold levels used for
   *      training data the greedy pass removes the overwhelming bulk).
   *
   * Each stage is one shuffle class: a scan-side filter, a fingerprint
-  * hash-aggregate, and the banded LSH join — nothing quadratic.
+  * hash-aggregate, and the banded LSH join — nothing quadratic. The
+  * paragraph stage rewrites the text, so the tokenize-once
+  * materialization happens AFTER it when enabled (and right after the
+  * quality gate otherwise).
   */
 object CorpusClean {
 
   def clean(
       docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.6,
-      k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5): CleanResult = {
+      k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5,
+      paragraphDedup: Boolean = false, paragraphMinChars: Int = 0): CleanResult = {
     val raw = docs.cache()
     val nRaw = raw.count()
 
@@ -41,7 +52,27 @@ object CorpusClean {
       .cache()
     val nQuality = quality.count()
 
-    val exact = quality
+    // stage 2: global keep-first paragraph dedup; the rewritten text
+    // invalidates the quality-stage tokenization, so norm/tokens are
+    // re-materialized over text_clean for the exact and near stages
+    val (working, nParasDropped) =
+      if (!paragraphDedup) (quality, 0L)
+      else {
+        val pd = ParagraphDedup.dedupParagraphs(
+          quality.select(col(idCol), col(textCol)),
+          idCol, textCol, minChars = paragraphMinChars)
+        val dropRow = pd
+          .agg(sum(col("n_paras_before") - col("n_paras_after"))).head()
+        val dropped = if (dropRow.isNullAt(0)) 0L else dropRow.getLong(0)
+        val rewritten = quality.drop(textCol, "__norm", "__w")
+          .join(pd.select(col(idCol), col("text_clean").as(textCol)), Seq(idCol))
+          .withColumn("__norm", TextAnalysis.normalize(col(textCol)))
+          .withColumn("__w", split(col("__norm"), " "))
+          .cache()
+        (rewritten, dropped)
+      }
+
+    val exact = working
       .withColumn("__fp", md5(col("__norm"))) // = fingerprint(textCol)
       .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
       .filter(col(idCol) === col("__keep"))
@@ -58,7 +89,8 @@ object CorpusClean {
     val nNear = survivors.count()
 
     raw.unpersist(); quality.unpersist()
-    CleanResult(survivors, nRaw, nQuality, nExact, nNear)
+    if (working ne quality) working.unpersist()
+    CleanResult(survivors, nRaw, nQuality, nExact, nNear, nParasDropped)
   }
 
   /** Transitive near-dup removal: cluster the pair graph into connected
@@ -119,7 +151,8 @@ object CorpusClean {
   /** Single-row funnel report, oracle-comparable. */
   def report(spark: SparkSession, r: CleanResult): DataFrame = {
     import spark.implicits._
-    Seq((r.nRaw, r.nAfterQuality, r.nAfterExact, r.nAfterNear))
-      .toDF("n_raw", "n_after_quality", "n_after_exact", "n_after_near")
+    Seq((r.nRaw, r.nAfterQuality, r.nParasDropped, r.nAfterExact, r.nAfterNear))
+      .toDF("n_raw", "n_after_quality", "n_paras_dropped",
+        "n_after_exact", "n_after_near")
   }
 }

@@ -417,11 +417,31 @@ object PipelineQueries {
        |  FROM documents WHERE doc_id % 43 = 0
        |)""".stripMargin
 
+  /** docs_clean with planted shared paragraphs (rotating headers on
+    * every 4th doc, footers on every 5th — q72's fixture shape) so the
+    * funnel's paragraph stage has real cross-document work. The SQL is
+    * dialect-neutral: it parses in Spark SQL (builds the input frame)
+    * AND DuckDB (the oracle).
+    */
+  val docsFunnelSql: String =
+    s"""$docsCleanSql,
+       |docs_funnel AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0
+       |         THEN 'shared quote ' || CAST(doc_id % 7 AS STRING) || chr(10)
+       |         ELSE '' END ||
+       |    text ||
+       |    CASE WHEN doc_id % 5 = 0
+       |         THEN chr(10) || 'footer note ' || CAST(doc_id % 3 AS STRING)
+       |         ELSE '' END AS text
+       |  FROM docs_clean
+       |)""".stripMargin
+
   def q40CleaningFunnel(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir).createOrReplaceTempView("documents")
-    val input = spark.sql(s"WITH $docsCleanSql SELECT * FROM docs_clean")
+    val input = spark.sql(s"WITH $docsFunnelSql SELECT * FROM docs_funnel")
     val result = graft.pipeline.CorpusClean.clean(
-      input, "doc_id", "text", minQuality = 0.6)
+      input, "doc_id", "text", minQuality = 0.6, paragraphDedup = true)
     graft.pipeline.CorpusClean.report(spark, result)
   }
 
@@ -436,7 +456,7 @@ object PipelineQueries {
     val matchSum = (0 until K)
       .map(i => s"CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH $docsCleanSql,
+    s"""WITH $docsFunnelSql,
        |qual AS (
        |  SELECT doc_id, text,
        |    0.25 * (
@@ -451,14 +471,40 @@ object PipelineQueries {
        |           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
        |           len(list_filter(string_split($normSql, ' '),
        |                           x -> x IN ($stopList))) AS n_stop
-       |    FROM docs_clean)
+       |    FROM docs_funnel)
        |),
        |s1 AS (SELECT doc_id, text FROM qual WHERE q >= 0.6),
+       |paras AS (
+       |  SELECT doc_id,
+       |         unnest(string_split(text, chr(10))) AS para,
+       |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+       |  FROM s1
+       |),
+       |firsts AS (
+       |  SELECT doc_id, pos, para,
+       |         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+       |  FROM paras
+       |),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+       |         string_agg(para, chr(10) ORDER BY pos) AS text_clean
+       |  FROM firsts WHERE rn = 1 GROUP BY doc_id
+       |),
+       |s1b AS (
+       |  SELECT s1.doc_id, coalesce(pd.text_clean, '') AS text
+       |  FROM s1 LEFT JOIN pd USING (doc_id)
+       |),
+       |paras_dropped AS (
+       |  SELECT CAST(coalesce(sum(
+       |           len(string_split(s1.text, chr(10))) - coalesce(pd.n_after, 0)
+       |         ), 0) AS BIGINT) AS n
+       |  FROM s1 LEFT JOIN pd USING (doc_id)
+       |),
        |s2 AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |           min(doc_id) OVER (PARTITION BY md5($normSql)) AS keep
-       |    FROM s1) WHERE doc_id = keep
+       |    FROM s1b) WHERE doc_id = keep
        |),
        |toks2 AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM s2),
        |sh2 AS (
@@ -488,8 +534,9 @@ object PipelineQueries {
        |  WHERE CAST(($matchSum) AS DOUBLE) / $K >= 0.5
        |),
        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT id_b FROM removed))
-       |SELECT (SELECT count(*) FROM docs_clean) AS n_raw,
+       |SELECT (SELECT count(*) FROM docs_funnel) AS n_raw,
        |       (SELECT count(*) FROM s1) AS n_after_quality,
+       |       (SELECT n FROM paras_dropped) AS n_paras_dropped,
        |       (SELECT count(*) FROM s2) AS n_after_exact,
        |       (SELECT count(*) FROM s3) AS n_after_near""".stripMargin
   }
