@@ -91,6 +91,14 @@ object Multimodal {
         .map(d => MediaFeatures(r.media_id, r.media_type, r.payload.length,
           d.ampMean, nFrames(r), d.ampHist))
         .getOrElse(decodeStub(r))
+    case "video" =>
+      // container metadata parses at value level ([[VideoCodec]]): the
+      // frame count comes from the REAL mvhd duration; pixel features
+      // stay byte-derived (no JVM video codec — the documented stub)
+      VideoCodec.probe(r.payload)
+        .map(m => decodeStub(r)
+          .copy(n_frames = math.max(1L, m.durationMs / 1000L).toInt))
+        .getOrElse(decodeStub(r))
     case _ => decodeStub(r)
   }
 

@@ -504,6 +504,55 @@ object SimilarityQueries {
       |FROM ranked WHERE rnk <= 3
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** REAL MP4 container parsing through the mapPartitions boundary:
+    * deterministic (id-derived) track layouts are written by the
+    * hand-rolled ISO-BMFF encoder and read back through the generic box
+    * walker ([[graft.pipeline.VideoCodec]]) — major brand, mvhd
+    * timescale/duration (BOTH v0 and v1 layouts, picked by id parity),
+    * track count, first video codec fourcc, audio-track count. The
+    * oracle restates the id formulas; every column is an exact integer
+    * or fourcc string (the q71 de-normalization lesson). A wrong box
+    * size, offset, or endianness in the walker breaks the match.
+    */
+  def q74Mp4Metadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.VideoCodec
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val ts = 100L * (1 + id % 9)
+        val durMs = 200L * (1 + id % 50)
+        val tracks = ("vide", if (id % 2 == 0) "avc1" else "hev1") +:
+          Seq.fill((id % 3).toInt)(("soun", "mp4a"))
+        val bytes = VideoCodec.encodeMp4(
+          majorBrand = if (id % 2 == 0) "isom" else "mp42",
+          mvhdVersion = (id % 2).toInt,
+          timescale = ts, duration = durMs * ts / 1000L, tracks = tracks)
+        val m = VideoCodec.probe(bytes)
+          .getOrElse(sys.error(s"mp4 probe failed for id=$id"))
+        (id, m.majorBrand, m.timescale, m.durationUnits, m.durationMs,
+          m.trackCount.toLong, m.videoCodec, m.audioTracks.toLong)
+      }
+    }.toDF("media_id", "major_brand", "timescale", "duration_units",
+        "duration_ms", "n_tracks", "video_codec", "n_audio_tracks")
+      .orderBy("media_id")
+  }
+
+  val q74Oracle: String =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+      |  CAST(100 * (1 + doc_id % 9) AS BIGINT) AS timescale,
+      |  CAST((200 * (1 + doc_id % 50)) * (100 * (1 + doc_id % 9)) // 1000
+      |    AS BIGINT) AS duration_units,
+      |  CAST(200 * (1 + doc_id % 50) AS BIGINT) AS duration_ms,
+      |  CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+      |  CAST(doc_id % 3 AS BIGINT) AS n_audio_tracks
+      |FROM documents WHERE doc_id % 19 = 0
+      |ORDER BY media_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -513,6 +562,7 @@ object SimilarityQueries {
     "q35_ann_ivf" -> (q35AnnIvf _),
     "q45_frame_samples" -> (q45FrameSamples _),
     "q71_wav_features" -> (q71WavFeatures _),
+    "q74_mp4_metadata" -> (q74Mp4Metadata _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
     "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _)
@@ -527,6 +577,7 @@ object SimilarityQueries {
     "q35_ann_ivf" -> q35Oracle,
     "q45_frame_samples" -> q45Oracle,
     "q71_wav_features" -> q71Oracle,
+    "q74_mp4_metadata" -> q74Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
     "q69_ann_ivf_kmeans" -> q69Oracle

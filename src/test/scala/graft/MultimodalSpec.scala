@@ -108,6 +108,70 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 box walker parses hand-planted raw boxes (v0, largesize, size==0)") {
+    import graft.pipeline.VideoCodec
+    def be32(v: Long): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // bytes laid out by hand, independent of the encoder, so an encoder
+    // bug cannot cancel a walker bug
+    val ftyp = be32(16) ++ cc("ftyp") ++ cc("abcd") ++ be32(0)
+    val mvhdPayload = be32(0) ++ be32(0) ++ be32(0) ++ be32(700) ++ be32(4200)
+    val mvhd = be32(8 + mvhdPayload.length) ++ cc("mvhd") ++ mvhdPayload
+    val moov = be32(8 + mvhd.length) ++ cc("moov") ++ mvhd
+
+    val m = VideoCodec.probe(ftyp ++ moov).get
+    assert(m.majorBrand == "abcd" && m.timescale == 700 && m.durationUnits == 4200)
+    assert(m.durationMs == 6000 && m.trackCount == 0 && m.videoCodec == "")
+
+    // a 64-bit-size box in the way must be skipped via its largesize
+    val big = be32(1) ++ cc("skip") ++ be64(16 + 5) ++ Array.fill[Byte](5)(9)
+    assert(VideoCodec.probe(ftyp ++ big ++ moov).get.timescale == 700)
+
+    // size == 0: box extends to end of file
+    val moov0 = be32(0) ++ cc("moov") ++ mvhd
+    assert(VideoCodec.probe(ftyp ++ moov0).get.durationUnits == 4200)
+
+    // non-BMFF and truncated-mvhd payloads must not "parse"
+    assert(VideoCodec.probe("just some document text".getBytes("UTF-8")).isEmpty)
+    val shortMvhd = be32(8 + 12) ++ cc("mvhd") ++ be32(0) ++ be32(0) ++ be32(0)
+    val moovShort = be32(8 + 20) ++ cc("moov") ++ shortMvhd
+    assert(VideoCodec.probe(ftyp ++ moovShort).isEmpty)
+  }
+
+  test("MP4 encode→probe roundtrip: v0/v1 mvhd, track handlers, codec fourccs") {
+    import graft.pipeline.VideoCodec
+    val m0 = VideoCodec.probe(VideoCodec.encodeMp4(
+      "isom", 0, 600, 3000, Seq(("vide", "avc1"), ("soun", "mp4a")))).get
+    assert(m0 == VideoCodec.VideoMeta("isom", 600, 3000, 5000, 2, "avc1", 1))
+    // version-1 mvhd carries 64-bit times at different offsets
+    val m1 = VideoCodec.probe(VideoCodec.encodeMp4(
+      "mp42", 1, 90000, 675000L, Seq(("vide", "hev1")))).get
+    assert(m1 == VideoCodec.VideoMeta("mp42", 90000, 675000, 7500, 1, "hev1", 0))
+  }
+
+  test("extractFeatures reads the parsed mvhd duration for video n_frames") {
+    import spark.implicits._
+    import graft.pipeline.VideoCodec
+    val mp4 = VideoCodec.encodeMp4("isom", 0, 1000, 12345, Seq(("vide", "avc1")))
+    val media = Seq(
+      MediaRecord(1L, "video", 0, 0, 99000, mp4),
+      MediaRecord(2L, "video", 0, 0, 99000, "plain text".getBytes("UTF-8"))
+    ).toDS().toDF()
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_id -> f).toMap
+    // real container metadata (12345 ms -> 12 frames), not the 99 s column
+    assert(feats(1L).n_frames == 12)
+    // pixel features remain the documented stub either way
+    val rec1 = media.as[MediaRecord].filter(_.media_id == 1L).head()
+    assert(feats(1L).byte_mean == Multimodal.decodeStub(rec1).byte_mean)
+    // unparseable payload: stub end to end, including metadata n_frames
+    val rec2 = media.as[MediaRecord].filter(_.media_id == 2L).head()
+    val stub2 = Multimodal.decodeStub(rec2)
+    assert(feats(2L).n_frames == stub2.n_frames && feats(2L).n_frames == 99)
+  }
+
   test("extractFeatures takes the real path for images, stub otherwise") {
     import spark.implicits._
     val png = encode(flat(4, 4, 0xffffff), "png")

@@ -48,6 +48,17 @@ class PlanSpec extends AnyFunSuite {
       "file aggregation must be semi-join-restricted to the window")
   }
 
+  test("null-safe dedup anti-join stays a hash join (no nested-loop fallback)") {
+    val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+    val p = plan(store.ConsolidatedStore.mergeNew(bh, bh.drop("LogID")))
+    // <=> keys are equi-join keys (EqualNullSafe): the NULLs-are-equal
+    // semantics must not cost the broadcast-hash shape the plain-equality
+    // join had — a nested-loop here would be O(batch * table) at 100 TB
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin"),
+      p.linesIterator.take(25).mkString("\n"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("paragraph dedup: keep-first is a combinable agg, not a window sort") {
     val p = plan(queries.PipelineQueries.q72ParagraphDedup(spark, TestSpark.sf))
     // min(struct(doc,pos)) grouped on the paragraph digest map-side
