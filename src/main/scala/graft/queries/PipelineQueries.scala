@@ -670,6 +670,81 @@ object PipelineQueries {
       |WHERE d.doc_id % 5 = 0
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q75: exact substring dedup (Lee et al. 2021) ----------------------
+
+  private val SubstrL = 8
+
+  /** Fixture: a shared 10-token span is planted on every 6th doc, so its
+    * 3 interior `l=8` windows repeat corpus-wide; the boundary windows
+    * mix with each doc's own tail and stay unique. The lowest planted
+    * doc_id must keep the span; every later one must lose exactly those
+    * 10 tokens ([[graft.pipeline.SubstringDedup]] keep-first), and
+    * organic within-corpus window repeats dedup the same way.
+    */
+  private val docsSpansSql: String =
+    """docs_spans AS (
+      |  SELECT doc_id,
+      |    text || CASE WHEN doc_id % 6 = 0
+      |      THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+      |      ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  def q75SubstringDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val input = spark.sql(s"WITH $docsSpansSql SELECT * FROM docs_spans")
+    graft.pipeline.SubstringDedup
+      .dedupSubstrings(input, "doc_id", "text", l = SubstrL)
+      .filter(col("doc_id") % 3 === 0)
+      .orderBy("doc_id")
+  }
+
+  val q75Oracle: String = {
+    val l = SubstrL
+    s"""WITH $docsSpansSql,
+       |toks AS (SELECT doc_id, string_split($normSql, ' ') AS w FROM docs_spans),
+       |occ AS (
+       |  SELECT doc_id, w,
+       |         unnest(range(1, greatest(len(w) - $l + 2, 1))) AS o
+       |  FROM toks
+       |),
+       |grams AS (
+       |  SELECT doc_id, o,
+       |         array_to_string(list_slice(w, o, o + $l - 1), ' ') AS gram
+       |  FROM occ
+       |),
+       |ranked AS (
+       |  SELECT doc_id, o,
+       |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, o) AS rn
+       |  FROM grams
+       |),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, unnest(range(o, o + $l)) AS pos
+       |  FROM ranked WHERE rn > 1
+       |),
+       |tokpos AS (
+       |  SELECT doc_id, unnest(w) AS tok,
+       |         unnest(range(1, len(w) + 1)) AS pos
+       |  FROM toks
+       |),
+       |kept AS (
+       |  SELECT t.doc_id, t.tok, t.pos FROM tokpos t
+       |  ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_after,
+       |         string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+       |  FROM kept GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |       CAST(len(t.w) AS BIGINT) AS n_tokens_before,
+       |       coalesce(a.n_tokens_after, 0) AS n_tokens_after,
+       |       coalesce(a.text_dedup, '') AS text_dedup
+       |FROM toks t LEFT JOIN agg a USING (doc_id)
+       |WHERE t.doc_id % 3 = 0
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // ---- q63: benchmark decontamination -----------------------------------
 
   private val DecontamN = 8
@@ -763,6 +838,7 @@ object PipelineQueries {
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
+    "q75_substring_dedup" -> (q75SubstringDedup _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -781,6 +857,7 @@ object PipelineQueries {
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
+    "q75_substring_dedup" -> q75Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

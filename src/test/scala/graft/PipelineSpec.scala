@@ -157,6 +157,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Multimodal.sampleFrames(Array.emptyByteArray, 4).isEmpty)
   }
 
+  test("substring dedup keeps the first occurrence of a repeated span only") {
+    val span = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val docs = Seq(
+      (1L, s"unique one two three $span tail1 end1"),
+      (2L, s"other words here before $span tail2 end2"),
+      (3L, "totally distinct text with no repeats at all"),
+      (4L, "tiny doc") // shorter than the window: always exempt
+    ).toDF("doc_id", "text")
+    val r = pipeline.SubstringDedup.dedupSubstrings(docs, "doc_id", "text", l = 8)
+      .collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getString(3)))
+      .toMap
+    // the first (lowest doc, offset) occurrence keeps every token
+    assert(r(1L)._1 == r(1L)._2 && r(1L)._3.contains("a1 a2"))
+    // the later occurrence loses EXACTLY the 10 span tokens: the span's
+    // three interior windows repeat, their union covers the span, and
+    // the boundary windows (mixed with doc-local context) stay unique
+    assert(r(2L)._1 - r(2L)._2 == 10, r(2L).toString)
+    assert(!r(2L)._3.contains("a5"))
+    assert(r(2L)._3.startsWith("other words here before") &&
+      r(2L)._3.endsWith("tail2 end2"))
+    // untouched and sub-window documents survive whole
+    assert(r(3L)._1 == r(3L)._2 && r(4L)._1 == r(4L)._2)
+  }
+
   test("cleaning funnel: monotone, removes exact twins at stage 2 and mutated at stage 3") {
     Tables.documents(spark, TestSpark.sf).createOrReplaceTempView("documents")
     val input = spark.sql(

@@ -48,6 +48,14 @@ class PlanSpec extends AnyFunSuite {
       "file aggregation must be semi-join-restricted to the window")
   }
 
+  test("substring dedup: keep-first is a combinable agg, not a window sort") {
+    val p = plan(queries.PipelineQueries.q75SubstringDedup(spark, TestSpark.sf))
+    // min(struct(doc, off)) grouped on the window digest map-side
+    // combines — a row_number window would sort every occurrence of a
+    // hot repeated span in one partition
+    assert(!p.contains("Window"), "keep-first must not be a window")
+  }
+
   test("null-safe dedup anti-join stays a hash join (no nested-loop fallback)") {
     val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
     val p = plan(store.ConsolidatedStore.mergeNew(bh, bh.drop("LogID")))
