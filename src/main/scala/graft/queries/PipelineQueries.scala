@@ -745,6 +745,70 @@ object PipelineQueries {
        |ORDER BY t.doc_id""".stripMargin
   }
 
+  // ---- q76: DSIR importance weights -------------------------------------
+
+  private val DsirB = 2048
+  private val DsirTopK = 100
+
+  /** DSIR data selection with target = the English slice of the corpus,
+    * raw = the whole corpus: per-doc hashed-unigram+bigram log importance
+    * weight plus a top-`DsirTopK` selection flag. The oracle refits both
+    * distributions and replays the add-one-smoothed log-ratio sum; the
+    * weight is rounded ONCE (6 dp) on both sides and selection ranks on
+    * the rounded weight with a doc_id tiebreak, so the flag is stable
+    * under summation-order ulps.
+    */
+  def q76DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ratios = graft.pipeline.Dsir.fitLogRatios(
+      docs.filter(col("lang") === "en"), docs, "text", DsirB)
+    val scored = graft.pipeline.Dsir.score(docs, "doc_id", "text", ratios)
+    val top = graft.pipeline.Dsir.selectTopK(scored, "doc_id", DsirTopK)
+      .select(col("doc_id"), lit(1).as("selected"))
+    scored.join(broadcast(top), Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(0)))
+      .orderBy("doc_id")
+  }
+
+  val q76Oracle: String = {
+    val b = DsirB
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split($normSql, ' ') AS w FROM documents
+       |),
+       |g AS (
+       |  SELECT doc_id, lang, list_concat(w,
+       |    CASE WHEN len(w) >= 2
+       |      THEN list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1])
+       |      ELSE [] END) AS gs
+       |  FROM t
+       |),
+       |occ AS (
+       |  SELECT doc_id, lang,
+       |         ('0x' || substr(md5(gm), 1, 14))::BIGINT % $b AS b
+       |  FROM (SELECT doc_id, lang, unnest(gs) AS gm FROM g)
+       |),
+       |raw AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
+       |tgt AS (SELECT b, count(*) AS c FROM occ WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT sum(c) FROM raw) + $b AS rtot,
+       |               (SELECT sum(c) FROM tgt) + $b AS ttot),
+       |wdoc AS (
+       |  SELECT o.doc_id, count(*) AS n_grams,
+       |         sum(ln((coalesce(tg.c, 0) + 1)::DOUBLE / tot.ttot)
+       |           - ln((coalesce(rw.c, 0) + 1)::DOUBLE / tot.rtot)) AS lw
+       |  FROM occ o
+       |  LEFT JOIN raw rw ON o.b = rw.b
+       |  LEFT JOIN tgt tg ON o.b = tg.b
+       |  CROSS JOIN tot
+       |  GROUP BY o.doc_id
+       |),
+       |r AS (SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |             round(lw, 6) AS weight FROM wdoc),
+       |sel AS (SELECT doc_id FROM r ORDER BY weight DESC, doc_id LIMIT $DsirTopK)
+       |SELECT r.doc_id, r.n_grams, r.weight,
+       |       CAST(r.doc_id IN (SELECT doc_id FROM sel) AS INT) AS selected
+       |FROM r ORDER BY r.doc_id""".stripMargin
+  }
+
   // ---- q63: benchmark decontamination -----------------------------------
 
   private val DecontamN = 8
@@ -839,6 +903,7 @@ object PipelineQueries {
     "q63_decontaminate" -> (q63Decontaminate _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
+    "q76_dsir_weights" -> (q76DsirWeights _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -858,6 +923,7 @@ object PipelineQueries {
     "q63_decontaminate" -> q63Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,
+    "q76_dsir_weights" -> q76Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

@@ -182,6 +182,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(3L)._1 == r(3L)._2 && r(4L)._1 == r(4L)._2)
   }
 
+  test("dsir: target-vocabulary docs outrank raw-only docs and win top-k") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha"), // pure target vocabulary
+      (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi"), // vocabulary absent from the target
+      (4L, "omega psi omega psi")
+    ).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2)
+    val ratios = pipeline.Dsir.fitLogRatios(target, docs, "text", buckets = 64)
+    assert(ratios.length == 64)
+    val scored = pipeline.Dsir.score(docs, "doc_id", "text", ratios)
+    val m = scored.collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // n_grams = unigrams + bigrams
+    assert(m(1L)._1 == 9 && m(3L)._1 == 7)
+    // per-gram importance: in-target vocabulary > never-in-target
+    assert(m(1L)._2 / m(1L)._1 > m(3L)._2 / m(3L)._1)
+    assert(m(3L)._2 < 0.0, "raw-only doc must score below zero")
+    val top = pipeline.Dsir.selectTopK(scored, "doc_id", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(1L, 2L), s"top-2 was $top")
+  }
+
   test("cleaning funnel: monotone, removes exact twins at stage 2 and mutated at stage 3") {
     Tables.documents(spark, TestSpark.sf).createOrReplaceTempView("documents")
     val input = spark.sql(

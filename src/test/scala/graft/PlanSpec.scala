@@ -56,6 +56,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "keep-first must not be a window")
   }
 
+  test("dsir scoring is a shuffle-free projection over the corpus scan") {
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val p = plan(graft.pipeline.Dsir.score(
+      docs, "doc_id", "text", Array.fill(64)(0.1)))
+    // the fitted ratio table ships as a literal — scoring must not
+    // shuffle, join, or aggregate
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Aggregate"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("null-safe dedup anti-join stays a hash join (no nested-loop fallback)") {
     val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
     val p = plan(store.ConsolidatedStore.mergeNew(bh, bh.drop("LogID")))
