@@ -53,9 +53,19 @@ object Dsir {
       .groupBy("bucket")
       .agg(count(lit(1)).as("cnt"))
 
+  private def ratiosFrom(
+      t: Array[Long], r: Array[Long], buckets: Int): Array[Double] = {
+    val tTot = (t.sum + buckets).toDouble
+    val rTot = (r.sum + buckets).toDouble
+    Array.tabulate(buckets)(b =>
+      math.log((t(b) + 1) / tTot) - math.log((r(b) + 1) / rTot))
+  }
+
   /** Fit per-bucket log importance ratios with add-one smoothing:
     * w_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B)). The result is
-    * driver-small by construction (B doubles).
+    * driver-small by construction (B doubles). Use this form when target
+    * and raw are genuinely different corpora (the paper's
+    * Wikipedia-vs-CommonCrawl setting — two scans are unavoidable).
     */
   def fitLogRatios(
       target: DataFrame, raw: DataFrame, textCol: String,
@@ -66,12 +76,30 @@ object Dsir {
         .foreach(r => h(r.getLong(0).toInt) = r.getLong(1))
       h
     }
-    val t = hist(target)
-    val r = hist(raw)
-    val tTot = (t.sum + buckets).toDouble
-    val rTot = (r.sum + buckets).toDouble
-    Array.tabulate(buckets)(b =>
-      math.log((t(b) + 1) / tTot) - math.log((r(b) + 1) / rTot))
+    ratiosFrom(hist(target), hist(raw), buckets)
+  }
+
+  /** One-pass fit for the common case where the target is a *slice* of
+    * the raw corpus (a predicate): both histograms come out of a single
+    * gram-hashing scan — raw count and `count_if(isTarget)` in the same
+    * combinable aggregation. Halves the dominant cost (per-gram md5).
+    */
+  def fitLogRatiosFlagged(
+      docs: DataFrame, isTarget: Column, textCol: String,
+      buckets: Int): Array[Double] = {
+    val t = new Array[Long](buckets)
+    val r = new Array[Long](buckets)
+    docs
+      .select(isTarget.as("__dsir_t"),
+        explode(gramBuckets(col(textCol), buckets)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("r"), count_if(col("__dsir_t")).as("t"))
+      .collect()
+      .foreach { x =>
+        val b = x.getLong(0).toInt
+        r(b) = x.getLong(1); t(b) = x.getLong(2)
+      }
+    ratiosFrom(t, r, buckets)
   }
 
   /** Score documents by summed log importance weight — a pure

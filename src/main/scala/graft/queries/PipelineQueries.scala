@@ -760,9 +760,13 @@ object PipelineQueries {
     */
   def q76DsirWeights(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val ratios = graft.pipeline.Dsir.fitLogRatios(
-      docs.filter(col("lang") === "en"), docs, "text", DsirB)
+    // one-pass fit (target is a slice of raw), and the scored frame is
+    // materialized so the md5-heavy scoring projection runs exactly once
+    // — it feeds both the top-k and the flag join
+    val ratios = graft.pipeline.Dsir.fitLogRatiosFlagged(
+      docs, col("lang") === "en", "text", DsirB)
     val scored = graft.pipeline.Dsir.score(docs, "doc_id", "text", ratios)
+      .localCheckpoint()
     val top = graft.pipeline.Dsir.selectTopK(scored, "doc_id", DsirTopK)
       .select(col("doc_id"), lit(1).as("selected"))
     scored.join(broadcast(top), Seq("doc_id"), "left")
@@ -807,6 +811,99 @@ object PipelineQueries {
        |SELECT r.doc_id, r.n_grams, r.weight,
        |       CAST(r.doc_id IN (SELECT doc_id FROM sel) AS INT) AS selected
        |FROM r ORDER BY r.doc_id""".stripMargin
+  }
+
+  // ---- q77: product-quantized ANN (ADC scan + exact rerank) --------------
+
+  private val PqM = 8
+  private val PqK = 16
+  private val PqTopK = 10
+
+  /** PQ over the embeddings table with deterministic md5-sampled
+    * codebooks: encode → exhaustive ADC top-10 per query → exact rerank
+    * column. The oracle resamples the codebooks, re-encodes, and replays
+    * the ADC arithmetic in the same summation order; every dot product
+    * is sequential on both sides, scores round once (4 dp, the q27
+    * precision), and all ranks tie-break on ids.
+    */
+  def q77PqAdcTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = graft.pipeline.Pq.sampleCodebooks(
+      emb, "vec_id", "embedding", m = PqM, k = PqK)
+    val enc = graft.pipeline.Pq.encode(emb, "vec_id", "embedding", cb)
+    graft.pipeline.Pq.adcTopK(
+        enc, emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", cb, k = PqTopK)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q77Oracle: String = {
+    val (m, k, topk) = (PqM, PqK, PqTopK)
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |dims AS (SELECT CAST(len(v) / $m AS INT) AS dsub FROM emb LIMIT 1),
+       |ss AS (SELECT unnest(range(0, $m)) AS s),
+       |sub AS (
+       |  SELECT e.vec_id, ss.s,
+       |         list_slice(e.v, ss.s * d.dsub + 1, ss.s * d.dsub + d.dsub) AS xs
+       |  FROM emb e CROSS JOIN ss CROSS JOIN dims d
+       |),
+       |rk AS (
+       |  SELECT s, vec_id,
+       |         ('0x' || substr(md5(s::VARCHAR || ':' || vec_id::VARCHAR),
+       |                         1, 14))::BIGINT AS r
+       |  FROM sub
+       |),
+       |seeds AS (
+       |  SELECT s, vec_id,
+       |         row_number() OVER (PARTITION BY s ORDER BY r, vec_id) - 1 AS j
+       |  FROM rk
+       |  QUALIFY j < $k
+       |),
+       |cb AS (
+       |  SELECT sd.s, sd.j, sb.xs AS c,
+       |         list_dot_product(sb.xs, sb.xs) AS cc
+       |  FROM seeds sd JOIN sub sb ON sb.vec_id = sd.vec_id AND sb.s = sd.s
+       |),
+       |enc AS (
+       |  SELECT sb.vec_id, sb.s, cb.j,
+       |         round(list_dot_product(sb.xs, sb.xs)
+       |               - 2.0 * list_dot_product(sb.xs, cb.c) + cb.cc, 6) AS d
+       |  FROM sub sb JOIN cb ON cb.s = sb.s
+       |),
+       |codes AS (
+       |  SELECT vec_id, s, j FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1
+       |),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+       |parts AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.s,
+       |         list_dot_product(
+       |           list_slice(q.qv, c.s * d.dsub + 1, c.s * d.dsub + d.dsub),
+       |           cb.c) AS p
+       |  FROM codes c
+       |  JOIN cb ON cb.s = c.s AND cb.j = c.j
+       |  CROSS JOIN q CROSS JOIN dims d
+       |  WHERE c.vec_id <> q.query_id
+       |),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_reduce(list(p ORDER BY s), (a, b) -> a + b), 4)
+       |           AS adc_sim
+       |  FROM parts GROUP BY query_id, neighbor_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_sim DESC, neighbor_id) AS rnk
+       |  FROM adc QUALIFY rnk <= $topk
+       |)
+       |SELECT r.query_id, r.neighbor_id, r.adc_sim,
+       |       round(list_dot_product(q.qv, e.v), 4) AS exact_sim,
+       |       CAST(r.rnk AS BIGINT) AS rnk
+       |FROM ranked r
+       |JOIN q ON q.query_id = r.query_id
+       |JOIN emb e ON e.vec_id = r.neighbor_id
+       |ORDER BY r.query_id, r.rnk""".stripMargin
   }
 
   // ---- q63: benchmark decontamination -----------------------------------
@@ -904,6 +1001,7 @@ object PipelineQueries {
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
     "q76_dsir_weights" -> (q76DsirWeights _),
+    "q77_pq_adc_topk" -> (q77PqAdcTopK _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -924,6 +1022,7 @@ object PipelineQueries {
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,
     "q76_dsir_weights" -> q76Oracle,
+    "q77_pq_adc_topk" -> q77Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

@@ -192,6 +192,10 @@ class PipelineSpec extends AnyFunSuite {
     val target = docs.filter(col("doc_id") <= 2)
     val ratios = pipeline.Dsir.fitLogRatios(target, docs, "text", buckets = 64)
     assert(ratios.length == 64)
+    // the one-pass flagged fit is exactly the two-scan fit
+    val flagged = pipeline.Dsir.fitLogRatiosFlagged(
+      docs, col("doc_id") <= 2, "text", buckets = 64)
+    assert(flagged.sameElements(ratios))
     val scored = pipeline.Dsir.score(docs, "doc_id", "text", ratios)
     val m = scored.collect()
       .map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
@@ -203,6 +207,40 @@ class PipelineSpec extends AnyFunSuite {
     val top = pipeline.Dsir.selectTopK(scored, "doc_id", 2)
       .collect().map(_.getLong(0)).toSet
     assert(top == Set(1L, 2L), s"top-2 was $top")
+  }
+
+  test("pq: twins share codes, adc keeps clusters apart, rerank is exact") {
+    // two tight clusters at +1 and -1 in every dimension; id 2 is an
+    // exact twin of id 1
+    def vec(base: Float, jitter: Float): Seq[Float] =
+      Seq.tabulate(16)(i => base + jitter * ((i % 3) - 1))
+    val rows = Seq(
+      1L -> vec(1f, 0.01f), 2L -> vec(1f, 0.01f),
+      3L -> vec(1f, 0.02f), 4L -> vec(1f, 0.03f), 5L -> vec(1f, 0.04f),
+      6L -> vec(-1f, 0.01f), 7L -> vec(-1f, 0.02f), 8L -> vec(-1f, 0.03f),
+      9L -> vec(-1f, 0.04f), 10L -> vec(-1f, 0.05f))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cb = pipeline.Pq.sampleCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    assert(cb.m == 4 && cb.dsub == 4 && cb.codes.forall(_.length == 4))
+    val enc = pipeline.Pq.encode(corpus, "vec_id", "embedding", cb)
+    val codes = enc.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == codes(2L), "exact twins must share all codes")
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 4)))
+    val top = pipeline.Pq.adcTopK(
+        enc, corpus, corpus.filter(col("vec_id") === 1), "vec_id",
+        "embedding", cb, k = 3)
+      .orderBy("rnk").collect()
+    assert(top.length == 3)
+    // cross-cluster ADC is ~-16 vs +16: the shortlist stays in-cluster
+    assert(top.forall(r => Set(2L, 3L, 4L, 5L).contains(r.getLong(1))),
+      top.map(_.getLong(1)).mkString(","))
+    // rerank column is the true dot product: the twin's is the self-dot
+    val twin = top.find(_.getLong(1) == 2L)
+    twin.foreach { r =>
+      val selfDot = rows.head._2.map(x => x.toDouble * x.toDouble).sum
+      assert(math.abs(r.getDouble(3) - selfDot) < 1e-3)
+    }
   }
 
   test("cleaning funnel: monotone, removes exact twins at stage 2 and mutated at stage 3") {

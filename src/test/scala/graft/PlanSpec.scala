@@ -66,6 +66,15 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("Aggregate"), p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("pq encode is a shuffle-free projection with literal codebooks") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val cb = graft.pipeline.Pq.sampleCodebooks(
+      emb, "vec_id", "embedding", m = 8, k = 16)
+    val p = plan(graft.pipeline.Pq.encode(emb, "vec_id", "embedding", cb))
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Aggregate"), p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("null-safe dedup anti-join stays a hash join (no nested-loop fallback)") {
     val bh = graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
     val p = plan(store.ConsolidatedStore.mergeNew(bh, bh.drop("LogID")))
