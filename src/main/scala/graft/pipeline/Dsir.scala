@@ -31,17 +31,21 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Hashed unigram+bigram multiset of a document, as bucket ids.
-    * Row-local; bigrams join with '_' before hashing.
+    * Row-local; bigrams join with '_' before hashing. The token array is
+    * let-bound: Catalyst does not CSE an outer expression referenced
+    * inside a HOF lambda, so without the binding every `element_at(w, i)`
+    * in the bigram lambda would re-run the whole normalize+split per
+    * element — O(tokens²) regex work per document (measured 50× on q76).
     */
-  def gramBuckets(text: Column, buckets: Int): Column = {
-    val w = TextAnalysis.tokens(text)
-    val bigrams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    transform(concat(w, bigrams),
-      g => conv(substring(md5(g), 1, 14), 16, 10).cast("long") % buckets)
-  }
+  def gramBuckets(text: Column, buckets: Int): Column =
+    graft.functions.Let.let(TextAnalysis.tokens(text), w => {
+      val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws("_", element_at(w, i), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      transform(concat(w, bigrams),
+        g => conv(substring(md5(g), 1, 14), 16, 10).cast("long") % buckets)
+    })
 
   /** Corpus gram-bucket histogram: `buckets`-or-fewer rows of
     * (bucket, cnt). One combinable aggregation — partial counts collapse
