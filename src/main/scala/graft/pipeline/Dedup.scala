@@ -39,9 +39,11 @@ object Dedup {
     array_distinct(when(size(w) >= n, grams).otherwise(array()))
   }
 
-  /** Distinct word n-gram shingles of the normalized text. */
+  /** Distinct word n-gram shingles of the normalized text. Let-bound so
+    * the tokenization runs once, honoring the contract above.
+    */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromTokens(tokens(text), n)
+    graft.functions.Let.let(tokens(text), w => shinglesFromTokens(w, n))
 
   /** (doc_id, shingle) rows with tokenization materialized once. */
   private def shingleRows(

@@ -31,15 +31,21 @@ object ImageCodec {
       lumaMean: Double,
       lumaHist: Array[Float])
 
+  /** Raw decode to a BufferedImage, or None on unrecognizable bytes —
+    * shared by the feature summary below and [[VideoCodec.decodeAvi]]'s
+    * per-frame DIB decode.
+    */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    Option(
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null })
+
   /** Decode an encoded image payload, or None when the bytes are not a
     * recognizable image (ImageIO returns null / throws on garbage —
     * both map to None so callers can fall back).
     */
   def decode(bytes: Array[Byte]): Option[DecodedImage] = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
-    Option(img).map { bi =>
+    readImage(bytes).map { bi =>
       val w = bi.getWidth
       val h = bi.getHeight
       val hist = new Array[Float](8)

@@ -92,12 +92,22 @@ object Multimodal {
           d.ampMean, nFrames(r), d.ampHist))
         .getOrElse(decodeStub(r))
     case "video" =>
-      // container metadata parses at value level ([[VideoCodec]]): the
-      // frame count comes from the REAL mvhd duration; pixel features
-      // stay byte-derived (no JVM video codec — the documented stub)
-      VideoCodec.probe(r.payload)
-        .map(m => decodeStub(r)
-          .copy(n_frames = math.max(1L, m.durationMs / 1000L).toInt))
+      // AVI with uncompressed DIB frames decodes at PIXEL level (RIFF
+      // walk + the JDK's BMP reader): mean luma + luma histogram over
+      // every frame, frame count from the movi list. MP4 payloads parse
+      // at container level ([[VideoCodec.probe]]): the frame count comes
+      // from the REAL mvhd duration but pixel features stay byte-derived
+      // (no JVM codec for compressed video — the documented stub).
+      VideoCodec.decodeAvi(r.payload)
+        .map { d =>
+          val px = math.max(1L, d.nFrames.toLong * d.width * d.height)
+          MediaFeatures(r.media_id, r.media_type, r.payload.length,
+            d.lumaSum1000.toDouble / (1000.0 * px), d.nFrames,
+            d.lumaHist.map(c => (c.toDouble / px).toFloat))
+        }
+        .orElse(VideoCodec.probe(r.payload)
+          .map(m => decodeStub(r)
+            .copy(n_frames = math.max(1L, m.durationMs / 1000L).toInt)))
         .getOrElse(decodeStub(r))
     case _ => decodeStub(r)
   }

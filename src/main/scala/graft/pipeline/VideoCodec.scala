@@ -235,4 +235,151 @@ object VideoCodec {
       videoCodec = tracks.find(_.handler == "vide").map(_.format).getOrElse(""),
       audioTracks = tracks.count(_.handler == "soun")))
   }
+
+  // ---- AVI / uncompressed-DIB frames: real pixel-level video decode ------
+  //
+  // The one video format a bare JVM CAN decode at pixel level: AVI is a
+  // RIFF container (same family as WAV) and uncompressed 24-bpp DIB
+  // frames are BMP pixel arrays, which `javax.imageio` reads. Like the
+  // WAV path, the encoder below is a hand-rolled fixture writer while the
+  // decoder goes through a generic RIFF walker + the JDK's BMP reader, so
+  // an encode-side bug cannot cancel a decode-side one.
+
+  /** Pixel-exact summary of a decoded AVI: header fields from `avih`/
+    * `strh`, frames counted from the `movi` list, and integer luma stats
+    * (luma1000 = 299r + 587g + 114b per pixel — exact integers, no float
+    * rounding) over every decoded frame.
+    */
+  final case class DecodedAvi(
+      width: Int,
+      height: Int,
+      usPerFrame: Int,
+      handler: String,
+      nFrames: Int,
+      lumaSum1000: Long,
+      lumaHist: Array[Long]) // 8 buckets of min(7, luma1000 / 32000)
+
+  private def leFourcc(b: ByteBuffer, s: String): Unit =
+    b.put(s.getBytes(StandardCharsets.US_ASCII))
+
+  /** Minimal canonical AVI around uncompressed 24-bpp bottom-up BGR DIB
+    * frames ('00db' chunks). Requires `w % 4 == 0` so rows need no pad
+    * bytes. Layout is fixed: 224 + n*(8 + 3*w*h) bytes total.
+    */
+  def encodeAviDib(
+      frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
+    require(w % 4 == 0, s"width must be a multiple of 4, got $w")
+    require(frames.forall(_.length == 3 * w * h), "frame size mismatch")
+    val frameBytes = 3 * w * h
+    val n = frames.length
+    val moviSize = 4 + n * (8 + frameBytes) // 'movi' + chunks
+    val hdrlSize = 4 + 64 + 12 + 64 + 48 // 'hdrl' + avih + LIST strl hdr + strh + strf
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val b = ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    leFourcc(b, "RIFF"); b.putInt(total - 8); leFourcc(b, "AVI ")
+    leFourcc(b, "LIST"); b.putInt(hdrlSize); leFourcc(b, "hdrl")
+    leFourcc(b, "avih"); b.putInt(56)
+    b.putInt(usPerFrame); b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(n); b.putInt(0); b.putInt(1); b.putInt(frameBytes)
+    b.putInt(w); b.putInt(h)
+    (0 until 4).foreach(_ => b.putInt(0))
+    leFourcc(b, "LIST"); b.putInt(4 + 64 + 48); leFourcc(b, "strl")
+    leFourcc(b, "strh"); b.putInt(56)
+    leFourcc(b, "vids"); leFourcc(b, "DIB ")
+    b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
+    b.putInt(usPerFrame); b.putInt(1000000) // scale, rate (rate/scale fps-ish)
+    b.putInt(0); b.putInt(n); b.putInt(frameBytes); b.putInt(-1)
+    b.putInt(0)
+    b.putShort(0); b.putShort(0); b.putShort(w.toShort); b.putShort(h.toShort)
+    leFourcc(b, "strf"); b.putInt(40)
+    b.putInt(40); b.putInt(w); b.putInt(h); b.putShort(1); b.putShort(24)
+    b.putInt(0); b.putInt(frameBytes); b.putInt(0); b.putInt(0)
+    b.putInt(0); b.putInt(0)
+    leFourcc(b, "LIST"); b.putInt(moviSize); leFourcc(b, "movi")
+    frames.foreach { f =>
+      leFourcc(b, "00db"); b.putInt(frameBytes); b.put(f)
+    }
+    b.array()
+  }
+
+  private def leU32(bytes: Array[Byte], off: Int): Long =
+    (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+      ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+
+  /** Wrap a raw DIB (40-byte BITMAPINFOHEADER + pixel rows) as a .bmp
+    * file so the JDK's ImageIO BMP reader does the pixel decode.
+    */
+  private def dibToBmp(info: Array[Byte], pixels: Array[Byte]): Array[Byte] = {
+    val total = 14 + info.length + pixels.length
+    val b = ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte); b.put('M'.toByte)
+    b.putInt(total); b.putShort(0); b.putShort(0)
+    b.putInt(14 + info.length)
+    b.put(info); b.put(pixels)
+    b.array()
+  }
+
+  /** Decode an AVI payload with uncompressed DIB frames, or None when the
+    * bytes are not RIFF/AVI or no frame decodes. Generic RIFF chunk walk
+    * (shares no offsets with the encoder); pixels via ImageIO.
+    */
+  def decodeAvi(bytes: Array[Byte]): Option[DecodedAvi] = {
+    if (bytes == null || bytes.length < 12) return None
+    if (typ4(bytes, 0) != "RIFF" || typ4(bytes, 8) != "AVI ") return None
+    var width = 0; var height = 0; var usPerFrame = 0
+    var handler = ""
+    var strf: Array[Byte] = null
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+
+    def walkRiff(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = typ4(bytes, off)
+        val size = leU32(bytes, off + 4).toInt
+        val body = off + 8
+        if (size < 0 || body + size > end) return
+        if (id == "LIST" && size >= 4) {
+          walkRiff(body + 4, body + size) // skip the list subtype fourcc
+        } else if (id == "avih" && size >= 40) {
+          usPerFrame = leU32(bytes, body).toInt
+          width = leU32(bytes, body + 32).toInt
+          height = leU32(bytes, body + 36).toInt
+        } else if (id == "strh" && size >= 8 &&
+          typ4(bytes, body) == "vids") {
+          handler = typ4(bytes, body + 4)
+        } else if (id == "strf" && strf == null) {
+          strf = java.util.Arrays.copyOfRange(bytes, body, body + size)
+        } else if (id.endsWith("db") || id.endsWith("dc")) {
+          frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+        }
+        off = body + size + (size & 1) // RIFF chunks are word-aligned
+      }
+    }
+    walkRiff(12, bytes.length)
+    if (width <= 0 || height <= 0 || strf == null || frames.isEmpty) return None
+
+    val hist = new Array[Long](8)
+    var sum = 0L
+    var decoded = 0
+    frames.foreach { f =>
+      ImageCodec.readImage(dibToBmp(strf, f)).foreach { bi =>
+        decoded += 1
+        var y = 0
+        while (y < bi.getHeight) {
+          var x = 0
+          while (x < bi.getWidth) {
+            val rgb = bi.getRGB(x, y)
+            val luma1000 = 299 * ((rgb >> 16) & 0xff) +
+              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+            sum += luma1000
+            hist(math.min(7, luma1000 / 32000)) += 1L
+            x += 1
+          }
+          y += 1
+        }
+      }
+    }
+    if (decoded == 0) None
+    else Some(DecodedAvi(width, height, usPerFrame, handler, decoded, sum, hist))
+  }
 }

@@ -553,6 +553,95 @@ object SimilarityQueries {
       |FROM documents WHERE doc_id % 19 = 0
       |ORDER BY media_id""".stripMargin
 
+  /** q78: REAL video pixel decode — AVI with uncompressed DIB frames,
+    * hand-encoded from id-derived pixel formulas
+    * ([[graft.pipeline.VideoCodec.encodeAviDib]]), decoded through the
+    * generic RIFF walker + the JDK's BMP reader, and routed through the
+    * standard [[Multimodal.extractFeatures]] batch boundary. Every
+    * output de-normalizes to exact integers (q71 lesson): per-pixel
+    * integer luma1000 = 299r+587g+114b summed over ALL frames, 8
+    * histogram-bucket counts, and the fixed container length formula.
+    * `n_frames` comes from the decoder's movi walk, and the pixel-count
+    * denominators reuse it — a dropped or duplicated frame breaks every
+    * column at once.
+    */
+  def q78AviFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.VideoCodec
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 23 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val w = (8 + (id % 3) * 4).toInt
+      val h = (6 + (id % 4) * 2).toInt
+      val n = (3 + id % 3).toInt
+      val frames = (0 until n).map { f =>
+        val px = new Array[Byte](3 * w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            px(i) = ((id * 31 + f * 17 + y * 5 + x * 3) % 256).toByte
+            px(i + 1) = ((id * 13 + f * 19 + y * 7 + x * 11) % 256).toByte
+            px(i + 2) = ((id * 29 + f * 23 + y * 3 + x * 13) % 256).toByte
+            i += 3; x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      MediaRecord(id, "video", w, h, n * 40,
+        VideoCodec.encodeAviDib(frames, w, h, usPerFrame = 40000))
+    }.toDF()
+    val wCol = lit(8) + (col("media_id") % 3) * 4
+    val hCol = lit(6) + (col("media_id") % 4) * 2
+    val px = (col("n_frames") * wCol * hCol).cast("bigint")
+    val counts = (0 until 8).map(i =>
+      round(element_at(col("feature"), i + 1).cast("double") * px)
+        .cast("bigint").as(s"c$i"))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(Seq(
+        col("media_id"),
+        col("n_bytes").cast("bigint").as("n_bytes"),
+        col("n_frames").cast("bigint").as("n_frames"),
+        round(col("byte_mean") * px * 1000).cast("bigint").as("luma_sum"))
+        ++ counts: _*)
+      .orderBy("media_id")
+  }
+
+  val q78Oracle: String = {
+    val buckets = (0 until 8).map(k =>
+      s"CAST(sum(CASE WHEN least(7, luma // 32000) = $k THEN 1 ELSE 0 END) " +
+        s"AS BIGINT) AS c$k").mkString(",\n|       ")
+    s"""WITH p AS (
+       |  SELECT doc_id,
+       |         8 + (doc_id % 3) * 4 AS w,
+       |         6 + (doc_id % 4) * 2 AS h,
+       |         3 + (doc_id % 3) AS n
+       |  FROM documents WHERE doc_id % 23 = 0
+       |),
+       |px AS (
+       |  SELECT p.doc_id, p.w, p.h, p.n,
+       |         299 * ((p.doc_id * 29 + f.i * 23 + y.i * 3 + x.i * 13) % 256)
+       |       + 587 * ((p.doc_id * 13 + f.i * 19 + y.i * 7 + x.i * 11) % 256)
+       |       + 114 * ((p.doc_id * 31 + f.i * 17 + y.i * 5 + x.i * 3) % 256)
+       |           AS luma
+       |  FROM p,
+       |       generate_series(0, 4) AS f(i),
+       |       generate_series(0, 11) AS y(i),
+       |       generate_series(0, 15) AS x(i)
+       |  WHERE f.i < p.n AND y.i < p.h AND x.i < p.w
+       |)
+       |SELECT doc_id AS media_id,
+       |       CAST(224 + n * (8 + 3 * w * h) AS BIGINT) AS n_bytes,
+       |       CAST(n AS BIGINT) AS n_frames,
+       |       CAST(sum(luma) AS BIGINT) AS luma_sum,
+       |       $buckets
+       |FROM px GROUP BY doc_id, w, h, n
+       |ORDER BY media_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -563,6 +652,7 @@ object SimilarityQueries {
     "q45_frame_samples" -> (q45FrameSamples _),
     "q71_wav_features" -> (q71WavFeatures _),
     "q74_mp4_metadata" -> (q74Mp4Metadata _),
+    "q78_avi_features" -> (q78AviFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
     "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _)
@@ -578,6 +668,7 @@ object SimilarityQueries {
     "q45_frame_samples" -> q45Oracle,
     "q71_wav_features" -> q71Oracle,
     "q74_mp4_metadata" -> q74Oracle,
+    "q78_avi_features" -> q78Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
     "q69_ann_ivf_kmeans" -> q69Oracle

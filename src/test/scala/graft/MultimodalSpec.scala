@@ -172,6 +172,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats(2L).n_frames == stub2.n_frames && feats(2L).n_frames == 99)
   }
 
+  test("AVI/DIB decode recovers exact header fields and pixel luma sums") {
+    import graft.pipeline.VideoCodec
+    val (w, h, n) = (8, 4, 3)
+    // frame f, storage row y, col x: B=f+x, G=2*f+y, R=40*f (known values)
+    val frames = (0 until n).map { f =>
+      val px = new Array[Byte](3 * w * h)
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        px(i) = (f + x).toByte; px(i + 1) = (2 * f + y).toByte
+        px(i + 2) = (40 * f).toByte; i += 3
+      }
+      px
+    }
+    val bytes = VideoCodec.encodeAviDib(frames, w, h, usPerFrame = 40000)
+    assert(bytes.length == 224 + n * (8 + 3 * w * h), "documented length formula")
+    val d = VideoCodec.decodeAvi(bytes).get
+    assert(d.width == w && d.height == h && d.usPerFrame == 40000 &&
+      d.handler == "DIB " && d.nFrames == n)
+    var expSum = 0L
+    val expHist = new Array[Long](8)
+    for (f <- 0 until n; y <- 0 until h; x <- 0 until w) {
+      val luma = 299 * (40 * f) + 587 * (2 * f + y) + 114 * (f + x)
+      expSum += luma; expHist(math.min(7, luma / 32000)) += 1
+    }
+    assert(d.lumaSum1000 == expSum, s"${d.lumaSum1000} vs $expSum")
+    assert(d.lumaHist.sameElements(expHist))
+    // garbage and truncated payloads refuse to decode
+    assert(VideoCodec.decodeAvi("RIFFjunk".getBytes("US-ASCII")).isEmpty)
+    assert(VideoCodec.decodeAvi(bytes.take(60)).isEmpty)
+  }
+
   test("extractFeatures takes the real path for images, stub otherwise") {
     import spark.implicits._
     val png = encode(flat(4, 4, 0xffffff), "png")
