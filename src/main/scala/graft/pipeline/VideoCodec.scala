@@ -262,6 +262,42 @@ object VideoCodec {
   private def leFourcc(b: ByteBuffer, s: String): Unit =
     b.put(s.getBytes(StandardCharsets.US_ASCII))
 
+  private def writeAvi(
+      frames: Seq[Array[Byte]], chunkId: String, handler: String,
+      biCompression: Int, w: Int, h: Int, usPerFrame: Int,
+      bufSize: Int): Array[Byte] = {
+    val n = frames.length
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlSize = 4 + 64 + 12 + 64 + 48 // 'hdrl' + avih + LIST strl hdr + strh + strf
+    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
+    val b = ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    leFourcc(b, "RIFF"); b.putInt(total - 8); leFourcc(b, "AVI ")
+    leFourcc(b, "LIST"); b.putInt(hdrlSize); leFourcc(b, "hdrl")
+    leFourcc(b, "avih"); b.putInt(56)
+    b.putInt(usPerFrame); b.putInt(0); b.putInt(0); b.putInt(0)
+    b.putInt(n); b.putInt(0); b.putInt(1); b.putInt(bufSize)
+    b.putInt(w); b.putInt(h)
+    (0 until 4).foreach(_ => b.putInt(0))
+    leFourcc(b, "LIST"); b.putInt(4 + 64 + 48); leFourcc(b, "strl")
+    leFourcc(b, "strh"); b.putInt(56)
+    leFourcc(b, "vids"); leFourcc(b, handler)
+    b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
+    b.putInt(usPerFrame); b.putInt(1000000) // scale, rate (rate/scale fps-ish)
+    b.putInt(0); b.putInt(n); b.putInt(bufSize); b.putInt(-1)
+    b.putInt(0)
+    b.putShort(0); b.putShort(0); b.putShort(w.toShort); b.putShort(h.toShort)
+    leFourcc(b, "strf"); b.putInt(40)
+    b.putInt(40); b.putInt(w); b.putInt(h); b.putShort(1); b.putShort(24)
+    b.putInt(biCompression); b.putInt(bufSize); b.putInt(0); b.putInt(0)
+    b.putInt(0); b.putInt(0)
+    leFourcc(b, "LIST"); b.putInt(moviSize); leFourcc(b, "movi")
+    frames.foreach { f =>
+      leFourcc(b, chunkId); b.putInt(f.length); b.put(f)
+      if ((f.length & 1) == 1) b.put(0.toByte) // RIFF word alignment
+    }
+    b.array()
+  }
+
   /** Minimal canonical AVI around uncompressed 24-bpp bottom-up BGR DIB
     * frames ('00db' chunks). Requires `w % 4 == 0` so rows need no pad
     * bytes. Layout is fixed: 224 + n*(8 + 3*w*h) bytes total.
@@ -270,36 +306,19 @@ object VideoCodec {
       frames: Seq[Array[Byte]], w: Int, h: Int, usPerFrame: Int): Array[Byte] = {
     require(w % 4 == 0, s"width must be a multiple of 4, got $w")
     require(frames.forall(_.length == 3 * w * h), "frame size mismatch")
-    val frameBytes = 3 * w * h
-    val n = frames.length
-    val moviSize = 4 + n * (8 + frameBytes) // 'movi' + chunks
-    val hdrlSize = 4 + 64 + 12 + 64 + 48 // 'hdrl' + avih + LIST strl hdr + strh + strf
-    val total = 12 + (8 + hdrlSize) + (8 + moviSize)
-    val b = ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    leFourcc(b, "RIFF"); b.putInt(total - 8); leFourcc(b, "AVI ")
-    leFourcc(b, "LIST"); b.putInt(hdrlSize); leFourcc(b, "hdrl")
-    leFourcc(b, "avih"); b.putInt(56)
-    b.putInt(usPerFrame); b.putInt(0); b.putInt(0); b.putInt(0)
-    b.putInt(n); b.putInt(0); b.putInt(1); b.putInt(frameBytes)
-    b.putInt(w); b.putInt(h)
-    (0 until 4).foreach(_ => b.putInt(0))
-    leFourcc(b, "LIST"); b.putInt(4 + 64 + 48); leFourcc(b, "strl")
-    leFourcc(b, "strh"); b.putInt(56)
-    leFourcc(b, "vids"); leFourcc(b, "DIB ")
-    b.putInt(0); b.putShort(0); b.putShort(0); b.putInt(0)
-    b.putInt(usPerFrame); b.putInt(1000000) // scale, rate (rate/scale fps-ish)
-    b.putInt(0); b.putInt(n); b.putInt(frameBytes); b.putInt(-1)
-    b.putInt(0)
-    b.putShort(0); b.putShort(0); b.putShort(w.toShort); b.putShort(h.toShort)
-    leFourcc(b, "strf"); b.putInt(40)
-    b.putInt(40); b.putInt(w); b.putInt(h); b.putShort(1); b.putShort(24)
-    b.putInt(0); b.putInt(frameBytes); b.putInt(0); b.putInt(0)
-    b.putInt(0); b.putInt(0)
-    leFourcc(b, "LIST"); b.putInt(moviSize); leFourcc(b, "movi")
-    frames.foreach { f =>
-      leFourcc(b, "00db"); b.putInt(frameBytes); b.put(f)
-    }
-    b.array()
+    writeAvi(frames, "00db", "DIB ", 0, w, h, usPerFrame, 3 * w * h)
+  }
+
+  /** Motion-JPEG AVI: each '00dc' chunk is a self-contained JPEG (the
+    * real-world camera/webcam format). Lossy, so only spec-tested with
+    * tolerance — the exact-integer oracle path is the DIB form.
+    */
+  def encodeAviMjpeg(
+      jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+      usPerFrame: Int): Array[Byte] = {
+    val mjpg = 'M'.toInt | ('J'.toInt << 8) | ('P'.toInt << 16) | ('G'.toInt << 24)
+    writeAvi(jpegFrames, "00dc", "MJPG", mjpg, w, h, usPerFrame,
+      jpegFrames.foldLeft(0)((a, f) => math.max(a, f.length)))
   }
 
   private def leU32(bytes: Array[Byte], off: Int): Long =
@@ -329,7 +348,10 @@ object VideoCodec {
     var width = 0; var height = 0; var usPerFrame = 0
     var handler = ""
     var strf: Array[Byte] = null
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // (bytes, compressed): 'xxdb' chunks are raw DIB pixel arrays needing
+    // the strf header; 'xxdc' chunks are self-contained encoded frames
+    // (MJPEG = one JPEG per chunk), which ImageIO reads directly
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Boolean)]
 
     def walkRiff(start: Int, end: Int): Unit = {
       var off = start
@@ -350,7 +372,8 @@ object VideoCodec {
         } else if (id == "strf" && strf == null) {
           strf = java.util.Arrays.copyOfRange(bytes, body, body + size)
         } else if (id.endsWith("db") || id.endsWith("dc")) {
-          frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+          frames += ((java.util.Arrays.copyOfRange(bytes, body, body + size),
+            id.endsWith("dc")))
         }
         off = body + size + (size & 1) // RIFF chunks are word-aligned
       }
@@ -361,8 +384,11 @@ object VideoCodec {
     val hist = new Array[Long](8)
     var sum = 0L
     var decoded = 0
-    frames.foreach { f =>
-      ImageCodec.readImage(dibToBmp(strf, f)).foreach { bi =>
+    frames.foreach { case (f, compressed) =>
+      val img =
+        if (compressed) ImageCodec.readImage(f)
+        else ImageCodec.readImage(dibToBmp(strf, f))
+      img.foreach { bi =>
         decoded += 1
         var y = 0
         while (y < bi.getHeight) {

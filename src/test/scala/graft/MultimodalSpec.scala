@@ -203,6 +203,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(VideoCodec.decodeAvi(bytes.take(60)).isEmpty)
   }
 
+  test("MJPEG AVI: self-contained JPEG chunks decode with lossy tolerance") {
+    import graft.pipeline.VideoCodec
+    val (w, h) = (16, 16)
+    val jpegs = Seq(50, 200).map(v => encode(flat(w, h, v << 16 | v << 8 | v), "jpg"))
+    val bytes = VideoCodec.encodeAviMjpeg(jpegs, w, h, usPerFrame = 33333)
+    val d = VideoCodec.decodeAvi(bytes).get
+    assert(d.nFrames == 2 && d.handler == "MJPG" && d.width == w && d.height == h)
+    // flat gray v has luma1000 = 1000v; JPEG is lossy -> tolerance
+    val meanLuma = d.lumaSum1000.toDouble / (2 * w * h)
+    assert(math.abs(meanLuma - 125000.0) < 6000.0, meanLuma.toString)
+  }
+
   test("extractFeatures takes the real path for images, stub otherwise") {
     import spark.implicits._
     val png = encode(flat(4, 4, 0xffffff), "png")
