@@ -226,12 +226,58 @@ object EtlQueries {
         |SELECT 2, 'srvB', win.n, 0, mx.wm FROM win, mx
         |ORDER BY run, server""".stripMargin)
 
+  /** §2.9 LIVE: the ETL's load/dedup/advance triangle through the REAL
+    * Structured Streaming path — q64's streaming twin. The canonical
+    * batch is delivered twice (duplicate redelivery) into a file-source
+    * stream; `StreamingEtl.runStream` dedups within the watermark and
+    * foreachBatch-appends into the consolidated store, advancing the
+    * watermark after the load. The store must end with exactly the
+    * distinct dedup keys, each with a unique LogID (`n_ids` must equal
+    * `n_rows` — the oracle pins both to the same distinct-key count), and
+    * the watermark must advance to the batch max. The oracle replays the
+    * derivation algebra only — no state, like q64.
+    */
+  def q81StreamingEtlLive(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q81-").toString
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    bh.write.mode("append").parquet(s"$tmp/in")
+    bh.write.mode("append").parquet(s"$tmp/in")
+    val incoming = spark.readStream.schema(bh.schema).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingEtl.runStream(spark, incoming, "srvL",
+      s"$tmp/cons", s"$tmp/wm", s"$tmp/ckpt")
+    q.processAllAvailable(); q.stop()
+    val stored = ConsolidatedStore.read(spark, s"$tmp/cons")
+    val wm = graft.store.WatermarkStore.read(spark, s"$tmp/wm")("srvL")
+    stored.groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        max("backup_finish_date").as("db_max_finish"))
+      .withColumn("wm_advanced", lit(wm))
+      .orderBy("database_name")
+  }
+
+  val q81Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT database_name,
+      |         CAST(count(DISTINCT (last_lsn, first_lsn,
+      |                              physical_device_name)) AS BIGINT) AS n_rows,
+      |         max(backup_finish_date) AS db_max_finish
+      |  FROM backup_history GROUP BY database_name
+      |),
+      |mx AS (SELECT max(backup_finish_date) AS wm FROM backup_history)
+      |SELECT database_name, n_rows, n_rows AS n_ids, db_max_finish,
+      |       mx.wm AS wm_advanced
+      |FROM k, mx ORDER BY database_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
     "q17_watermark_window" -> (q17WatermarkWindow _),
-    "q64_etl_round_trip" -> (q64EtlRoundTrip _)
+    "q64_etl_round_trip" -> (q64EtlRoundTrip _),
+    "q81_streaming_etl_live" -> (q81StreamingEtlLive _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -239,6 +285,7 @@ object EtlQueries {
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,
     "q17_watermark_window" -> q17Oracle,
-    "q64_etl_round_trip" -> q64Oracle
+    "q64_etl_round_trip" -> q64Oracle,
+    "q81_streaming_etl_live" -> q81Oracle
   )
 }

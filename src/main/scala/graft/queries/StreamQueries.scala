@@ -3,13 +3,17 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.streaming.{Sessionize, StreamingEtl}
+import org.apache.spark.sql.streaming.Trigger
 
-/** Streaming-surface queries run in their batch-equivalent form (the
-  * transforms are shared between modes; StreamingSpec drives the same
-  * code through readStream/memory-sink). Oracles mirror the window and
-  * session arithmetic.
+import graft.Tables
+import graft.streaming.{SessionEvent, Sessionize, StreamingEtl}
+
+/** Streaming-surface queries. q32–q59 run the shared transforms in their
+  * batch-equivalent form (StreamingSpec drives the same code through
+  * readStream/memory-sink); q79/q80 run the REAL streaming path —
+  * readStream → watermark → append-mode parquet sink — to completion
+  * inside the correctness gate, with oracles that model append-mode
+  * emission (watermark cutoffs, event-time timeouts) exactly.
   */
 object StreamQueries {
 
@@ -226,6 +230,123 @@ object StreamQueries {
        |GROUP BY t.user_id, t.exact_n
        |ORDER BY exact_n DESC, user_id""".stripMargin
 
+  // ---- q79/q80: the LIVE streaming path inside the correctness gate ---
+
+  /** Drains an append-mode streaming frame through a real parquet file
+    * sink (checkpointed, AvailableNow) and reads the sink back — the
+    * production shape, not a memory-sink shortcut. AvailableNow runs the
+    * trailing no-data micro-batch, so the final watermark closes every
+    * window/timeout it has passed before the query terminates.
+    */
+  private def drainToParquet(
+      spark: SparkSession, streaming: DataFrame, tag: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+    val q = streaming.writeStream
+      .outputMode("append")
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$tmp/out")
+  }
+
+  /** q32's tumbling windows through the REAL streaming path: readStream →
+    * withWatermark → window agg → append-mode file sink. Unlike q32 (the
+    * batch-equivalent form), the emitted set here is watermark-governed:
+    * exactly the windows whose end the final watermark
+    * (max event time − 10 min, millisecond-floored like Spark's
+    * EventTimeStats) has passed. Deterministic for fixed input, so it is
+    * oracle-able — the oracle recomputes the watermark cutoff in SQL.
+    */
+  def q79StreamingWindowsLive(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark,
+        StreamingEtl.eventWindowAgg(StreamingEtl.eventsStream(spark, dir)),
+        "q79")
+      .orderBy("window_start_epoch", "event_type")
+
+  val q79Oracle: String =
+    """WITH mx AS (
+      |  SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000 - 600000 AS wm_ms
+      |  FROM events
+      |),
+      |w AS (
+      |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600 AS BIGINT)
+      |           AS window_start_epoch,
+      |         event_type, value
+      |  FROM events
+      |)
+      |SELECT window_start_epoch, event_type, count(*) AS n_events,
+      |       round(sum(value), 2) AS sum_value
+      |FROM w, mx
+      |WHERE (window_start_epoch + 21600) * 1000 <= wm_ms
+      |GROUP BY window_start_epoch, event_type
+      |ORDER BY window_start_epoch, event_type""".stripMargin
+
+  /** Gap-sessionization through the REAL streaming path:
+    * flatMapGroupsWithState with event-time timeouts, drained via the
+    * file sink. A session is emitted either when a later same-user event
+    * closes it inside the (single, AvailableNow) data batch, or when the
+    * final watermark (max event time − 30 min) passes its timeout
+    * (session end + 30 min, ms-floored) in the trailing no-data batch —
+    * so the emitted set is: every non-final session of each user, plus
+    * final sessions old enough to have timed out. Epoch-micros BIGINT
+    * projection keeps the oracle exact-integer (q71 lesson).
+    */
+  def q80StreamingSessionsLive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = StreamingEtl.eventsStream(spark, dir)
+      .select("user_id", "ts", "event_id").as[SessionEvent]
+    drainToParquet(spark,
+        Sessionize.sessionizeStream(spark, ev, gapMinutes = 30)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            unix_micros(col("session_end")).as("session_end_us"),
+            col("n_events")),
+        "q80")
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val q80Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+      |),
+      |lagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM lagged
+      |),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |         epoch_us(min(ts)) AS session_start_us,
+      |         epoch_us(max(ts)) AS session_end_us,
+      |         count(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_id
+      |),
+      |mx AS (
+      |  SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000 - 1800000 AS wm_ms
+      |  FROM events
+      |),
+      |ranked AS (
+      |  SELECT p.*,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY session_id DESC) AS rn
+      |  FROM per_session p
+      |)
+      |SELECT user_id, session_start_us, session_end_us, n_events
+      |FROM ranked, mx
+      |WHERE rn > 1 OR session_end_us // 1000 + 1800000 < wm_ms
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
@@ -233,7 +354,9 @@ object StreamQueries {
     "q37_running_total" -> (q37RunningTotal _),
     "q38_approx_distinct" -> (q38ApproxDistinct _),
     "q46_sliding_windows" -> (q46SlidingWindows _),
-    "q59_cms_heavy_hitters" -> (q59CmsHeavyHitters _)
+    "q59_cms_heavy_hitters" -> (q59CmsHeavyHitters _),
+    "q79_streaming_windows_live" -> (q79StreamingWindowsLive _),
+    "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -243,6 +366,8 @@ object StreamQueries {
     "q37_running_total" -> q37Oracle,
     "q38_approx_distinct" -> q38Oracle,
     "q46_sliding_windows" -> q46Oracle,
-    "q59_cms_heavy_hitters" -> q59Oracle
+    "q59_cms_heavy_hitters" -> q59Oracle,
+    "q79_streaming_windows_live" -> q79Oracle,
+    "q80_streaming_sessions_live" -> q80Oracle
   )
 }

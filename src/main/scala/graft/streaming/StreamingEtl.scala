@@ -138,7 +138,9 @@ object StreamingEtl {
 
   /** events.parquet as a stream: explicit schema with `ts` read as raw
     * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
-    * microseconds — the streaming twin of Tables.events.
+    * microseconds — the streaming twin of Tables.events. Reads only the
+    * events table's files (the sf dir holds nine other tables whose
+    * files a whole-dir glob would also list and null-decode).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -149,7 +151,11 @@ object StreamingEtl {
       StructField("event_type", org.apache.spark.sql.types.StringType),
       StructField("value", org.apache.spark.sql.types.DoubleType),
       StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(raw).parquet(sfDir)
+    spark.readStream.schema(raw)
+      // events.parquet is a single file; the source's basePath must stay
+      // the directory, so select it with a glob filter instead of a path
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 }

@@ -190,6 +190,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q79 live windows: emitted set is exactly the watermark-closed windows") {
+    val streamed = graft.queries.StreamQueries
+      .q79StreamingWindowsLive(spark, TestSpark.sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val ev = Tables.events(spark, TestSpark.sf)
+    // Spark's watermark is ms-floored max event time minus the delay
+    val wmMs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000 - 600000
+    val expected = StreamingEtl.eventWindowAgg(ev)
+      .filter((col("window_start_epoch") + 21600) * 1000 <= wmMs)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      s"stream-only: ${(streamed -- expected).take(3)}, " +
+        s"missing: ${(expected -- streamed).take(3)}")
+  }
+
+  test("q80 live sessions: non-final sessions plus timed-out finals, exactly") {
+    val streamed = graft.queries.StreamQueries
+      .q80StreamingSessionsLive(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val events = Tables.events(spark, TestSpark.sf)
+      .select("user_id", "ts", "event_id")
+    val wmMs = Tables.events(spark, TestSpark.sf)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000 - 1800000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("session_end").desc)
+    val expected = Sessionize.sessionSummaries(events, gapMinutes = 30)
+      .withColumn("rn", row_number().over(w))
+      // closed in-batch by a later event, or timed out by the final watermark
+      .filter(col("rn") > 1 ||
+        expr("unix_micros(session_end) div 1000") + 1800000 < wmMs)
+      .select(col("user_id"),
+        unix_micros(col("session_start")), unix_micros(col("session_end")),
+        col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === expected,
+      s"stream-only: ${(streamed -- expected).take(3)}, " +
+        s"missing: ${(expected -- streamed).take(3)}")
+  }
+
   test("stream-stream interval join equals the batch band join") {
     def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
       .filter(col("event_type") === t)
