@@ -271,13 +271,66 @@ object EtlQueries {
       |       mx.wm AS wm_advanced
       |FROM k, mx ORDER BY database_name""".stripMargin)
 
+  /** Z-order codes for the consolidated rows — the clustering key
+    * `Compaction.zorderCompact` physically sorts by, value-checked
+    * bit for bit: the oracle replays the md5 16-bit database bin, the
+    * min/max-derived right-shift time bin, and the magic-mask Morton
+    * interleave in SQL (each doubling step one CTE). CompactionSpec
+    * separately asserts the layout prunes files on both dimensions.
+    */
+  def q82ZorderCodes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.maintenance.ZOrder
+    val bh = BackupHistoryDerivation.frame(spark, dir)
+    val bounds = bh.agg(
+      min(unix_micros(col("backup_finish_date"))),
+      max(unix_micros(col("backup_finish_date")))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    bh.select(
+        col("log_id"),
+        ZOrder.mortonCode(
+          ZOrder.hashBin16(col("database_name")),
+          ZOrder.rangeBin16(unix_micros(col("backup_finish_date")), lo, hi))
+          .as("zcode"))
+      .orderBy("log_id")
+  }
+
+  val q82Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |mnmx AS (
+      |  SELECT min(epoch_us(backup_finish_date)) AS mn,
+      |         max(epoch_us(backup_finish_date)) AS mx
+      |  FROM backup_history
+      |),
+      |sh AS (
+      |  SELECT CAST(greatest(0,
+      |           floor(log2(CAST(greatest(1, mx - mn) AS DOUBLE))) + 1 - 16)
+      |         AS BIGINT) AS s, mn
+      |  FROM mnmx
+      |),
+      |bins AS (
+      |  SELECT log_id,
+      |         ('0x' || substr(md5(database_name), 1, 4))::BIGINT & 65535 AS a,
+      |         ((epoch_us(backup_finish_date) - sh.mn) >> sh.s) & 65535 AS b
+      |  FROM backup_history, sh
+      |),
+      |z1 AS (SELECT log_id, (a | (a << 8)) & 16711935 AS a,
+      |              (b | (b << 8)) & 16711935 AS b FROM bins),
+      |z2 AS (SELECT log_id, (a | (a << 4)) & 252645135 AS a,
+      |              (b | (b << 4)) & 252645135 AS b FROM z1),
+      |z3 AS (SELECT log_id, (a | (a << 2)) & 858993459 AS a,
+      |              (b | (b << 2)) & 858993459 AS b FROM z2),
+      |z4 AS (SELECT log_id, (a | (a << 1)) & 1431655765 AS a,
+      |              (b | (b << 1)) & 1431655765 AS b FROM z3)
+      |SELECT log_id, a | (b << 1) AS zcode FROM z4 ORDER BY log_id""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
     "q17_watermark_window" -> (q17WatermarkWindow _),
     "q64_etl_round_trip" -> (q64EtlRoundTrip _),
-    "q81_streaming_etl_live" -> (q81StreamingEtlLive _)
+    "q81_streaming_etl_live" -> (q81StreamingEtlLive _),
+    "q82_zorder_codes" -> (q82ZorderCodes _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -286,6 +339,7 @@ object EtlQueries {
     "q16_retention_cleanup" -> q16Oracle,
     "q17_watermark_window" -> q17Oracle,
     "q64_etl_round_trip" -> q64Oracle,
-    "q81_streaming_etl_live" -> q81Oracle
+    "q81_streaming_etl_live" -> q81Oracle,
+    "q82_zorder_codes" -> q82Oracle
   )
 }

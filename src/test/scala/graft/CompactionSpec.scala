@@ -44,4 +44,79 @@ class CompactionSpec extends AnyFunSuite {
     assert(latest.count() > 0)
     content.unpersist()
   }
+
+  /** File-level zone-map pruning measured directly: a file "survives" a
+    * predicate if its [min, max] interval on that column intersects it —
+    * exactly what parquet footer stats give a scan.
+    */
+  private def pruneStats(dir: String): Array[(String, String, String, Long, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min("database_name").as("dmin"), max("database_name").as("dmax"),
+        min(unix_micros(col("backup_finish_date"))).as("tmin"),
+        max(unix_micros(col("backup_finish_date"))).as("tmax"))
+      .as[(String, String, String, Long, Long)].collect()
+  }
+
+  test("z-order compaction: one physical order prunes both db and time axes") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf)
+      // decorrelate the time axis from the lsn/event order (in the
+      // fixture they advance together, which would let the single-dim
+      // sort accidentally serve time ranges): Knuth-hash LogID onto
+      // minute slots
+      .withColumn("backup_finish_date",
+        expr("timestamp_micros(946684800000000 + " +
+          "pmod(LogID * 2654435761, 5000) * 60000000)"))
+      .drop("LogID")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString + "/store"
+    ConsolidatedStore.append(spark, dir, bh)
+    // localCheckpoint, NOT cache: a cached `read.parquet(dir)` plan would
+    // be served back for every later read of the same path (post-rewrite
+    // reads included), where input_file_name() is empty
+    val content = spark.read.parquet(dir).localCheckpoint(true)
+    val nRows = content.count()
+
+    val tAll = content.agg(
+      min(unix_micros(col("backup_finish_date"))),
+      max(unix_micros(col("backup_finish_date")))).head()
+    val (tLo, tHi) = (tAll.getLong(0), tAll.getLong(1))
+    // a 5% time window in the middle of the span
+    val (wLo, wHi) =
+      (tLo + (tHi - tLo) * 45 / 100, tLo + (tHi - tLo) * 50 / 100)
+    def hits(stats: Array[(String, String, String, Long, Long)]) = (
+      stats.count(s => s._2 <= "db3" && "db3" <= s._3),
+      stats.count(s => s._4 <= wHi && wLo <= s._5))
+
+    // single-dimension sort: db point queries prune, time ranges do not
+    Compaction.compact(spark, dir, maxRecordsPerFile = 25)
+    val plain = pruneStats(dir)
+    val (plainDb, plainTime) = hits(plain)
+
+    val nFiles = Compaction.zorderCompact(spark, dir, maxRecordsPerFile = 25)
+    val z = pruneStats(dir)
+    // nFiles may exceed the stats group count by zero-row files (an empty
+    // range partition still writes a part file); those prune trivially
+    assert(z.length >= 16 && z.length <= nFiles,
+      s"want >=16 non-empty files, got ${z.length} of $nFiles")
+    val (zDb, zTime) = hits(z)
+
+    // both axes prune under z-order; the time axis must beat the
+    // db-sorted layout (which reads essentially every file for a window)
+    assert(zDb <= z.length * 3 / 5, s"db point query read $zDb/${z.length}")
+    assert(zTime <= z.length * 3 / 5, s"time window read $zTime/${z.length}")
+    assert(zTime < plainTime,
+      s"z-order time window $zTime not better than db-sorted $plainTime " +
+        s"(plain files ${plain.length})")
+    assert(plainDb > 0 && plainTime > 0) // sanity: predicates are non-empty
+
+    // the rewrite is still the same table
+    val after = spark.read.parquet(dir)
+    assert(after.count() === nRows)
+    assert(after.exceptAll(content).isEmpty && content.exceptAll(after).isEmpty)
+    graft.util.Checkpoints.release(content)
+  }
 }
