@@ -64,4 +64,37 @@ object Decontaminate {
         round(col("n_matched").cast("double") / col("n_grams"), 4)
           .as("overlap_frac"))
   }
+
+  /** Embedding-space contamination — the semantic complement of the
+    * n-gram check (paraphrased benchmark leakage shares no 8-gram but
+    * sits next to the benchmark in embedding space). Reports each corpus
+    * vector whose max cosine against any benchmark vector reaches
+    * `minSim`, with the best-matching benchmark id (ties on the rounded
+    * similarity break to the smallest id, mirrored in the oracle).
+    *
+    * Shape at 100 TB: benchmark side BROADCAST (eval sets are small by
+    * construction), similarity via the codegen'd dot expression, and the
+    * only shuffle is the map-side-combinable max(struct) per id — the
+    * corpus streams through once; no pair set ever shuffles.
+    */
+  def semanticContaminationReport(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      minSim: Double): DataFrame = {
+    val b = broadcast(bench.select(
+      col(benchIdCol).as("__bid"),
+      col(benchVecCol).cast("array<double>").as("__bv")))
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(b)
+      .filter(col(idCol) =!= col("__bid"))
+      .select(col(idCol), col("__bid"),
+        round(Similarity.dot(col("__v"), col("__bv")), 4).as("sim"))
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("__bid")).as("nb"))).as("m"))
+      .select(col(idCol),
+        (-col("m.nb")).as(s"bench_$benchIdCol"),
+        col("m.sim").as("max_sim"))
+      .filter(col("max_sim") >= minSim)
+  }
 }

@@ -642,6 +642,40 @@ object SimilarityQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** Semantic decontamination: every 23rd vector plays the benchmark
+    * set; corpus vectors whose max cosine against it reaches 0.25 are
+    * reported with their best-matching benchmark id. The oracle replays
+    * the rounded-sim/lowest-id argmax per vector.
+    */
+  def q83SemanticDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.pipeline.Decontaminate.semanticContaminationReport(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+        minSim = 0.25)
+      .orderBy("vec_id")
+  }
+
+  val q83Oracle: String =
+    """WITH b AS (
+      |  SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+      |  FROM embeddings WHERE vec_id % 23 = 0
+      |),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |s AS (
+      |  SELECT c.vec_id, b.bid, round(list_dot_product(v, bv), 4) AS sim
+      |  FROM c JOIN b ON c.vec_id <> b.bid
+      |),
+      |m AS (
+      |  SELECT vec_id, bid, sim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY sim DESC, bid) AS rn
+      |  FROM s
+      |)
+      |SELECT vec_id, bid AS bench_vec_id, sim AS max_sim
+      |FROM m WHERE rn = 1 AND sim >= 0.25
+      |ORDER BY vec_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -655,7 +689,8 @@ object SimilarityQueries {
     "q78_avi_features" -> (q78AviFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
-    "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _)
+    "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _),
+    "q83_semantic_decontaminate" -> (q83SemanticDecontaminate _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -671,6 +706,7 @@ object SimilarityQueries {
     "q78_avi_features" -> q78Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
-    "q69_ann_ivf_kmeans" -> q69Oracle
+    "q69_ann_ivf_kmeans" -> q69Oracle,
+    "q83_semantic_decontaminate" -> q83Oracle
   )
 }

@@ -266,6 +266,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("semantic decontamination broadcasts the benchmark vectors") {
+    val p = plan(queries.SimilarityQueries
+      .q83SemanticDecontaminate(spark, TestSpark.sf))
+    // benchmark side broadcast (nested-loop: the pair filter is not an
+    // equi-key), best-match via partial-aggregable max — never a shuffled
+    // pair set, never a window over the pairs
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "benchmark vectors must broadcast; the corpus streams once")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "argmax must be an aggregate, not a window")
+  }
+
   test("kmeans final assignment is a join-free projection over one scan") {
     val asg = pipeline.Similarity.kmeansAssign(
       Tables.embeddings(spark, TestSpark.sf), "vec_id", "embedding",
