@@ -88,9 +88,10 @@ object Compaction {
     // re-seed the store's zone-map sidecar for the files just written:
     // the swap dropped the old one (it described pre-compaction files),
     // and without this the NEXT append pays a full heal scan. One extra
-    // pass over data that is already hot from the rewrite. Sidecars only
-    // apply to flat layouts; listDataFiles returns None for partitioned
-    // stores and the append path falls back to full scans there anyway.
+    // pass over data that is already hot from the rewrite. listDataFiles
+    // walks hive-partitioned (`name=`) layouts too; note the rewrite
+    // itself writes a FLAT layout — a hive store comes out flat (with the
+    // partition column folded back into the data), content preserved.
     graft.store.StoreMeta.listDataFiles(spark, path).foreach { files =>
       graft.store.StoreMeta.save(
         spark, path, graft.store.StoreMeta.scanStats(spark, path, files))
