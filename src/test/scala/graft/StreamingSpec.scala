@@ -231,6 +231,42 @@ class StreamingSpec extends AnyFunSuite {
         s"missing: ${(expected -- streamed).take(3)}")
   }
 
+  test("stream-static broadcast join: streamed contamination matches batch") {
+    import graft.pipeline.{Decontaminate, TextAnalysis}
+    // static side: the q63 benchmark excerpts' distinct 8-grams
+    val docsBatch = Tables.documents(spark, TestSpark.sf)
+    val benchGrams = docsBatch
+      .filter(col("doc_id") % 53 === 0)
+      .select(explode(array_distinct(Decontaminate.ngrams(
+        slice(TextAnalysis.tokens(col("text")), 3, 16), 8))).as("gram"))
+      .distinct()
+
+    def matches(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Decontaminate.ngrams(TextAnalysis.tokens(col("text")), 8)))
+          .as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select("doc_id", "gram")
+
+    // stream the documents table through the same enrichment join — the
+    // static side stays a broadcast, so the stream never shuffles
+    val streamed = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(TestSpark.sf)
+    val q = matches(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ss_join_out")
+      .as[(Long, String)].collect().toSet
+    val want = matches(docsBatch).as[(Long, String)].collect().toSet
+    assert(got.nonEmpty && got === want,
+      s"stream-only: ${(got -- want).take(3)}, missing: ${(want -- got).take(3)}")
+  }
+
   test("stream-stream interval join equals the batch band join") {
     def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
       .filter(col("event_type") === t)
