@@ -45,6 +45,37 @@ class CompactionSpec extends AnyFunSuite {
     content.unpersist()
   }
 
+  test("morton codes: bit-exact vs reference, deinterleave recovers the bins") {
+    import spark.implicits._
+    import graft.maintenance.ZOrder
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(1000)(
+      (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)).distinct
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), ZOrder.mortonCode(col("a"), col("b")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    def spread(v: Long): Long = {
+      var x = v & 0xFFFFL
+      x = (x | (x << 8)) & 0x00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0FL
+      x = (x | (x << 2)) & 0x33333333L
+      (x | (x << 1)) & 0x55555555L
+    }
+    def unspread(v: Long): Long = {
+      var x = v & 0x55555555L
+      x = (x | (x >> 1)) & 0x33333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FFL
+      (x | (x >> 8)) & 0xFFFFL
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, z) =>
+      assert(z == (spread(a) | (spread(b) << 1)), s"($a,$b) -> $z")
+      assert(unspread(z) == a && unspread(z >> 1) == b,
+        s"deinterleave($z) != ($a,$b)")
+    }
+  }
+
   /** File-level zone-map pruning measured directly: a file "survives" a
     * predicate if its [min, max] interval on that column intersects it —
     * exactly what parquet footer stats give a scan.
