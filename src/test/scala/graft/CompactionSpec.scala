@@ -148,6 +148,13 @@ class CompactionSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir)
     assert(after.count() === nRows)
     assert(after.exceptAll(content).isEmpty && content.exceptAll(after).isEmpty)
+
+    // the re-seeded sidecar still serves the idempotent-append contract:
+    // a duplicate batch appends zero rows, and LogIDs stay unique
+    assert(ConsolidatedStore.append(spark, dir, bh.limit(50)) == 0)
+    assert(spark.read.parquet(dir).count() === nRows)
+    assert(spark.read.parquet(dir)
+      .select("LogID").distinct().count() === nRows)
     graft.util.Checkpoints.release(content)
   }
 }
