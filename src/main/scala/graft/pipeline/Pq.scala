@@ -80,26 +80,42 @@ object Pq {
     xx - lit(2.0) * VectorFunctions.vecDot(xs, litArr(c)) + lit(cc)
   }
 
+  /** The m-entry code array for one vector column — a pure literal-
+    * codebook projection; ties in the argmin go to the smallest codeword
+    * index on the 6-dp-rounded distance, mirroring the oracle's
+    * row_number.
+    */
+  private def codesColumn(vec: Column, cb: Codebooks): Column =
+    Let.let(vec.cast("array<double>"), v =>
+      array((0 until cb.m).map { s =>
+        Let.let(slice(v, s * cb.dsub + 1, cb.dsub), xs =>
+          Let.let(VectorFunctions.vecDot(xs, xs), xx =>
+            array_min(array(cb.codes(s).zipWithIndex.map { case (c, j) =>
+              struct(
+                round(subDist2(xs, xx, c), 6).as("d"),
+                lit(j).as("code"))
+            }.toIndexedSeq: _*)).getField("code")))
+      }: _*))
+
   /** PQ-encode the corpus: (idCol, codes array<int>). A pure projection —
-    * literal codebooks, no join, no shuffle; ties in the argmin go to the
-    * smallest codeword index on the 6-dp-rounded distance, mirroring the
-    * oracle's row_number.
+    * literal codebooks, no join, no shuffle.
     */
   def encode(
       corpus: DataFrame, idCol: String, vecCol: String,
       cb: Codebooks): DataFrame =
-    corpus.select(
-      col(idCol),
-      Let.let(col(vecCol).cast("array<double>"), v =>
-        array((0 until cb.m).map { s =>
-          Let.let(slice(v, s * cb.dsub + 1, cb.dsub), xs =>
-            Let.let(VectorFunctions.vecDot(xs, xs), xx =>
-              array_min(array(cb.codes(s).zipWithIndex.map { case (c, j) =>
-                struct(
-                  round(subDist2(xs, xx, c), 6).as("d"),
-                  lit(j).as("code"))
-              }.toIndexedSeq: _*)).getField("code")))
-        }: _*)).as("codes"))
+    corpus.select(col(idCol), codesColumn(col(vecCol), cb).as("codes"))
+
+  /** ADC score: Σ_s dot(query_sub, codeword(code_s)) — the query side is
+    * a raw vector column, the corpus side only its code array.
+    */
+  private def adcExpr(qv: Column, codes: Column, cb: Codebooks): Column =
+    (0 until cb.m).map { s =>
+      val cbS: Column = typedlit[Seq[Seq[Double]]](
+        cb.codes(s).map(_.toSeq).toSeq)
+      VectorFunctions.vecDot(
+        slice(qv, s * cb.dsub + 1, cb.dsub),
+        element_at(cbS, element_at(codes, s + 1) + 1))
+    }.reduce(_ + _)
 
   /** Asymmetric-distance top-k: approximate dot(query, vector) as
     * Σ_s dot(query_sub, codeword(code_s)) read off the code array, rank
@@ -114,13 +130,7 @@ object Pq {
     val q = queries.select(
       col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("__qv"))
-    val adc = (0 until cb.m).map { s =>
-      val cbS: Column = typedlit[Seq[Seq[Double]]](
-        cb.codes(s).map(_.toSeq).toSeq)
-      VectorFunctions.vecDot(
-        slice(col("__qv"), s * cb.dsub + 1, cb.dsub),
-        element_at(cbS, element_at(col("codes"), s + 1) + 1))
-    }.reduce(_ + _)
+    val adc = adcExpr(col("__qv"), col("codes"), cb)
     val scored = encoded
       .join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("__qv"),
@@ -136,6 +146,73 @@ object Pq {
         col(vecCol).cast("array<double>").as("__nv")), Seq("neighbor_id"))
       .select(
         col("query_id"), col("neighbor_id"), col("adc_sim"),
+        round(VectorFunctions.vecDot(col("__qv"), col("__nv")), 4)
+          .as("exact_sim"),
+        col("rnk").cast("long").as("rnk"))
+  }
+
+  /** IVF-PQ — the production index composition (FAISS `IVFx,PQy`): a
+    * coarse quantizer partitions the corpus into inverted lists, each
+    * query probes its `nProbe` nearest lists, candidates are scored from
+    * their m-byte PQ codes (ADC), and only the per-query shortlist
+    * touches raw floats for the exact rerank. Relative to [[adcTopK]]'s
+    * exhaustive code scan, the candidate set shrinks to
+    * nProbe/nCentroids of the corpus; relative to
+    * [[Similarity.ivfTopK]], candidate scoring reads codes, not vectors.
+    *
+    * Shapes at scale: ONE corpus pass computes both the list assignment
+    * and the code array (two literal projections over the same scan);
+    * probes broadcast; the candidate join is an equi-join on the list id
+    * (never all-pairs); the rerank join touches k rows per query.
+    * Output: (query_id, neighbor_id, cid, adc_sim, exact_sim, rnk) —
+    * `cid` pins list membership cross-engine.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c0 = corpus.select(
+      col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centArr = c0.orderBy(col("id")).limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+
+    // one pass over the corpus: list id + code array, both projections
+    val lists = Similarity.assignToCentroids(c0, centArr)
+      .select(col("id").as("neighbor_id"), col("cid"),
+        codesColumn(col("v"), cb).as("codes"))
+
+    import corpus.sparkSession.implicits._
+    val cents = broadcast(
+      centArr.toSeq.toDF("cid", "centroid")
+        .select(col("cid"),
+          col("centroid").cast("array<double>").as("centroid")))
+    val q = queries.select(
+      col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val probes = q.crossJoin(cents)
+      .withColumn("csim",
+        round(VectorFunctions.vecDot(col("__qv"), col("centroid")), 6))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "__qv", "cid")
+
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cid"), col("__qv"),
+        round(adcExpr(col("__qv"), col("codes"), cb), 4).as("adc_sim"))
+    val ranked = scored
+      .withColumn("rnk", row_number().over(Window
+        .partitionBy("query_id")
+        .orderBy(col("adc_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= k)
+    ranked
+      .join(corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("__nv")), Seq("neighbor_id"))
+      .select(
+        col("query_id"), col("neighbor_id"), col("cid"), col("adc_sim"),
         round(VectorFunctions.vecDot(col("__qv"), col("__nv")), 4)
           .as("exact_sim"),
         col("rnk").cast("long").as("rnk"))

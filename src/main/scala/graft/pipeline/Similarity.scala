@@ -270,7 +270,7 @@ object Similarity {
     *    map-side-combine a max_by per id (`first(v)` rides along, every
     *    duplicate is identical) — one shuffle on id, no codegen ceiling.
     */
-  private def assignToCentroids(
+  private[pipeline] def assignToCentroids(
       df: DataFrame, cents: Array[(Long, Seq[Double])],
       maxLiteralK: Int = LiteralAssignMaxK): DataFrame =
     if (cents.length <= maxLiteralK) {

@@ -837,9 +837,12 @@ object PipelineQueries {
       .orderBy("query_id", "rnk")
   }
 
-  val q77Oracle: String = {
-    val (m, k, topk) = (PqM, PqK, PqTopK)
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Shared oracle prefix replaying the PQ pipeline bit for bit:
+    * md5-sampled codebooks, per-subspace argmin encode. Ends with the
+    * `codes` CTE; compose further CTEs after it.
+    */
+  private def pqCtes(m: Int, k: Int): String =
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |dims AS (SELECT CAST(len(v) / $m AS INT) AS dsub FROM emb LIMIT 1),
        |ss AS (SELECT unnest(range(0, $m)) AS s),
        |sub AS (
@@ -873,7 +876,11 @@ object PipelineQueries {
        |codes AS (
        |  SELECT vec_id, s, j FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) = 1
-       |),
+       |)""".stripMargin
+
+  val q77Oracle: String = {
+    val topk = PqTopK
+    s"""WITH ${pqCtes(PqM, PqK)},
        |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
        |parts AS (
        |  SELECT q.query_id, c.vec_id AS neighbor_id, c.s,
@@ -898,6 +905,89 @@ object PipelineQueries {
        |  FROM adc QUALIFY rnk <= $topk
        |)
        |SELECT r.query_id, r.neighbor_id, r.adc_sim,
+       |       round(list_dot_product(q.qv, e.v), 4) AS exact_sim,
+       |       CAST(r.rnk AS BIGINT) AS rnk
+       |FROM ranked r
+       |JOIN q ON q.query_id = r.query_id
+       |JOIN emb e ON e.vec_id = r.neighbor_id
+       |ORDER BY r.query_id, r.rnk""".stripMargin
+  }
+
+  private val IvfPqCentroids = 16
+  private val IvfPqProbe = 4
+
+  /** IVF-PQ — the production ANN index composition (coarse lists → ADC
+    * over m-byte codes → exact rerank of the shortlist). The oracle
+    * splices the q35 list-assignment replay onto the shared PQ prefix:
+    * every stage — codebook sample, encode, probe selection, candidate
+    * restriction, ADC sum, rerank — is value-checked cross-engine; `cid`
+    * in the output pins list membership itself.
+    */
+  def q84IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cbooks = graft.pipeline.Pq.sampleCodebooks(
+      emb, "vec_id", "embedding", m = PqM, k = PqK)
+    graft.pipeline.Pq.ivfPqTopK(
+        emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", cbooks, k = PqTopK,
+        nCentroids = IvfPqCentroids, nProbe = IvfPqProbe)
+      .orderBy("query_id", "rnk")
+  }
+
+  val q84Oracle: String = {
+    val (nc, np, topk) = (IvfPqCentroids, IvfPqProbe, PqTopK)
+    s"""WITH ${pqCtes(PqM, PqK)},
+       |cents AS (
+       |  SELECT vec_id AS cid, v AS centroid FROM emb ORDER BY vec_id LIMIT $nc
+       |),
+       |cvec AS (SELECT vec_id AS neighbor_id, v AS cv FROM emb),
+       |assign0 AS (
+       |  SELECT neighbor_id, cid,
+       |         row_number() OVER (PARTITION BY neighbor_id
+       |           ORDER BY round(list_dot_product(cv, centroid), 6) DESC, cid)
+       |           AS rn
+       |  FROM cvec, cents
+       |),
+       |assigned AS (SELECT neighbor_id, cid FROM assign0 WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+       |probes0 AS (
+       |  SELECT query_id, qv, cid,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY round(list_dot_product(qv, centroid), 6) DESC, cid)
+       |           AS pr
+       |  FROM q, cents
+       |),
+       |probes AS (SELECT query_id, cid FROM probes0 WHERE pr <= $np),
+       |cand AS (
+       |  SELECT p.query_id, a.neighbor_id, a.cid
+       |  FROM assigned a JOIN probes p USING (cid)
+       |  WHERE p.query_id <> a.neighbor_id
+       |),
+       |parts AS (
+       |  SELECT cd.query_id, cd.neighbor_id, cd.cid, c.s,
+       |         list_dot_product(
+       |           list_slice(q.qv, c.s * d.dsub + 1, c.s * d.dsub + d.dsub),
+       |           cb.c) AS p
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.neighbor_id
+       |  JOIN cb ON cb.s = c.s AND cb.j = c.j
+       |  JOIN q ON q.query_id = cd.query_id
+       |  CROSS JOIN dims d
+       |),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, cid,
+       |         round(list_reduce(list(p ORDER BY s), (a, b) -> a + b), 4)
+       |           AS adc_sim
+       |  FROM parts GROUP BY query_id, neighbor_id, cid
+       |),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cid, adc_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_sim DESC, neighbor_id) AS rnk
+       |  FROM adc QUALIFY rnk <= $topk
+       |)
+       |SELECT r.query_id, r.neighbor_id, CAST(r.cid AS BIGINT) AS cid,
+       |       r.adc_sim,
        |       round(list_dot_product(q.qv, e.v), 4) AS exact_sim,
        |       CAST(r.rnk AS BIGINT) AS rnk
        |FROM ranked r
@@ -1002,6 +1092,7 @@ object PipelineQueries {
     "q75_substring_dedup" -> (q75SubstringDedup _),
     "q76_dsir_weights" -> (q76DsirWeights _),
     "q77_pq_adc_topk" -> (q77PqAdcTopK _),
+    "q84_ivfpq_topk" -> (q84IvfPqTopK _),
     "q20_token_stats" -> (q20TokenStats _),
     "q21_quality_score" -> (q21Quality _),
     "q22_lang_id" -> (q22LangId _),
@@ -1023,6 +1114,7 @@ object PipelineQueries {
     "q75_substring_dedup" -> q75Oracle,
     "q76_dsir_weights" -> q76Oracle,
     "q77_pq_adc_topk" -> q77Oracle,
+    "q84_ivfpq_topk" -> q84Oracle,
     "q20_token_stats" -> q20Oracle,
     "q21_quality_score" -> q21Oracle,
     "q22_lang_id" -> q22Oracle,

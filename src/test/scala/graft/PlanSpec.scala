@@ -266,6 +266,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("ivf-pq: candidate generation is a broadcast equi-join on the list id") {
+    val p = plan(queries.PipelineQueries.q84IvfPqTopK(spark, TestSpark.sf))
+    // probed lists broadcast and join candidates on cid; nothing scans
+    // corpus x queries
+    assert(p.contains("BroadcastHashJoin"),
+      "candidates must come from an equi-join on the probed list id")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("semantic decontamination broadcasts the benchmark vectors") {
     val p = plan(queries.SimilarityQueries
       .q83SemanticDecontaminate(spark, TestSpark.sf))
