@@ -11,16 +11,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read natively; read it as nanos-since-epoch long (legacy
-    * conf) and truncate to a proper microsecond TimestampType. The test
-    * data carries no sub-microsecond components, so this is lossless.
+  /** events.parquet's `ts` physical type has varied across driver data
+    * generations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses to read
+    * natively — the legacy conf surfaces it as nanos-since-epoch long) and
+    * plain TIMESTAMP(MICROS) without UTC adjustment (read as
+    * TIMESTAMP_NTZ). Normalize either layout to a session-UTC
+    * TimestampType so every downstream query sees one schema. The test
+    * data carries no sub-microsecond components, so the nanos truncation
+    * is lossless; the NTZ cast reinterprets wall time in the session zone
+    * (UTC everywhere in this project), preserving the instant.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = load(spark, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+      case _ => org.apache.spark.sql.functions.col("ts").cast("timestamp")
+    }
+    raw.withColumn("ts", ts)
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")

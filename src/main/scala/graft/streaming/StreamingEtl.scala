@@ -136,26 +136,28 @@ object StreamingEtl {
         right.columns.filterNot(keys.contains).map(c => col(s"r_$c")): _*)
   }
 
-  /** events.parquet as a stream: explicit schema with `ts` read as raw
-    * nanos (Spark 4 rejects TIMESTAMP(NANOS)) then truncated to
-    * microseconds — the streaming twin of Tables.events. Reads only the
-    * events table's files (the sf dir holds nine other tables whose
-    * files a whole-dir glob would also list and null-decode).
+  /** events.parquet as a stream — the streaming twin of Tables.events.
+    * readStream needs an explicit schema, so probe the file's actual
+    * schema with a batch read first: `ts` has been parquet
+    * TIMESTAMP(NANOS) (→ long under the legacy conf) in some driver data
+    * generations and TIMESTAMP(MICROS)-NTZ in others; a hardcoded schema
+    * that disagrees with the file null-decodes `ts` and the watermark
+    * then silently drops every row. Reads only the events table's files
+    * (the sf dir holds nine other tables whose files a whole-dir glob
+    * would also list and null-decode).
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StructType(Seq(
-      StructField("event_id", LongType),
-      StructField("ts", LongType),
-      StructField("user_id", LongType),
-      StructField("event_type", org.apache.spark.sql.types.StringType),
-      StructField("value", org.apache.spark.sql.types.DoubleType),
-      StructField("props", org.apache.spark.sql.types.StringType)))
-    spark.readStream.schema(raw)
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(fileSchema)
       // events.parquet is a single file; the source's basePath must stay
       // the directory, so select it with a glob filter instead of a path
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ts = fileSchema("ts").dataType match {
+      case LongType => expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+    stream.withColumn("ts", ts)
   }
 }
