@@ -172,6 +172,27 @@ object VectorFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue()),
         "built-in")
     }
+    val ba = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg")
+    if (!reg.functionExists(ba)) {
+      // Spark's own runtime-filter bloom machinery (the expressions
+      // behind spark.sql.optimizer.runtime.bloomFilter.*), surfaced as
+      // session functions: build over xxhash64 of the keys, probe with
+      // the same hash. Both are codegen-friendly and the aggregate is
+      // map-side combinable (bitmaps OR-merge).
+      reg.createOrReplaceTempFunction(
+        "bloom_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
+    val bc = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains")
+    if (!reg.functionExists(bc)) {
+      reg.createOrReplaceTempFunction(
+        "bloom_contains",
+        exprs => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)),
+        "built-in")
+    }
     val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
     if (!reg.functionExists(cm)) {
       // the analyzer wraps a bare AggregateFunction into an
@@ -207,6 +228,30 @@ object VectorFunctions {
     call_function("winnow_fps", s,
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+  }
+
+  /** Aggregate a column into a serialized bloom filter (binary) sized
+    * for `expectedItems` at `fpp` — Spark's runtime-filter
+    * BloomFilterAggregate over xxhash64 of the values.
+    */
+  def bloomAgg(v: Column, expectedItems: Long, fpp: Double): Column = {
+    register(SparkSession.active)
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    call_function("bloom_agg", org.apache.spark.sql.functions.xxhash64(v),
+      org.apache.spark.sql.functions.lit(expectedItems),
+      org.apache.spark.sql.functions.lit(bits))
+  }
+
+  /** Probe a serialized bloom filter (e.g. a [[bloomAgg]] result as a
+    * literal) for a value — false positives possible, false negatives
+    * not. A pure codegen'd per-row predicate: the scan-side shape of a
+    * semi join whose build side is driver-small.
+    */
+  def bloomContains(bloom: Column, v: Column): Column = {
+    register(SparkSession.active)
+    call_function("bloom_contains", bloom,
+      org.apache.spark.sql.functions.xxhash64(v))
   }
 
   /** Column API for [[CountMinAgg]]: aggregate a string column into a

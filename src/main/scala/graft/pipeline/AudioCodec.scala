@@ -58,6 +58,125 @@ object AudioCodec {
     buf.array()
   }
 
+  // ---- MP3 (MPEG-1 Layer III) container-level metadata ----------------
+  //
+  // Compressed audio cannot be decoded to samples in this environment
+  // (no native codec), but the FRAME HEADERS are plain byte parsing —
+  // the audio analog of [[VideoCodec.probe]]'s MP4 box walk. That gives
+  // compressed audio a value-level oracle too: frame count, sample rate,
+  // bitrate, and the derived duration are all exact integers.
+
+  /** Container-level metadata of an MP3 stream: every frame header
+    * walked, constant sample rate enforced, duration derived from the
+    * Layer III constant of 1152 samples per frame.
+    */
+  final case class Mp3Meta(
+      nFrames: Int,
+      sampleRate: Int,
+      bitrateKbps: Int, // highest seen (equals the CBR rate when !vbr)
+      vbr: Boolean,
+      nBytes: Int,
+      durationMs: Long)
+
+  /** MPEG-1 Layer III bitrate table, kbps, indexed by the header's 4-bit
+    * bitrate index (0 = free-format and 15 = bad are both rejected).
+    */
+  val Mp3Bitrates: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+
+  /** MPEG-1 sampling-rate table, Hz, indexed by the 2-bit sample-rate
+    * index (index 3 is reserved).
+    */
+  val Mp3SampleRates: Array[Int] = Array(44100, 48000, 32000)
+
+  private val Mp3SamplesPerFrame = 1152
+
+  /** Layer III frame length in bytes: 144 * bitrate / sampleRate (+1
+    * when the padding bit is set), integer-floored — the formula every
+    * frame walker uses.
+    */
+  def mp3FrameLength(bitrateKbps: Int, sampleRate: Int, padded: Boolean): Int =
+    144 * bitrateKbps * 1000 / sampleRate + (if (padded) 1 else 0)
+
+  /** Hand-rolled fixture encoder: an optional ID3v2 tag followed by the
+    * given (bitrateIndex, sampleRateIndex, padded) frame sequence, each
+    * frame a valid 4-byte MPEG-1 Layer III header plus zero payload. The
+    * probe side walks these bytes through an independent parser, so an
+    * encode bug cannot cancel itself out (q71's contract).
+    */
+  def encodeMp3(
+      frames: Seq[(Int, Int, Boolean)], id3Size: Int = -1): Array[Byte] = {
+    val tag =
+      if (id3Size < 0) Array.emptyByteArray
+      else {
+        val t = new Array[Byte](10 + id3Size)
+        t(0) = 'I'; t(1) = 'D'; t(2) = '3'
+        t(3) = 3; t(4) = 0 // version 2.3.0
+        t(5) = 0 // flags
+        // syncsafe size: 7 bits per byte
+        t(6) = ((id3Size >> 21) & 0x7f).toByte
+        t(7) = ((id3Size >> 14) & 0x7f).toByte
+        t(8) = ((id3Size >> 7) & 0x7f).toByte
+        t(9) = (id3Size & 0x7f).toByte
+        t
+      }
+    val body = frames.flatMap { case (b, r, padded) =>
+      require(b >= 1 && b <= 14 && r >= 0 && r <= 2, "valid CBR header")
+      val len = mp3FrameLength(Mp3Bitrates(b), Mp3SampleRates(r), padded)
+      val f = new Array[Byte](len)
+      f(0) = 0xff.toByte
+      f(1) = 0xfb.toByte // sync 111 | version 11 (MPEG1) | layer 01 (III) | no CRC
+      f(2) = ((b << 4) | (r << 2) | (if (padded) 2 else 0)).toByte
+      f(3) = 0xc0.toByte // mono, no mode-ext, not copyright/original, no emphasis
+      f
+    }
+    tag ++ body
+  }
+
+  /** Walk an MP3 stream's frame headers: skip one optional leading ID3v2
+    * tag (syncsafe size), then require back-to-back valid MPEG-1
+    * Layer III headers covering every remaining byte, a constant sample
+    * rate, and at least one frame. Anything else — free-format/reserved
+    * indexes, a mid-stream rate change, trailing garbage — returns None
+    * and the caller falls back to the byte-summary stub.
+    */
+  def probeMp3(bytes: Array[Byte]): Option[Mp3Meta] = {
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+      bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + size
+      if (pos > bytes.length) return None
+    }
+    var nFrames = 0
+    var sampleRate = -1
+    var maxKbps = 0
+    var minKbps = Int.MaxValue
+    while (pos + 4 <= bytes.length) {
+      val b0 = bytes(pos) & 0xff
+      val b1 = bytes(pos + 1) & 0xff
+      val b2 = bytes(pos + 2) & 0xff
+      if (b0 != 0xff || (b1 & 0xe0) != 0xe0) return None // lost sync
+      if (((b1 >> 3) & 3) != 3 || ((b1 >> 1) & 3) != 1) return None // not MPEG1-III
+      val bIdx = (b2 >> 4) & 15
+      val rIdx = (b2 >> 2) & 3
+      if (bIdx < 1 || bIdx > 14 || rIdx > 2) return None
+      val sr = Mp3SampleRates(rIdx)
+      if (sampleRate < 0) sampleRate = sr
+      else if (sampleRate != sr) return None
+      val kbps = Mp3Bitrates(bIdx)
+      maxKbps = math.max(maxKbps, kbps)
+      minKbps = math.min(minKbps, kbps)
+      nFrames += 1
+      pos += mp3FrameLength(kbps, sr, padded = (b2 & 2) != 0)
+    }
+    if (nFrames == 0 || pos != bytes.length) None
+    else Some(Mp3Meta(
+      nFrames, sampleRate, maxKbps, vbr = maxKbps != minKbps, bytes.length,
+      nFrames.toLong * Mp3SamplesPerFrame * 1000L / sampleRate))
+  }
+
   /** Decode a WAV payload, or None when the bytes are not recognizable
     * 16-bit PCM (unsupported container, compressed encoding, garbage).
     */

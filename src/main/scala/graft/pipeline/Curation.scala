@@ -118,6 +118,38 @@ object Curation {
       .select(col(idCol), col("bucket"), col("bin"), col("n_tok"))
   }
 
+  /** Token-budget quality selection — the greedy-knapsack curation step
+    * ("give me the best N-billion tokens per domain") that turns a scored
+    * corpus into a fixed-size training mix. Within each domain, documents
+    * are ranked by [[TextAnalysis.qualityScore]] (id tiebreak) and kept
+    * while the running token total BEFORE the document is under
+    * `budgetTokens` — so each domain's kept set overshoots by at most one
+    * document, and membership is fully deterministic (the ranking is pure
+    * double arithmetic both engines compute bit-identically; no RNG).
+    *
+    * Scale shape: one projection computes tokens + quality (codegen'd,
+    * no UDFs), then ONE window shuffle partitioned by domain — domains
+    * are the natural unit of parallelism (hundreds of them, each far
+    * smaller than the corpus). Contrast with a global top-k by quality,
+    * which would funnel everything through one ordering.
+    */
+  def budgetSelect(
+      docs: DataFrame, idCol: String, textCol: String, domainCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val scored = docs.select(
+      col(idCol), col(domainCol),
+      size(tokens(col(textCol))).cast("long").as("n_tok"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(col("quality").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_before", sum("n_tok").over(w) - col("n_tok"))
+      .filter(col("cum_before") < budgetTokens)
+      .drop("cum_before")
+  }
+
   /** Document-frequency vocabulary: distinct tokens per document,
     * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
     * One explode + one hash aggregation (map-side combinable) + a

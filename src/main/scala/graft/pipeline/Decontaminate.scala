@@ -65,6 +65,55 @@ object Decontaminate {
           .as("overlap_frac"))
   }
 
+  /** [[contaminationReport]] with a bloom-filter prefilter — the shape
+    * that wins when the corpus is 100 TB and the benchmark gram set,
+    * while driver-small, is too large to hash-probe cheaply per gram in
+    * a broadcast join alone. The benchmark grams are folded into ONE
+    * serialized bloom filter (a distributed, map-side-combinable
+    * aggregate — bitmaps OR-merge), which ships to executors as a
+    * literal a few hundred KB wide and is probed INSIDE the corpus scan
+    * stage (pure codegen'd predicate, no shuffle). Only grams the bloom
+    * admits — true matches plus an `fpp` sliver of false positives —
+    * reach the exact broadcast equi-join that confirms them. Blooms
+    * have no false negatives, so the result is IDENTICAL to the exact
+    * report; the oracle is the same SQL.
+    */
+  def contaminationReportBloom(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    import graft.functions.VectorFunctions
+    val benchGrams = bench
+      .select(explode(
+        array_distinct(ngrams(TextAnalysis.tokens(col(benchTextCol)), n)))
+        .as("gram"))
+      .distinct()
+    // two driver-sized actions over the (small) benchmark side only; the
+    // corpus is never touched until the single filtered scan below
+    val nBench = math.max(1L, benchGrams.count())
+    val bloom = benchGrams
+      .agg(VectorFunctions.bloomAgg(col("gram"), nBench, fpp).as("bf"))
+      .head().getAs[Array[Byte]](0)
+
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"),
+        array_distinct(ngrams(TextAnalysis.tokens(col(textCol)), n)).as("g"))
+      .select(col("doc_id"), size(col("g")).cast("long").as("n_grams"),
+        explode(col("g")).as("gram"))
+      .filter(VectorFunctions.bloomContains(lit(bloom), col("gram")))
+
+    docGrams
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_matched"))
+      .select(
+        col("doc_id").as(idCol),
+        col("n_matched"),
+        col("n_grams"),
+        round(col("n_matched").cast("double") / col("n_grams"), 4)
+          .as("overlap_frac"))
+  }
+
   /** Embedding-space contamination — the semantic complement of the
     * n-gram check (paraphrased benchmark leakage shares no 8-gram but
     * sits next to the benchmark in embedding space). Reports each corpus

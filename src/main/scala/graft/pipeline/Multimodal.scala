@@ -87,9 +87,16 @@ object Multimodal {
           d.lumaMean, nFrames(r), d.lumaHist))
         .getOrElse(decodeStub(r))
     case "audio" =>
+      // WAV decodes at SAMPLE level (JDK parser). Compressed audio has no
+      // JVM codec, but MP3 parses at CONTAINER level ([[AudioCodec
+      // .probeMp3]]'s frame walk): n_frames comes from the REAL header
+      // count while sample features stay byte-derived (the documented
+      // stub) — mirroring the video MP4 route below.
       AudioCodec.decode(r.payload)
         .map(d => MediaFeatures(r.media_id, r.media_type, r.payload.length,
           d.ampMean, nFrames(r), d.ampHist))
+        .orElse(AudioCodec.probeMp3(r.payload)
+          .map(m => decodeStub(r).copy(n_frames = m.nFrames)))
         .getOrElse(decodeStub(r))
     case "video" =>
       // AVI with uncompressed DIB frames decodes at PIXEL level (RIFF

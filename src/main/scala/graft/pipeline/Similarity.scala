@@ -59,6 +59,42 @@ object Similarity {
       graft.functions.Let.let(array_max(transform(d, x => abs(x))), mx =>
         transform(d, x => round(x * lit(127.0) / mx).cast("int"))))
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j, i) is
+    * +1 when the first hex digit of md5("seed|j|i") is even (Achlioptas
+    * 2003's database-friendly ±1 projection, seeded by a hash instead of
+    * an RNG so every executor — and the DuckDB oracle — reproduces the
+    * same matrix with no broadcast of random state).
+    */
+  def jlSigns(seed: String, outDim: Int, inDim: Int): Array[Array[Double]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      if (Character.digit(md5hex(s"$seed|$j|$i").charAt(0), 16) % 2 == 0) 1.0
+      else -1.0
+    }
+
+  /** Random projection to `outDim` dimensions: out_j = <v, s_j> / √outDim
+    * with the [[jlSigns]] ±1 rows. The JL lemma bounds the norm/distance
+    * distortion at O(√(log n / outDim)) — the standard cheap dimension
+    * reduction before clustering or coarse ANN at corpus scale. Shape:
+    * the sign rows are literal arrays compiled into the projection (no
+    * join, no shuffle — a pure per-row map over the scan), and each
+    * component is the zip_with/aggregate fold that
+    * [[graft.plans.RewriteHofDotProduct]] fuses into the codegen'd
+    * vec_dot loop.
+    */
+  def randomProjection(
+      vec: Column, inDim: Int, outDim: Int, seed: String = "jl"): Column = {
+    require(inDim > 0 && outDim > 0, "positive dimensions")
+    val signs = jlSigns(seed, outDim, inDim)
+    val scale = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      dotHof(asDouble(vec), lit(signs(j))) / scale
+    }: _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, neighbor_id, sim, rank). Ties broken by
     * neighbor id on the ROUNDED similarity so ranking is reproducible

@@ -305,6 +305,111 @@ object CurationQueries {
       |FROM f JOIN r ON f.domain = r.domain
       |GROUP BY f.domain ORDER BY f.domain""".stripMargin
 
+  // ---- q85: token-budget quality selection ----------------------------
+
+  private val SelectBudget = 2000L
+
+  /** Per-source greedy knapsack: best-quality docs first until the token
+    * budget binds. The oracle replays the identical quality arithmetic
+    * (q21's formula) and window cutoff — double-identical ranking makes
+    * the kept SET, not just the aggregates, engine-reproducible.
+    */
+  def q85BudgetSelect(spark: SparkSession, dir: String): DataFrame =
+    Curation.budgetSelect(Tables.documents(spark, dir), "doc_id", "text",
+        "source", budgetTokens = SelectBudget)
+      .groupBy(col("source").as("domain"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_tok").as("sum_tokens"),
+        round(min("quality"), 4).as("min_q"),
+        round(max("quality"), 4).as("max_q"))
+      .orderBy("domain")
+
+  val q85Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $normSql AS norm,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(string_split($normSql, ' '),
+       |                         x -> x IN ($stopList))) AS n_stop
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       |    0.25 * (
+       |      least(1.0, n_tok / 100.0)
+       |      + greatest(0.0, 1.0 - 5.0 * (CAST(n_punct AS DOUBLE) / len(norm)))
+       |      + least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tok))
+       |      + greatest(0.0, 1.0 - abs((len(norm) - (n_tok - 1.0)) / n_tok - 5.0) / 5.0)
+       |    ) AS q
+       |  FROM t
+       |),
+       |sel AS (
+       |  SELECT *,
+       |         sum(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |           AS cum_before
+       |  FROM scored
+       |)
+       |SELECT source AS domain, count(*) AS n_kept,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       round(min(q), 4) AS min_q, round(max(q), 4) AS max_q
+       |FROM sel WHERE cum_before < $SelectBudget
+       |GROUP BY source ORDER BY domain""".stripMargin
+  }
+
+  // ---- q86: Johnson–Lindenstrauss random projection -------------------
+
+  private val JlOutDim = 16
+
+  /** ±1-sign random projection of a sampled embedding set: per-vector
+    * original and projected L2 norms, both rounded — the JL distortion
+    * made visible row by row. The md5-seeded sign matrix is regenerated
+    * verbatim by the oracle, so projected values are engine-identical.
+    */
+  def q86RandomProjection(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") % 37 === 0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val d = col("embedding").cast("array<double>")
+    emb.select(
+        col("vec_id"), col("label"),
+        round(Similarity.norm(d), 4).as("nrm"),
+        graft.functions.Let.let(
+          Similarity.randomProjection(col("embedding"), dim, JlOutDim, "jl"),
+          p => round(Similarity.norm(p), 4)).as("pnrm"))
+      .orderBy("vec_id")
+  }
+
+  val q86Oracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+       |  FROM embeddings WHERE vec_id % 37 = 0
+       |),
+       |d AS (
+       |  SELECT vec_id, label, t.i AS i, e[t.i + 1] AS x
+       |  FROM v, unnest(range(0, len(e))) AS t(i)
+       |),
+       |p AS (
+       |  SELECT d.vec_id, u.j AS j,
+       |         sum(x * CASE WHEN ('0x' || substr(
+       |                 md5('jl|' || u.j || '|' || d.i), 1, 1))::INT % 2 = 0
+       |               THEN 1.0 ELSE -1.0 END) / sqrt($JlOutDim.0) AS pj
+       |  FROM d, unnest(range(0, $JlOutDim)) AS u(j)
+       |  GROUP BY d.vec_id, u.j
+       |),
+       |n AS (
+       |  SELECT vec_id, label, round(sqrt(sum(x * x)), 4) AS nrm
+       |  FROM d GROUP BY vec_id, label
+       |),
+       |pn AS (
+       |  SELECT vec_id, round(sqrt(sum(pj * pj)), 4) AS pnrm
+       |  FROM p GROUP BY vec_id
+       |)
+       |SELECT n.vec_id, n.label, n.nrm, pn.pnrm
+       |FROM n JOIN pn USING (vec_id) ORDER BY vec_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
@@ -313,7 +418,9 @@ object CurationQueries {
     "q44_label_centroids" -> (q44LabelCentroids _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
     "q56_quantize_embeddings" -> (q56QuantizeEmbeddings _),
-    "q60_sequence_packing" -> (q60SequencePacking _)
+    "q60_sequence_packing" -> (q60SequencePacking _),
+    "q85_budget_select" -> (q85BudgetSelect _),
+    "q86_random_projection" -> (q86RandomProjection _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -324,6 +431,8 @@ object CurationQueries {
     "q44_label_centroids" -> q44Oracle,
     "q55_stratified_sample" -> q55Oracle,
     "q56_quantize_embeddings" -> q56Oracle,
-    "q60_sequence_packing" -> q60Oracle
+    "q60_sequence_packing" -> q60Oracle,
+    "q85_budget_select" -> q85Oracle,
+    "q86_random_projection" -> q86Oracle
   )
 }

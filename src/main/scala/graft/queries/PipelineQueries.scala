@@ -1050,6 +1050,63 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q87: bloom-prefiltered decontamination -------------------------
+
+  private val BloomDecontamN = 6
+
+  /** q63's exact check through the bloom-prefilter path
+    * ([[graft.pipeline.Decontaminate.contaminationReportBloom]]): the
+    * benchmark grams fold into one serialized bloom filter probed inside
+    * the corpus scan; only admitted grams reach the exact confirm join.
+    * No false negatives → the oracle is the same exact SQL as q63's
+    * shape (different fixture: every 31st doc donates, 6-grams).
+    */
+  private def bloomBenchSamples(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 31 === 0)
+      .select(array_join(
+        slice(TextAnalysis.tokens(col("text")), 3, 16), " ").as("btext"))
+
+  def q87BloomDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Decontaminate
+      .contaminationReportBloom(
+        Tables.documents(spark, dir), "doc_id", "text",
+        bloomBenchSamples(spark, dir), "btext", n = BloomDecontamN,
+        fpp = 0.01)
+      .orderBy("doc_id")
+
+  val q87Oracle: String = {
+    val n = BloomDecontamN
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |),
+       |dg AS (
+       |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       |         unnest(grams) AS gram
+       |  FROM (
+       |    SELECT doc_id,
+       |           list_distinct(list_transform(
+       |             range(1, greatest(len(w) - $n + 2, 1)),
+       |             i -> array_to_string(list_slice(w, i, i + ${n - 1}), ' ')))
+       |             AS grams
+       |    FROM w)
+       |),
+       |bg AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |           range(1, greatest(len(bw) - $n + 2, 1)),
+       |           i -> array_to_string(list_slice(bw, i, i + ${n - 1}), ' ')))
+       |           AS gram
+       |  FROM (
+       |    SELECT list_slice(string_split($normSql, ' '), 3, 18) AS bw
+       |    FROM documents WHERE doc_id % 31 = 0)
+       |)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched, n_grams,
+       |       round(count(*)::DOUBLE / n_grams, 4) AS overlap_frac
+       |FROM dg JOIN bg USING (gram)
+       |GROUP BY doc_id, n_grams
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Hashed linear quality classifier (fastText-style): one codegen'd
     * projection — tokenize, hash to feature slot, md5-derived weight,
     * sigmoid of the mean. The oracle regenerates the same hashing trick
@@ -1088,6 +1145,7 @@ object PipelineQueries {
     "q68_quality_classifier" -> (q68QualityClassifier _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
+    "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
     "q76_dsir_weights" -> (q76DsirWeights _),
@@ -1110,6 +1168,7 @@ object PipelineQueries {
     "q68_quality_classifier" -> q68Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
+    "q87_bloom_decontaminate" -> q87Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,
     "q76_dsir_weights" -> q76Oracle,

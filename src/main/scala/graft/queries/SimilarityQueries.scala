@@ -676,6 +676,61 @@ object SimilarityQueries {
       |FROM m WHERE rn = 1 AND sim >= 0.25
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q88: MP3 container metadata ------------------------------------
+
+  /** Compressed-audio metadata at value level: hand-rolled CBR MP3 frame
+    * sequences (id-derived bitrate/rate/frame count, alternating padding
+    * bits, an ID3v2 tag on even ids) walked by the independent header
+    * parser ([[AudioCodec.probeMp3]]). Every output is an exact integer
+    * the oracle recomputes from the same id algebra — byte length checks
+    * the frame-size formula per frame, duration checks the 1152-samples
+    * constant, and a parser that miscounts or loses sync breaks every
+    * column at once.
+    */
+  def q88Mp3Metadata(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id")).as[Long]
+    ids.mapPartitions { it =>
+      it.map { id =>
+        val b = 1 + (id % 14).toInt
+        val r = (id % 3).toInt
+        val nf = (40 + id % 20).toInt
+        val frames = (0 until nf).map(i => (b, r, ((id + i) % 2) == 1))
+        val id3 = if (id % 2 == 0) (id % 7).toInt * 3 else -1
+        val bytes = AudioCodec.encodeMp3(frames, id3)
+        val m = AudioCodec.probeMp3(bytes)
+          .getOrElse(sys.error(s"mp3 probe failed for id=$id"))
+        require(!m.vbr, "CBR fixture must not read as VBR")
+        (id, m.nBytes.toLong, m.nFrames.toLong, m.sampleRate.toLong,
+          m.bitrateKbps.toLong, m.durationMs)
+      }
+    }.toDF("media_id", "n_bytes", "n_frames", "sample_rate", "bitrate_kbps",
+        "duration_ms")
+      .orderBy("media_id")
+  }
+
+  val q88Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+      |           [CAST(doc_id % 14 AS INT) + 1] AS kbps,
+      |         ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS sr,
+      |         40 + doc_id % 20 AS nf
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)
+      |SELECT doc_id AS media_id,
+      |  CAST((CASE WHEN doc_id % 2 = 0 THEN 10 + (doc_id % 7) * 3 ELSE 0 END)
+      |    + nf * (144000 * kbps // sr)
+      |    + (CASE WHEN doc_id % 2 = 0 THEN nf // 2 ELSE (nf + 1) // 2 END)
+      |    AS BIGINT) AS n_bytes,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(sr AS BIGINT) AS sample_rate,
+      |  CAST(kbps AS BIGINT) AS bitrate_kbps,
+      |  CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+      |FROM p ORDER BY media_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -686,6 +741,7 @@ object SimilarityQueries {
     "q45_frame_samples" -> (q45FrameSamples _),
     "q71_wav_features" -> (q71WavFeatures _),
     "q74_mp4_metadata" -> (q74Mp4Metadata _),
+    "q88_mp3_metadata" -> (q88Mp3Metadata _),
     "q78_avi_features" -> (q78AviFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
@@ -703,6 +759,7 @@ object SimilarityQueries {
     "q45_frame_samples" -> q45Oracle,
     "q71_wav_features" -> q71Oracle,
     "q74_mp4_metadata" -> q74Oracle,
+    "q88_mp3_metadata" -> q88Oracle,
     "q78_avi_features" -> q78Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,

@@ -215,6 +215,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(meanLuma - 125000.0) < 6000.0, meanLuma.toString)
   }
 
+  test("MP3 encode→probe roundtrip: frame walk, ID3 skip, padding, VBR") {
+    import graft.pipeline.AudioCodec
+    // CBR, no tag: 5 frames at 128 kbps / 44100 Hz, alternating padding
+    val frames = (0 until 5).map(i => (9, 0, i % 2 == 1))
+    val cbr = AudioCodec.probeMp3(AudioCodec.encodeMp3(frames)).get
+    assert(cbr.nFrames == 5 && cbr.sampleRate == 44100 &&
+      cbr.bitrateKbps == 128 && !cbr.vbr)
+    val baseLen = 144 * 128000 / 44100
+    assert(cbr.nBytes == 5 * baseLen + 2) // two padded frames
+    assert(cbr.durationMs == 5L * 1152 * 1000 / 44100)
+
+    // leading ID3v2 tag is skipped (syncsafe size)
+    val tagged = AudioCodec.probeMp3(
+      AudioCodec.encodeMp3(frames, id3Size = 200)).get
+    assert(tagged.nFrames == 5 && tagged.nBytes == cbr.nBytes + 210)
+
+    // mixed bitrates read as VBR with the max reported
+    val vbr = AudioCodec.probeMp3(AudioCodec.encodeMp3(
+      Seq((5, 1, false), (14, 1, false)))).get
+    assert(vbr.vbr && vbr.bitrateKbps == 320 && vbr.sampleRate == 48000)
+
+    // rejects: garbage, trailing junk, mid-stream rate change
+    assert(AudioCodec.probeMp3("not audio".getBytes("UTF-8")).isEmpty)
+    assert(AudioCodec.probeMp3(
+      AudioCodec.encodeMp3(frames) ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(AudioCodec.probeMp3(AudioCodec.encodeMp3(
+      Seq((9, 0, false), (9, 1, false)))).isEmpty)
+  }
+
+  test("extractFeatures reads the MP3 frame count for compressed audio") {
+    import spark.implicits._
+    import graft.pipeline.AudioCodec
+    val mp3 = AudioCodec.encodeMp3((0 until 7).map(i => (3, 2, false)))
+    val media = Seq(MediaRecord(9L, "audio", 0, 0, 0, mp3)).toDS().toDF()
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    // container-level n_frames is real; sample features stay the stub's
+    val stub = Multimodal.decodeStub(
+      media.as[MediaRecord].head()).copy(n_frames = 7)
+    assert(f.n_frames == 7 && f.byte_mean == stub.byte_mean &&
+      f.feature.sameElements(stub.feature))
+  }
+
   test("extractFeatures takes the real path for images, stub otherwise") {
     import spark.implicits._
     val png = encode(flat(4, 4, 0xffffff), "png")

@@ -670,4 +670,73 @@ class PipelineSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(scored(1L) == expected, s"got ${scored(1L)}, want $expected")
   }
+
+  test("bloom-prefiltered decontamination equals the exact report") {
+    import graft.pipeline.Decontaminate
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val bench = docs.filter(col("doc_id") % 31 === 0)
+      .select(array_join(
+        slice(TextAnalysis.tokens(col("text")), 3, 16), " ").as("btext"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_matched", "n_grams", "overlap_frac")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val exact = rows(Decontaminate.contaminationReport(
+      docs, "doc_id", "text", bench, "btext", n = 6))
+    val bloomed = rows(Decontaminate.contaminationReportBloom(
+      docs, "doc_id", "text", bench, "btext", n = 6, fpp = 0.01))
+    // no false negatives + exact confirm join → identical result sets
+    assert(exact.nonEmpty && bloomed === exact)
+  }
+
+  test("JL random projection: deterministic, norm distortion bounded") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val d = col("embedding").cast("array<double>")
+    def ratios(seed: String) = emb
+      .filter(Similarity.norm(d) > 0.1)
+      .select(col("vec_id"),
+        (graft.functions.Let.let(
+          Similarity.randomProjection(col("embedding"), dim, 16, seed),
+          p => Similarity.norm(p)) / Similarity.norm(d)).as("r"))
+      .as[(Long, Double)].collect().toMap
+    val r1 = ratios("jl")
+    assert(ratios("jl") === r1, "seeded matrix is deterministic")
+    // JL with k=16: distortion concentrates around 1; bound loosely and
+    // require the MEAN to sit tight (per-vector variance ~1/sqrt(k))
+    assert(r1.values.forall(r => r > 0.25 && r < 2.5))
+    val mean = r1.values.sum / r1.size
+    assert(math.abs(mean - 1.0) < 0.2, s"mean ratio $mean")
+    // a different seed gives a genuinely different matrix
+    val r2 = ratios("jl2")
+    assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
+  }
+
+  test("budget selection keeps the best-quality prefix within budget") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val budget = 2000L
+    val kept = Curation
+      .budgetSelect(docs, "doc_id", "text", "source", budget)
+      .select("doc_id", "source", "n_tok", "quality")
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._2)
+    val all = docs.select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(Long, String, Long, Double)].collect()
+      .groupBy(_._2)
+    assert(kept.nonEmpty)
+    for ((domain, ks) <- kept) {
+      // overshoot bounded by one document
+      val sum = ks.map(_._3).sum
+      assert(sum - ks.map(_._3).max < budget, s"$domain sum=$sum")
+      // kept set is exactly the greedy prefix of the quality ordering
+      val ordered = all(domain).sortBy(t => (-t._4, t._1))
+      val prefix = ordered
+        .scanLeft(0L)(_ + _._3).zip(ordered)
+        .takeWhile { case (cumBefore, _) => cumBefore < budget }
+        .map(_._2._1).toSet
+      assert(ks.map(_._1).toSet === prefix, s"$domain prefix mismatch")
+    }
+  }
 }

@@ -266,6 +266,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("bloom decontamination probes inside the scan stage, then broadcasts") {
+    val p = plan(queries.PipelineQueries
+      .q87BloomDecontaminate(spark, TestSpark.sf))
+    // the serialized bloom is a literal probed per-gram BEFORE the join —
+    // the corpus side that reaches the exact confirm join is pre-thinned
+    assert(p.contains("might_contain"),
+      "bloom probe must appear as a filter predicate")
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact confirm must stay a broadcast join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("ivf-pq: candidate generation is a broadcast equi-join on the list id") {
     val p = plan(queries.PipelineQueries.q84IvfPqTopK(spark, TestSpark.sf))
     // probed lists broadcast and join candidates on cid; nothing scans

@@ -14,6 +14,24 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("eventsStream decodes ts like the batch loader (no null-decode)") {
+    // A streaming schema that disagrees with the file's physical type
+    // null-decodes ts; the watermark then drops every row downstream with
+    // no error anywhere. Pin the source itself: same schema as the batch
+    // loader, zero null timestamps, same row count.
+    val q = StreamingEtl.eventsStream(spark, TestSpark.sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("evsrc_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("evsrc_out")
+    val batch = Tables.events(spark, TestSpark.sf)
+    assert(streamed.schema === batch.schema)
+    assert(streamed.filter(col("ts").isNull).count() === 0L)
+    assert(streamed.count() === batch.count())
+  }
+
   test("streaming window agg equals the batch run") {
     val stream = StreamingEtl.eventWindowAgg(
       StreamingEtl.eventsStream(spark, TestSpark.sf))
