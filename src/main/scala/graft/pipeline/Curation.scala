@@ -150,6 +150,39 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** Sliding-window document chunking — the context-window prep step
+    * (RAG indexing, long-document pretraining): one output row per
+    * chunk of `chunkTokens` tokens starting every `strideTokens`
+    * (stride < chunk ⇒ overlapping chunks), the last chunk truncated at
+    * the document end. Emits (id, chunk_idx, chunk_tok, chunk_hash) —
+    * the md5 digest stands in for chunk text so the fan-out stays
+    * narrow; join back on (id, chunk_idx) when the text is needed.
+    *
+    * Shape at 100 TB: entirely row-local — tokenize once (let-bound),
+    * generate offsets with `sequence`, slice + hash per chunk, explode.
+    * No shuffle, no window; the fan-out factor is ~n_tok/stride per
+    * document, decided per row.
+    */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0, "positive chunk and stride")
+    val chunks = graft.functions.Let.let(tokens(col(textCol)), w =>
+      transform(
+        // n_tok >= 1 always (normalize of "" is [""]), so the int cast's
+        // truncation IS the floor of the nonnegative quotient
+        sequence(lit(0), ((size(w) - 1) / strideTokens).cast("int")),
+        i => graft.functions.Let.let(
+          slice(w, i * strideTokens + 1, lit(chunkTokens)), c =>
+            struct(
+              size(c).cast("long").as("chunk_tok"),
+              md5(array_join(c, " ")).as("chunk_hash")))))
+    docs
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "c")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_tok"), col("c.chunk_hash"))
+  }
+
   /** Document-frequency vocabulary: distinct tokens per document,
     * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
     * One explode + one hash aggregation (map-side combinable) + a

@@ -410,6 +410,37 @@ object CurationQueries {
        |SELECT n.vec_id, n.label, n.nrm, pn.pnrm
        |FROM n JOIN pn USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  // ---- q89: sliding-window document chunking --------------------------
+
+  private val ChunkTokens = 64
+  private val StrideTokens = 48
+
+  /** Overlapping 64-token chunks every 48 tokens, one row per chunk with
+    * its exact token count and text digest — the oracle regenerates the
+    * identical offsets, slices, and md5s, so chunk CONTENT (not just
+    * counts) is value-checked.
+    */
+  def q89ChunkDocuments(spark: SparkSession, dir: String): DataFrame =
+    Curation.chunkDocuments(Tables.documents(spark, dir), "doc_id", "text",
+        chunkTokens = ChunkTokens, strideTokens = StrideTokens)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q89Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, t.i AS chunk_idx,
+       |         list_slice(w, t.i * $StrideTokens + 1,
+       |                    t.i * $StrideTokens + $ChunkTokens) AS ck
+       |  FROM w, unnest(range(0, 1 + (len(w) - 1) // $StrideTokens)) AS t(i)
+       |)
+       |SELECT doc_id, chunk_idx, CAST(len(ck) AS BIGINT) AS chunk_tok,
+       |       md5(array_to_string(ck, ' ')) AS chunk_hash
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
@@ -420,7 +451,8 @@ object CurationQueries {
     "q56_quantize_embeddings" -> (q56QuantizeEmbeddings _),
     "q60_sequence_packing" -> (q60SequencePacking _),
     "q85_budget_select" -> (q85BudgetSelect _),
-    "q86_random_projection" -> (q86RandomProjection _)
+    "q86_random_projection" -> (q86RandomProjection _),
+    "q89_chunk_documents" -> (q89ChunkDocuments _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -433,6 +465,7 @@ object CurationQueries {
     "q56_quantize_embeddings" -> q56Oracle,
     "q60_sequence_packing" -> q60Oracle,
     "q85_budget_select" -> q85Oracle,
-    "q86_random_projection" -> q86Oracle
+    "q86_random_projection" -> q86Oracle,
+    "q89_chunk_documents" -> q89Oracle
   )
 }

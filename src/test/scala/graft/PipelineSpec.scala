@@ -711,6 +711,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("chunking covers every token with the declared overlap") {
+    import graft.pipeline.Curation
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val chunk = 64; val stride = 48
+    val rows = Curation
+      .chunkDocuments(docs, "doc_id", "text", chunk, stride)
+      .select("doc_id", "chunk_idx", "chunk_tok")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val nTok = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.nonEmpty && rows.keySet === nTok.keySet)
+    for ((id, cs) <- rows) {
+      val sorted = cs.sortBy(_._2)
+      // contiguous indexes from 0; each chunk is exactly the window the
+      // contract slices (full-size until the document end truncates it)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+      assert(sorted.forall { case (_, i, t) =>
+        t == math.min(chunk.toLong, nTok(id) - i * stride)
+      }, s"doc $id chunk size mismatch")
+      // last chunk ends exactly at the document end → full coverage
+      val last = sorted.last
+      assert(last._2 * stride + last._3 == nTok(id), s"doc $id tail gap")
+    }
+  }
+
   test("budget selection keeps the best-quality prefix within budget") {
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
