@@ -266,6 +266,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("rank-filter queries plan map-side WindowGroupLimit, not full sort") {
+    val p = plan(queries.RelationalQueries
+      .q03TopOrdersPerCustomer(spark, TestSpark.sf))
+    // rank(...) <= k must become partial+final WindowGroupLimit (per-key
+    // bounded heaps BEFORE the shuffle) — a silent regression to a plain
+    // Window over fully-sorted partitions is the 100-TB failure mode
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n${p.take(600)}")
+  }
+
   test("bloom decontamination probes inside the scan stage, then broadcasts") {
     val p = plan(queries.PipelineQueries
       .q87BloomDecontaminate(spark, TestSpark.sf))

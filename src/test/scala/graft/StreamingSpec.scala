@@ -285,6 +285,54 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(got -- want).take(3)}, missing: ${(want -- got).take(3)}")
   }
 
+  test("bloom prefilter decontaminates an in-flight stream like the batch") {
+    import graft.pipeline.{Decontaminate, TextAnalysis}
+    import graft.functions.VectorFunctions
+    val docsBatch = Tables.documents(spark, TestSpark.sf)
+    val benchGrams = docsBatch
+      .filter(col("doc_id") % 31 === 0)
+      .select(explode(array_distinct(Decontaminate.ngrams(
+        slice(TextAnalysis.tokens(col("text")), 3, 16), 6))).as("gram"))
+      .distinct()
+    val nBench = benchGrams.count()
+    val bloom = benchGrams
+      .agg(VectorFunctions.bloomAgg(col("gram"), nBench, 0.01))
+      .head().getAs[Array[Byte]](0)
+
+    // the serialized bloom is a plain literal predicate, so the SAME
+    // ingest-time thinning works on a stream: candidate grams survive,
+    // everything else is dropped in the scan stage with no state
+    def grams(docs: org.apache.spark.sql.DataFrame) = docs
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Decontaminate.ngrams(TextAnalysis.tokens(col("text")), 6)))
+          .as("gram"))
+      .filter(VectorFunctions.bloomContains(lit(bloom), col("gram")))
+
+    val streamed = spark.readStream.schema(docsBatch.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(TestSpark.sf)
+    val q = grams(streamed)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloom_stream_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bloom_stream_out")
+      .as[(Long, String)].collect().toSet
+    val want = grams(docsBatch).as[(Long, String)].collect().toSet
+    assert(got.nonEmpty && got === want)
+    // and the bloom admitted every true match (no false negatives)
+    val exact = docsBatch
+      .select(col("doc_id"),
+        explode(array_distinct(
+          Decontaminate.ngrams(TextAnalysis.tokens(col("text")), 6)))
+          .as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .select("doc_id", "gram").as[(Long, String)].collect().toSet
+    assert(exact.subsetOf(got))
+  }
+
   test("stream-stream interval join equals the batch band join") {
     def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
       .filter(col("event_type") === t)
