@@ -1050,6 +1050,114 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q90/q91: BPE tokenizer training + corpus encoding --------------
+
+  private val BpeMergeCount = 6
+
+  /** The shared oracle ladder: w0 = word counts with char-spaced symbol
+    * spellings (the one corpus-scale step), then per round i: pair
+    * counts over the vocab → argmax (count desc, lexicographic ties) →
+    * literal-replace merge. Returns the CTE chain text up to
+    * `w$BpeMergeCount` / `b1..b$BpeMergeCount`; q90 reads the b-rows,
+    * q91 re-encodes the corpus against the final vocab.
+    */
+  private def bpeLadderSql: String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS f,
+         |         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word
+         |        FROM documents)
+         |  WHERE word <> '' GROUP BY word
+         |)""".stripMargin
+    val rounds = (1 to BpeMergeCount).map { i =>
+      s"""p$i AS (
+         |  SELECT s.t[u.i] AS l_sym, s.t[u.i + 1] AS r_sym,
+         |         CAST(sum(s.f) AS BIGINT) AS c
+         |  FROM (SELECT f, string_split(sym, ' ') AS t FROM w${i - 1}) s,
+         |       unnest(range(1, len(s.t))) AS u(i)
+         |  GROUP BY l_sym, r_sym
+         |),
+         |b$i AS (SELECT l_sym, r_sym, c FROM p$i
+         |        ORDER BY c DESC, l_sym, r_sym LIMIT 1),
+         |w$i AS (
+         |  SELECT word, f,
+         |         trim(replace(' ' || w.sym || ' ',
+         |                      ' ' || b.l_sym || ' ' || b.r_sym || ' ',
+         |                      ' ' || b.l_sym || b.r_sym || ' ')) AS sym
+         |  FROM w${i - 1} w, b$i b
+         |)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  /** BPE merge learning ([[graft.pipeline.Bpe]]): the 6 highest-count
+    * symbol merges with their selection-time weighted frequencies. The
+    * oracle unrolls every round in SQL (the q66 k-means contract) — a
+    * divergent pair count, tie-break, or replace semantics in ANY round
+    * cascades into every later row.
+    */
+  def q90BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = graft.pipeline.Bpe
+      .wordCounts(Tables.documents(spark, dir), "text")
+    graft.pipeline.Bpe.learnMerges(spark, words, BpeMergeCount)
+      .toDF()
+      .select(col("rank").cast("long").as("rank"), col("l_sym"),
+        col("r_sym"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  val q90Oracle: String = {
+    val rows = (1 to BpeMergeCount).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l_sym, r_sym, c AS pair_count FROM b$i")
+    s"""WITH $bpeLadderSql
+       |${rows.mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** Corpus encoding with the learned tokenizer: per-source document,
+    * word, and encoded-symbol totals. The Spark side is a pure row-local
+    * projection (the merge ladder folds into k literal replaces — the
+    * one-pass 100 TB tokenization shape); the oracle instead joins each
+    * word to its FINAL vocab spelling, so the projection must agree with
+    * the vocab fixpoint word by word.
+    */
+  def q91BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.pipeline.Bpe.learnMerges(
+      spark, graft.pipeline.Bpe.wordCounts(docs, "text"), BpeMergeCount)
+    docs
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(filter(TextAnalysis.tokens(col("text")),
+          w => w =!= lit(""))).cast("long")).as("n_words"),
+        sum(graft.pipeline.Bpe.encodedSymbolCount(col("text"), merges))
+          .as("n_sym"))
+      .orderBy("source")
+  }
+
+  val q91Oracle: String =
+    s"""WITH $bpeLadderSql,
+       |dw AS (
+       |  SELECT source, word
+       |  FROM (SELECT source, unnest(string_split($normSql, ' ')) AS word
+       |        FROM documents)
+       |  WHERE word <> ''
+       |),
+       |enc AS (
+       |  SELECT dw.source, count(*) AS n_words,
+       |         CAST(sum(len(string_split(v.sym, ' '))) AS BIGINT) AS n_sym
+       |  FROM dw JOIN w$BpeMergeCount v ON v.word = dw.word
+       |  GROUP BY dw.source
+       |)
+       |SELECT d.source, count(*) AS n_docs,
+       |       coalesce(any_value(enc.n_words), 0) AS n_words,
+       |       coalesce(any_value(enc.n_sym), 0) AS n_sym
+       |FROM documents d LEFT JOIN enc ON enc.source = d.source
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   // ---- q87: bloom-prefiltered decontamination -------------------------
 
   private val BloomDecontamN = 6
@@ -1146,6 +1254,8 @@ object PipelineQueries {
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
+    "q90_bpe_merges" -> (q90BpeMerges _),
+    "q91_bpe_encode" -> (q91BpeEncode _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
     "q76_dsir_weights" -> (q76DsirWeights _),
@@ -1169,6 +1279,8 @@ object PipelineQueries {
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q87_bloom_decontaminate" -> q87Oracle,
+    "q90_bpe_merges" -> q90Oracle,
+    "q91_bpe_encode" -> q91Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,
     "q76_dsir_weights" -> q76Oracle,

@@ -711,6 +711,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("BPE merge learning matches the closed-form low/lower example") {
+    import graft.pipeline.Bpe
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(spark, Bpe.wordCounts(docs, "text"), 4)
+    // pairs round 1: (l,o)=7 ties (o,w)=7 → lexicographic → (l,o)
+    // round 2: (lo,w)=7; round 3: (e,r)=2 ties (low,e)=2 → (e,r)
+    // round 4: (low,er)=2
+    assert(merges.map(m => (m.l_sym, m.r_sym, m.pair_count)) == Seq(
+      ("l", "o", 7L), ("lo", "w", 7L), ("e", "r", 2L), ("low", "er", 2L)))
+    // encoding with the learned ladder: merge 4 folds low+er, so BOTH
+    // words end fully merged — 1 symbol each
+    val enc = docs.select(
+        Bpe.encodedSymbolCount(col("text"), merges).as("n"))
+      .as[Long].collect()
+    assert(enc.sum == 5 * 1 + 2 * 1)
+    // and with only the first 3 merges, "lower" stays (low, er) = 2
+    val enc3 = docs.select(
+        Bpe.encodedSymbolCount(col("text"), merges.take(3)).as("n"))
+      .as[Long].collect()
+    assert(enc3.sum == 5 * 1 + 2 * 2)
+    // merge exhaustion stops early instead of looping
+    assert(Bpe.learnMerges(spark, Bpe.wordCounts(docs, "text"), 50)
+      .size < 50)
+  }
+
   test("chunking covers every token with the declared overlap") {
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
