@@ -150,6 +150,33 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle splits, or the eval set silently contains
+    * paraphrases of training rows. Membership hashes the document's
+    * near-dup COMPONENT id (connected components over the pair graph;
+    * singletons use their own id), so an entire duplicate cluster lands
+    * in one split by construction — the [[hashSplit]] determinism
+    * carried up to the cluster level.
+    *
+    * Scale shape: the component table is pair-graph-sized (only docs
+    * that have a near-dup, a small fraction of the corpus), so the left
+    * join broadcasts under AQE; everything else is the same pure
+    * projection as [[hashSplit]].
+    */
+  def groupAwareSplit(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      splitCol: String = "split"): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+      .withColumnRenamed("id", "__cid")
+    val grouped = docs
+      .join(comp, col(idCol) === col("__cid"), "left")
+      .withColumn("group_id", coalesce(col("component"), col(idCol)))
+      .drop("__cid", "component")
+    hashSplit(grouped, "group_id", splits, splitCol)
+  }
+
   /** Sliding-window document chunking — the context-window prep step
     * (RAG indexing, long-document pretraining): one output row per
     * chunk of `chunkTokens` tokens starting every `strideTokens`

@@ -382,6 +382,73 @@ object ProfileQueries {
        |       round(max(lm), 4) AS max_lm
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q92: leakage-safe (group-aware) train/val/test split -----------
+
+  /** [[graft.pipeline.Curation.groupAwareSplit]] over the shared winnow
+    * pair graph: membership hashes the near-dup COMPONENT id, so a
+    * duplicate cluster can never straddle train/test (eval leakage).
+    * Output pins, per (split, lang): document counts and how many came
+    * from multi-member clusters — the oracle replays the recursive
+    * closure (q57's contract) plus the md5-fraction split on the
+    * component id.
+    */
+  def q92GroupAwareSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.groupAwareSplit(
+        PipelineQueries.docsAug(spark, dir).select("doc_id", "text"),
+        "doc_id",
+        winnowPairGraph(spark, dir).select("id_a", "id_b"))
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("group_id")).as("n_groups"),
+        sum(when(col("group_id") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_nonrep_members"))
+      .orderBy("split")
+
+  val q92Oracle: String =
+    s"""WITH RECURSIVE ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5
+       |),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |      UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT a AS id, a AS r FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+       |),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+       |g AS (
+       |  SELECT d.doc_id,
+       |         coalesce(comp.component, d.doc_id) AS group_id
+       |  FROM docs_aug d LEFT JOIN comp ON comp.id = d.doc_id
+       |),
+       |f AS (
+       |  SELECT doc_id, group_id,
+       |         ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))::INT
+       |           / 65536.0 AS frac
+       |  FROM g
+       |)
+       |SELECT CASE WHEN frac < 0.8 THEN 'train'
+       |            WHEN frac < 0.9 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       count(DISTINCT group_id) AS n_groups,
+       |       CAST(sum(CASE WHEN group_id <> doc_id THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_nonrep_members
+       |FROM f GROUP BY split ORDER BY split""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
@@ -390,7 +457,8 @@ object ProfileQueries {
     "q57_dedup_components" -> (q57DedupComponents _),
     "q73_cluster_representatives" -> (q73ClusterRepresentatives _),
     "q58_tfidf_weights" -> (q58TfIdfWeights _),
-    "q61_bigram_lm" -> (q61BigramLm _)
+    "q61_bigram_lm" -> (q61BigramLm _),
+    "q92_group_aware_split" -> (q92GroupAwareSplit _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -401,6 +469,7 @@ object ProfileQueries {
     "q57_dedup_components" -> q57Oracle,
     "q73_cluster_representatives" -> q73Oracle,
     "q58_tfidf_weights" -> q58Oracle,
-    "q61_bigram_lm" -> q61Oracle
+    "q61_bigram_lm" -> q61Oracle,
+    "q92_group_aware_split" -> q92Oracle
   )
 }

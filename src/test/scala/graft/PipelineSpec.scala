@@ -711,6 +711,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("group-aware split never strands near-dup pairs across splits") {
+    import graft.pipeline.{Curation, Winnowing}
+    val pairs = Winnowing.pairs(docsAug, "doc_id", "text",
+      8, 4, minShared = 5, maxDocFreq = 20).select("id_a", "id_b")
+    assert(pairs.count() > 0, "fixture must contain near-dup pairs")
+    val split = Curation
+      .groupAwareSplit(docsAug.select("doc_id", "text"), "doc_id", pairs)
+      .select(col("doc_id"), col("split"))
+    val byId = split.as[(Long, String)].collect().toMap
+    // every planted near-dup pair shares a split
+    val straddling = pairs.as[(Long, Long)].collect()
+      .filter { case (a, b) => byId(a) != byId(b) }
+    assert(straddling.isEmpty, s"straddling pairs: ${straddling.take(3).toSeq}")
+    // and the plain hash split DOES strand at least one pair on this
+    // fixture — the property is not vacuous
+    val naive = Curation.hashSplit(docsAug.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(pairs.as[(Long, Long)].collect()
+      .exists { case (a, b) => naive(a) != naive(b) })
+  }
+
   test("BPE merge learning matches the closed-form low/lower example") {
     import graft.pipeline.Bpe
     val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower"))
