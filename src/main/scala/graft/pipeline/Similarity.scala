@@ -122,6 +122,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "sim", "rank")
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * BM25-style negative upgrade every embedding-model pipeline needs):
+    * for each query, the k most-similar corpus vectors whose LABEL
+    * differs — near the anchor in embedding space yet semantically
+    * wrong, exactly the pairs that sharpen a contrastive loss.
+    *
+    * Same scale shape as [[bruteForceTopK]]: query side broadcast, one
+    * corpus stream, codegen'd dot, map-side top-k via the rank window
+    * (WindowGroupLimit bounds per-key state before the shuffle). For
+    * billion-vector corpora compose with the IVF/PQ candidate paths the
+    * same way q84 does for plain ANN.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      assumeNormalized: Boolean = true): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("query_label"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      asDouble(col(vecCol)).as("cv"))
+    val sim =
+      if (assumeNormalized) dot(col("qv"), col("cv"))
+      else cosine(col("qv"), col("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(!(col("neighbor_label") <=> col("query_label")))
+      .withColumn("sim", round(sim, 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "sim", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * a value in [-0.5, 0.5) derived from md5 — no RNG state, so executors
     * and the SQL oracle regenerate identical planes.

@@ -676,6 +676,46 @@ object SimilarityQueries {
       |FROM m WHERE rn = 1 AND sim >= 0.25
       |ORDER BY vec_id""".stripMargin
 
+  // ---- q93: contrastive hard-negative mining --------------------------
+
+  /** [[Similarity.hardNegatives]] on the raw embeddings: for every 100th
+    * vector, the 5 most-similar vectors of a DIFFERENT label — the
+    * contrastive-training pair miner. The oracle is q27's top-k replay
+    * plus the null-safe label-mismatch predicate.
+    */
+  def q93HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.hardNegatives(
+        corpus = emb, queries = emb.filter(col("vec_id") % 100 === 0),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q93Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, label AS query_label,
+      |         embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id % 100 = 0
+      |),
+      |c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+      |             embedding::DOUBLE[] AS cv
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, query_label, neighbor_id, neighbor_label,
+      |         round(list_dot_product(qv, cv), 4) AS sim
+      |  FROM c, q
+      |  WHERE neighbor_label IS DISTINCT FROM query_label
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, query_label, neighbor_id, neighbor_label, sim, rnk
+      |FROM ranked WHERE rnk <= 5
+      |ORDER BY query_id, rnk""".stripMargin
+
   // ---- q88: MP3 container metadata ------------------------------------
 
   /** Compressed-audio metadata at value level: hand-rolled CBR MP3 frame
@@ -742,6 +782,7 @@ object SimilarityQueries {
     "q71_wav_features" -> (q71WavFeatures _),
     "q74_mp4_metadata" -> (q74Mp4Metadata _),
     "q88_mp3_metadata" -> (q88Mp3Metadata _),
+    "q93_hard_negatives" -> (q93HardNegatives _),
     "q78_avi_features" -> (q78AviFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
@@ -760,6 +801,7 @@ object SimilarityQueries {
     "q71_wav_features" -> q71Oracle,
     "q74_mp4_metadata" -> q74Oracle,
     "q88_mp3_metadata" -> q88Oracle,
+    "q93_hard_negatives" -> q93Oracle,
     "q78_avi_features" -> q78Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,

@@ -711,6 +711,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("hard negatives: cross-label only, and the exact label-filtered top-k") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val negs = Similarity.hardNegatives(emb, q, "vec_id", "embedding",
+        "label", k = 3)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "sim", "rank")
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+    assert(negs.nonEmpty)
+    assert(negs.forall { case (_, ql, _, nl, _, _) => ql != nl })
+    // agrees with brute-force ranking restricted to other labels
+    val labels = emb.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val full = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding",
+        k = emb.count().toInt)
+      .select("query_id", "neighbor_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    val expected = full
+      .filter { case (qid, nid, _) => labels(qid) != labels(nid) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case ((_, nid, sim), i) => (qid, nid, sim, i + 1) }
+      }.toSet
+    val got = negs.map { case (qid, _, nid, _, sim, r) => (qid, nid, sim, r) }
+      .toSet
+    assert(got === expected)
+  }
+
   test("group-aware split never strands near-dup pairs across splits") {
     import graft.pipeline.{Curation, Winnowing}
     val pairs = Winnowing.pairs(docsAug, "doc_id", "text",
