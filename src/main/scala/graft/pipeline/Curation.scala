@@ -150,6 +150,47 @@ object Curation {
       .drop("cum_before")
   }
 
+  /** T5-style span corruption planning (Raffel et al. 2020 §3.1.4): mark
+    * which tokens a denoising objective would mask, deterministically.
+    * A token position STARTS a span when its md5 fraction
+    * (`md5(id|'s'|pos)`, the [[splitFraction]] trick per position) falls
+    * under `density / spanLen`; a span covers `spanLen` consecutive
+    * tokens, overlapping spans merge. Expected masked fraction ≈
+    * `density`, expected span length `spanLen` — the T5 knobs — with no
+    * RNG state: every executor, every rerun, and the SQL oracle agree on
+    * the exact masked set.
+    *
+    * Returns per-document (n_tok, n_spans, n_masked) as a pure row-local
+    * projection: the start flags and the merged-coverage count are
+    * array-lambda arithmetic over one tokenization — no shuffle, no
+    * window, no fan-out.
+    */
+  def spanCorruptionPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      density: Double = 0.15, spanLen: Int = 3): DataFrame = {
+    require(density > 0 && density < 1 && spanLen > 0)
+    val startP = density / spanLen
+    docs.select(
+      col(idCol),
+      graft.functions.Let.let(tokens(col(textCol)), w =>
+        graft.functions.Let.let(
+          transform(sequence(lit(0), size(w) - 1), i =>
+            conv(substring(md5(
+              concat(col(idCol).cast("string"), lit("|s|"), i.cast("string"))),
+              1, 4), 16, 10).cast("double") / 65536.0 < startP), starts =>
+          struct(
+            size(w).cast("long").as("n_tok"),
+            size(filter(starts, s => s)).cast("long").as("n_spans"),
+            // token i is masked iff any of positions [i-spanLen+1, i]
+            // starts a span — merged coverage, counted per position
+            size(filter(sequence(lit(0), size(w) - 1), i =>
+              exists(
+                sequence(greatest(lit(0), i - (spanLen - 1)), i),
+                j => element_at(starts, j + 1))))
+              .cast("long").as("n_masked")))).as("m"))
+      .select(col(idCol), col("m.n_tok"), col("m.n_spans"), col("m.n_masked"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * never straddle splits, or the eval set silently contains
     * paraphrases of training rows. Membership hashes the document's

@@ -441,6 +441,44 @@ object CurationQueries {
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---- q94: T5-style span corruption plan -----------------------------
+
+  private val CorruptDensity = 0.15
+  private val CorruptSpanLen = 3
+
+  /** Deterministic denoising-objective planning: per document, how many
+    * tokens, how many corruption spans start, and how many tokens the
+    * merged spans mask. The oracle regenerates the identical md5 start
+    * flags and merged coverage with nested list lambdas.
+    */
+  def q94SpanCorruption(spark: SparkSession, dir: String): DataFrame =
+    Curation.spanCorruptionPlan(Tables.documents(spark, dir), "doc_id",
+        "text", density = CorruptDensity, spanLen = CorruptSpanLen)
+      .orderBy("doc_id")
+
+  val q94Oracle: String = {
+    val startP = CorruptDensity / CorruptSpanLen
+    val back = CorruptSpanLen - 1
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(${PipelineQueries.normSql}, ' ') AS w
+       |  FROM documents
+       |),
+       |s AS (
+       |  SELECT doc_id, len(w) AS n_tok,
+       |         list_transform(range(0, len(w)), i ->
+       |           ('0x' || substr(md5(doc_id || '|s|' || i), 1, 4))::INT
+       |             / 65536.0 < $startP) AS starts
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       |       CAST(len(list_filter(starts, x -> x)) AS BIGINT) AS n_spans,
+       |       CAST(len(list_filter(range(0, n_tok), i ->
+       |              len(list_filter(range(greatest(0, i - $back), i + 1),
+       |                              j -> starts[j + 1])) > 0))
+       |            AS BIGINT) AS n_masked
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
@@ -452,7 +490,8 @@ object CurationQueries {
     "q60_sequence_packing" -> (q60SequencePacking _),
     "q85_budget_select" -> (q85BudgetSelect _),
     "q86_random_projection" -> (q86RandomProjection _),
-    "q89_chunk_documents" -> (q89ChunkDocuments _)
+    "q89_chunk_documents" -> (q89ChunkDocuments _),
+    "q94_span_corruption" -> (q94SpanCorruption _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -466,6 +505,7 @@ object CurationQueries {
     "q60_sequence_packing" -> q60Oracle,
     "q85_budget_select" -> q85Oracle,
     "q86_random_projection" -> q86Oracle,
-    "q89_chunk_documents" -> q89Oracle
+    "q89_chunk_documents" -> q89Oracle,
+    "q94_span_corruption" -> q94Oracle
   )
 }

@@ -711,6 +711,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("span corruption: coverage bounds and the density target") {
+    import graft.pipeline.Curation
+    val rows = Curation.spanCorruptionPlan(
+        Tables.documents(spark, TestSpark.sf), "doc_id", "text",
+        density = 0.15, spanLen = 3)
+      .select("n_tok", "n_spans", "n_masked")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    for ((nTok, nSpans, nMasked) <- rows) {
+      assert(nMasked <= nTok)
+      // merged coverage: at least one token per span, at most spanLen
+      assert(nSpans == 0 || (nMasked >= nSpans && nMasked <= 3 * nSpans))
+    }
+    // corpus-level masked fraction lands near the requested density
+    val frac = rows.map(_._3).sum.toDouble / rows.map(_._1).sum
+    assert(frac > 0.10 && frac < 0.20, s"masked fraction $frac")
+  }
+
   test("hard negatives: cross-label only, and the exact label-filtered top-k") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val q = emb.filter(col("vec_id") % 100 === 0)
