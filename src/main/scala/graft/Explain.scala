@@ -17,6 +17,10 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same extensions as Verify/Bench — without them the dumped plans
+    // show interpreted HOF folds where the deployed session runs the
+    // rewritten codegen'd vec_dot
+    graft.plans.GraftExtensions.install(spark)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n========== $name ==========")

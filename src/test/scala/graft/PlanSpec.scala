@@ -266,6 +266,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("JL projection folds rewrite to the codegen'd dot product") {
+    plans.GraftExtensions.install(spark)
+    val p = plan(queries.CurationQueries
+      .q86RandomProjection(spark, TestSpark.sf))
+    // every output component's zip_with/aggregate fold must have been
+    // rewritten by RewriteHofDotProduct — an interpreted HOF ladder here
+    // is 16 per-row lambda interpreters on the corpus scan
+    assert(!p.contains("aggregate(zip_with"),
+      "unrewritten HOF fold left in the projection")
+    assert(p.contains("dotproduct"), "vec_dot rewrite did not fire")
+  }
+
   test("rank-filter queries plan map-side WindowGroupLimit, not full sort") {
     val p = plan(queries.RelationalQueries
       .q03TopOrdersPerCustomer(spark, TestSpark.sf))
