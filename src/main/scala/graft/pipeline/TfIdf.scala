@@ -46,6 +46,60 @@ object TfIdf {
         col("weight"), col("doc_norm"))
   }
 
+  /** Okapi BM25 retrieval scores (Robertson/Sparck Jones; the lexical
+    * ranking behind RAG retrieval and search-index curation) for a small
+    * query set against the corpus:
+    *
+    *   score(d, q) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (the Lucene form)
+    *
+    * Scale shape: an inverted-index equi-join — corpus (id, token, tf)
+    * rows meet the BROADCAST exploded query terms on the token, followed
+    * by one map-side-combinable sum per (query, doc). N/avgdl enter as a
+    * broadcast one-row aggregate; nothing all-pairs, nothing collected.
+    * Top-k per query via the rank window (WindowGroupLimit bounds state
+    * map-side).
+    *
+    * `queries` needs (queryIdCol, queryTextCol); tokenization matches the
+    * corpus side. Scores are rounded to 4 before ranking so the ranking
+    * is engine-reproducible (ties break on doc id).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol),
+      size(tokens(col(textCol))).cast("double").as("dl"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(tokens(col(textCol)))).as("__avgdl"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df_count"))
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("df_count") + 0.5) / (col("df_count") + 0.5))
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(qTerms), Seq("token"))
+      .join(df, Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(idf * tfNorm), 4).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Cosine-similar document pairs above `minSim`: inverted-index
     * self-join on the token, one pair-keyed aggregation.
     */

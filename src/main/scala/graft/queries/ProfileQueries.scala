@@ -449,6 +449,73 @@ object ProfileQueries {
        |            AS BIGINT) AS n_nonrep_members
        |FROM f GROUP BY split ORDER BY split""".stripMargin
 
+  // ---- q95: BM25 retrieval ranking ------------------------------------
+
+  private val Bm25K = 5
+
+  /** Okapi BM25 top-k ([[graft.pipeline.TfIdf.bm25TopK]]): every 97th
+    * document donates tokens 5..8 as a keyword query; the oracle replays
+    * the Lucene-form idf and length-normalized tf term by term. Ranking
+    * runs on the 4-rounded score (doc-id ties), so the top-k SET is
+    * engine-reproducible.
+    */
+  def q95Bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(graft.pipeline.TextAnalysis.tokens(col("text")),
+          5, 4), " ").as("qtext"))
+    graft.pipeline.TfIdf.bm25TopK(
+        docs, "doc_id", "text", queries, "qid", "qtext", k = Bm25K)
+      .orderBy("query_id", "rank")
+  }
+
+  val q95Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH q AS (
+       |  SELECT doc_id AS query_id,
+       |         list_slice(string_split($normSql, ' '), 5, 8) AS qtok
+       |  FROM documents WHERE doc_id % 97 = 0
+       |),
+       |qt AS (
+       |  SELECT query_id, unnest(list_distinct(qtok)) AS token FROM q
+       |),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split($normSql, ' ')) AS token
+       |  FROM documents
+       |),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       |       GROUP BY doc_id, token),
+       |dl AS (SELECT doc_id,
+       |              CAST(len(string_split($normSql, ' ')) AS DOUBLE) AS dl
+       |       FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |              avg(len(string_split($normSql, ' '))) AS avgdl
+       |       FROM documents),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |sc AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         round(sum(
+       |           ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+       |           * tf.tf * (1.2 + 1)
+       |             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))
+       |         ), 4) AS score
+       |  FROM tf
+       |  JOIN qt USING (token)
+       |  JOIN df USING (token)
+       |  JOIN dl ON dl.doc_id = tf.doc_id, st
+       |  GROUP BY qt.query_id, tf.doc_id
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY score DESC, doc_id) AS rank
+       |  FROM sc
+       |)
+       |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM r WHERE rank <= $Bm25K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
@@ -458,7 +525,8 @@ object ProfileQueries {
     "q73_cluster_representatives" -> (q73ClusterRepresentatives _),
     "q58_tfidf_weights" -> (q58TfIdfWeights _),
     "q61_bigram_lm" -> (q61BigramLm _),
-    "q92_group_aware_split" -> (q92GroupAwareSplit _)
+    "q92_group_aware_split" -> (q92GroupAwareSplit _),
+    "q95_bm25_topk" -> (q95Bm25TopK _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -470,6 +538,7 @@ object ProfileQueries {
     "q73_cluster_representatives" -> q73Oracle,
     "q58_tfidf_weights" -> q58Oracle,
     "q61_bigram_lm" -> q61Oracle,
-    "q92_group_aware_split" -> q92Oracle
+    "q92_group_aware_split" -> q92Oracle,
+    "q95_bm25_topk" -> q95Oracle
   )
 }

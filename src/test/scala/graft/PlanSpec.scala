@@ -266,6 +266,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("bm25: query terms broadcast onto the inverted index, no cartesian") {
+    val p = plan(queries.ProfileQueries.q95Bm25TopK(spark, TestSpark.sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "query terms must broadcast onto the (id, token, tf) index")
+    assert(!p.contains("CartesianProduct"))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "top-k must bound per-query state map-side")
+  }
+
   test("JL projection folds rewrite to the codegen'd dot product") {
     plans.GraftExtensions.install(spark)
     val p = plan(queries.CurationQueries
