@@ -347,6 +347,42 @@ object StreamQueries {
       |WHERE rn > 1 OR session_end_us // 1000 + 1800000 < wm_ms
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  /** The stream-stream interval join through the REAL streaming path
+    * (readStream both sides → watermarks → time-bounded inner join →
+    * append-mode file sink). Inner stream-stream joins emit on match —
+    * nothing is withheld for the watermark — so the emitted set equals
+    * the batch band join exactly and the oracle is plain SQL over
+    * events: click→purchase attribution pairs within one hour.
+    */
+  def q96StreamingIntervalJoinLive(
+      spark: SparkSession, dir: String): DataFrame = {
+    def typed(t: String) = StreamingEtl.eventsStream(spark, dir)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    drainToParquet(spark,
+        StreamingEtl.intervalJoinStream(
+            typed("click"), typed("purchase"),
+            Seq("user_id"), "ts", "ts", maxGapSeconds = 3600)
+          .select(col("user_id"),
+            col("l_event_id"), col("r_event_id"),
+            (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+              .as("gap_us")),
+        "q96")
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
+
+  val q96Oracle: String =
+    """SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id,
+      |       epoch_us(CAST(b.ts AS TIMESTAMP))
+      |         - epoch_us(CAST(a.ts AS TIMESTAMP)) AS gap_us
+      |FROM events a
+      |JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND a.event_type = 'click' AND b.event_type = 'purchase'
+      | AND epoch_us(CAST(b.ts AS TIMESTAMP))
+      |       - epoch_us(CAST(a.ts AS TIMESTAMP)) BETWEEN 0 AND 3600000000
+      |ORDER BY a.user_id, l_event_id, r_event_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
@@ -356,7 +392,8 @@ object StreamQueries {
     "q46_sliding_windows" -> (q46SlidingWindows _),
     "q59_cms_heavy_hitters" -> (q59CmsHeavyHitters _),
     "q79_streaming_windows_live" -> (q79StreamingWindowsLive _),
-    "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _)
+    "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _),
+    "q96_streaming_interval_join_live" -> (q96StreamingIntervalJoinLive _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -368,6 +405,7 @@ object StreamQueries {
     "q46_sliding_windows" -> q46Oracle,
     "q59_cms_heavy_hitters" -> q59Oracle,
     "q79_streaming_windows_live" -> q79Oracle,
-    "q80_streaming_sessions_live" -> q80Oracle
+    "q80_streaming_sessions_live" -> q80Oracle,
+    "q96_streaming_interval_join_live" -> q96Oracle
   )
 }
