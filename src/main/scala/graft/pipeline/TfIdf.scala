@@ -68,8 +68,18 @@ object TfIdf {
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    val qTokens = qTerms.select("token").distinct()
+    // restrict the inverted index to query tokens BEFORE any aggregation:
+    // df over the restricted rows still counts every document containing
+    // the token (restriction is on the token, not the doc), so both the
+    // tf rows and the df table stay query-vocabulary-sized — the full
+    // corpus vocabulary never aggregates or joins
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(qTokens), Seq("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val dl = docs.select(col(idCol),
       size(tokens(col(textCol))).cast("double").as("dl"))
@@ -77,16 +87,13 @@ object TfIdf {
       count(lit(1)).cast("double").as("__n"),
       avg(size(tokens(col(textCol)))).as("__avgdl"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df_count"))
-    val qTerms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
     val idf = log(lit(1.0) +
       (col("__n") - col("df_count") + 0.5) / (col("df_count") + 0.5))
     val tfNorm = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("__avgdl")))
     val scored = tf
       .join(broadcast(qTerms), Seq("token"))
-      .join(df, Seq("token"))
+      .join(broadcast(df), Seq("token"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col(idCol))
