@@ -62,8 +62,13 @@ object TextAnalysis {
     * Null text scores 0.0 explicitly: Spark's `greatest`/`least` IGNORE
     * null arguments, so without the guard a null document would score a
     * mid-range 0.5 (greatest(0.0, null) = 0.0, least(1.0, null) = 1.0)
-    * and sail through quality gates. (The DuckDB oracle needs no twin
-    * guard — the fixture corpus has no null text.)
+    * and sail through quality gates. EMPTY/whitespace-only text also
+    * scores 0.0 explicitly: its normalized length is 0, and the punct
+    * ratio's division by it is a runtime DIVIDE_BY_ZERO under ANSI mode
+    * (Spark 4's default) — found by the budgetSelect ScalaCheck
+    * property, one empty document would crash a corpus-scale scoring
+    * job. (The DuckDB oracle needs no twin guard — the fixture corpus
+    * has no null or empty text.)
     */
   def qualityScoreFromParts(text: Column, norm: Column, w: Column): Column = {
     val nTok = size(w).cast("double")
@@ -75,7 +80,7 @@ object TextAnalysis {
       lit(5.0) * (countIn(w, Stopwords).cast("double") / nTok))
     val meanWordLen = (nChars - (nTok - 1)) / nTok
     val wlScore = greatest(lit(0.0), lit(1.0) - abs(meanWordLen - 5.0) / 5.0)
-    when(text.isNull, lit(0.0))
+    when(text.isNull.or(length(norm) === 0), lit(0.0))
       .otherwise((lenScore + punctScore + stopScore + wlScore) * 0.25)
   }
 

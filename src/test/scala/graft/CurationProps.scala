@@ -72,4 +72,57 @@ class CurationProps extends Properties("curation") {
         vocab.map(_._3) == (1L to vocab.size) &&
         vocab.sortBy(t => (-t._2, t._1)) == vocab
     }
+
+  private val genDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(20, 80)
+    texts <- Gen.listOfN(n, genText)
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  property("chunking reassembles every document exactly") =
+    Prop.forAll(genDocs, Gen.choose(2, 10), Gen.choose(1, 10)) {
+      (docs, chunk, stride0) =>
+        val stride = math.min(stride0, chunk) // overlap or tiling, never gaps
+        val df = docs.toDF("id", "text")
+        val got = Curation.chunkDocuments(df, "id", "text", chunk, stride)
+          .select("id", "chunk_idx", "chunk_tok", "chunk_hash")
+          .as[(Long, Long, Long, String)].collect()
+          .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+        def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        docs.forall { case (id, text) =>
+          val w = text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ", -1)
+          val expect = (0 to (w.length - 1) / stride).map { i =>
+            val ck = w.slice(i * stride, i * stride + chunk)
+            (id, i.toLong, ck.length.toLong, md5(ck.mkString(" ")))
+          }
+          got(id).toSeq == expect
+        }
+    }
+
+  property("budgetSelect: per-domain overshoot is at most one document") =
+    Prop.forAll(genDocs, Gen.choose(5L, 200L)) { (docs, budget) =>
+      val df = docs.toDF("id", "text")
+        .withColumn("dom", (col("id") % 3).cast("string"))
+      val kept = Curation.budgetSelect(df, "id", "text", "dom", budget)
+        .select("dom", "n_tok")
+        .as[(String, Long)].collect().groupBy(_._1)
+      kept.values.forall { rows =>
+        val sum = rows.map(_._2).sum
+        sum - rows.map(_._2).max < budget
+      }
+    }
+
+  property("spanCorruptionPlan masks within bounds for any density knob") =
+    Prop.forAll(genDocs, Gen.choose(1, 5)) { (docs, spanLen) =>
+      val rows = Curation.spanCorruptionPlan(
+          docs.toDF("id", "text"), "id", "text",
+          density = 0.3, spanLen = spanLen)
+        .select("n_tok", "n_spans", "n_masked")
+        .as[(Long, Long, Long)].collect()
+      rows.forall { case (nTok, nSpans, nMasked) =>
+        nMasked <= nTok &&
+          (nSpans == 0 && nMasked == 0 ||
+            (nMasked >= nSpans && nMasked <= spanLen.toLong * nSpans))
+      }
+    }
 }
