@@ -36,18 +36,28 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; a zero vector is similar to nothing (0.0) rather
+    * than a crash — Spark 4's ANSI mode (the default) raises
+    * DIVIDE_BY_ZERO even for DOUBLE division, so the unguarded ratio
+    * dies on the first zero vector in a corpus (the test embeddings
+    * contain one; real corpora always do).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.Let.let(norm(a) * norm(b), d =>
+      when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Unit-length (L2) normalization — after it, cosine reduces to a pure
     * dot product, which is what makes pre-normalizing the corpus pay for
     * itself at scale (one pass now, a sqrt-free hot loop forever after).
+    * A zero vector passes through unchanged (ANSI double division by
+    * zero throws; see [[cosine]]).
     */
   def l2Normalize(v: Column): Column =
     graft.functions.Let.let(asDouble(v), d =>
       graft.functions.Let.let(norm(d), n =>
-        transform(d, x => x / n)))
+        when(n === 0.0, d).otherwise(transform(d, x => x / n))))
 
   /** Symmetric int8 quantization: each component scaled by 127/max|x| and
     * rounded — 4x smaller than float32 at rest and over the wire. The
@@ -57,7 +67,10 @@ object Similarity {
   def quantizeInt8(v: Column): Column =
     graft.functions.Let.let(asDouble(v), d =>
       graft.functions.Let.let(array_max(transform(d, x => abs(x))), mx =>
-        transform(d, x => round(x * lit(127.0) / mx).cast("int"))))
+        // zero vector: every component quantizes to 0 (the ratio would
+        // ANSI-throw; see cosine)
+        when(mx === 0.0, transform(d, _ => lit(0).cast("int")))
+          .otherwise(transform(d, x => round(x * lit(127.0) / mx).cast("int")))))
 
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

@@ -120,6 +120,10 @@ object TfIdf {
       col("weight").as("w_b"), col("doc_norm").as("n_b"))
     a.join(b, Seq("token"))
       .filter(col("id_a") < col("id_b"))
+      // a zero-norm document (every kept token at df = N ⇒ weight 0)
+      // is similar to nothing; without the filter the ratio is an ANSI
+      // DIVIDE_BY_ZERO crash, not a NaN
+      .filter(col("n_a") > 0 && col("n_b") > 0)
       .groupBy("id_a", "id_b")
       .agg((sum(col("w_a") * col("w_b")) /
         (first("n_a") * first("n_b"))).as("sim"))

@@ -711,6 +711,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.keys.exists(k => math.abs(r1(k) - r2(k)) > 1e-6))
   }
 
+  test("zero vectors survive cosine, normalize, and quantize (ANSI mode)") {
+    // Spark 4's default ANSI mode throws DIVIDE_BY_ZERO even for DOUBLE
+    // division — one zero vector in a corpus must not crash the job
+    val df = Seq(
+        (1L, Array(0.0f, 0.0f, 0.0f)),
+        (2L, Array(3.0f, 0.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val d = col("embedding").cast("array<double>")
+    val row = df.select(
+        Similarity.cosine(d, d).as("self_cos"),
+        Similarity.norm(Similarity.l2Normalize(col("embedding"))).as("nn"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      .orderBy("self_cos")
+      .collect()
+    // zero vector: cosine 0 (similar to nothing), unchanged by
+    // normalize, quantizes to all zeros
+    assert(row(0).getDouble(0) == 0.0 && row(0).getDouble(1) == 0.0)
+    assert(row(0).getSeq[Int](2) == Seq(0, 0, 0))
+    // nonzero vector: self-cosine 1, unit norm, max component at 127
+    assert(math.abs(row(1).getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(row(1).getDouble(1) - 1.0) < 1e-9)
+    assert(row(1).getSeq[Int](2).max == 127)
+  }
+
   test("span corruption: coverage bounds and the density target") {
     import graft.pipeline.Curation
     val rows = Curation.spanCorruptionPlan(
