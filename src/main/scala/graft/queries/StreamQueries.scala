@@ -383,6 +383,33 @@ object StreamQueries {
       |       - epoch_us(CAST(a.ts AS TIMESTAMP)) BETWEEN 0 AND 3600000000
       |ORDER BY a.user_id, l_event_id, r_event_id""".stripMargin
 
+  /** Watermarked streaming dedup through the REAL path: the events table
+    * delivered TWICE (a union of two file-source streams over the same
+    * file — duplicate redelivery at ingest), deduped on the event id
+    * within the watermark horizon, drained through the append-mode file
+    * sink. `dropDuplicatesWithinWatermark` keeps the first arrival and
+    * bounds state by the watermark, so the emitted set is exactly the
+    * distinct events — the oracle is a plain scan.
+    */
+  def q97StreamingDedupLive(spark: SparkSession, dir: String): DataFrame = {
+    def once = StreamingEtl.eventsStream(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    drainToParquet(spark,
+        once.union(once)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"), col("event_type")),
+        "q97")
+      .orderBy("event_id")
+  }
+
+  val q97Oracle: String =
+    """SELECT event_id, user_id,
+      |       epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
@@ -393,7 +420,8 @@ object StreamQueries {
     "q59_cms_heavy_hitters" -> (q59CmsHeavyHitters _),
     "q79_streaming_windows_live" -> (q79StreamingWindowsLive _),
     "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _),
-    "q96_streaming_interval_join_live" -> (q96StreamingIntervalJoinLive _)
+    "q96_streaming_interval_join_live" -> (q96StreamingIntervalJoinLive _),
+    "q97_streaming_dedup_live" -> (q97StreamingDedupLive _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -406,6 +434,7 @@ object StreamQueries {
     "q59_cms_heavy_hitters" -> q59Oracle,
     "q79_streaming_windows_live" -> q79Oracle,
     "q80_streaming_sessions_live" -> q80Oracle,
-    "q96_streaming_interval_join_live" -> q96Oracle
+    "q96_streaming_interval_join_live" -> q96Oracle,
+    "q97_streaming_dedup_live" -> q97Oracle
   )
 }
