@@ -479,6 +479,83 @@ object CurationQueries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q98: end-to-end curation pipeline ------------------------------
+
+  private val PipelineMinQuality = 0.5
+  private val PipelineBudget = 1500L
+
+  /** The training-data twin of q64's end-to-end ETL: one composed run of
+    * quality gate → corpus-wide exact dedup (keep-first, combinable
+    * min(struct) — no window) → per-source token-budget selection →
+    * context-window chunk accounting, reported per source. Every stage
+    * reuses an oracle-pinned operator; the oracle chains the same
+    * algebra, so a divergence in ANY stage shifts the final counts.
+    */
+  def q98CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qual = docs
+      .filter(TextAnalysis.qualityScore(col("text")) >= PipelineMinQuality)
+    // keep-first per exact-content digest: map-side-combinable agg over
+    // the digest (the ParagraphDedup shape), never a per-group window
+    val uniq = qual
+      .groupBy(md5(TextAnalysis.normalize(col("text"))).as("__digest"))
+      .agg(min(struct(col("doc_id"), col("source"), col("text"))).as("r"))
+      .select(col("r.doc_id"), col("r.source"), col("r.text"))
+    val kept = Curation.budgetSelect(uniq, "doc_id", "text", "source",
+      budgetTokens = PipelineBudget)
+    kept
+      .groupBy(col("source").as("domain"))
+      .agg(
+        count(lit(1)).as("n_selected"),
+        sum("n_tok").as("sum_tokens"),
+        sum(lit(1L) + floor((col("n_tok") - 1) / StrideTokens).cast("long"))
+          .as("n_chunks"))
+      .orderBy("domain")
+  }
+
+  val q98Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $normSql AS norm,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(string_split($normSql, ' '),
+       |                         x -> x IN ($stopList))) AS n_stop
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT doc_id, source, norm, CAST(n_tok AS BIGINT) AS n_tok,
+       |    0.25 * (
+       |      least(1.0, n_tok / 100.0)
+       |      + greatest(0.0, 1.0 - 5.0 * (CAST(n_punct AS DOUBLE) / len(norm)))
+       |      + least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tok))
+       |      + greatest(0.0, 1.0 - abs((len(norm) - (n_tok - 1.0)) / n_tok - 5.0) / 5.0)
+       |    ) AS q
+       |  FROM t
+       |),
+       |qual AS (SELECT * FROM scored WHERE q >= $PipelineMinQuality),
+       |uniq AS (
+       |  SELECT doc_id, source, n_tok, q
+       |  FROM qual
+       |  QUALIFY row_number() OVER (PARTITION BY md5(norm)
+       |                             ORDER BY doc_id) = 1
+       |),
+       |sel AS (
+       |  SELECT *,
+       |         sum(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+       |           AS cum_before
+       |  FROM uniq
+       |)
+       |SELECT source AS domain, count(*) AS n_selected,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       CAST(sum(1 + (n_tok - 1) // $StrideTokens) AS BIGINT)
+       |         AS n_chunks
+       |FROM sel WHERE cum_before < $PipelineBudget
+       |GROUP BY source ORDER BY domain""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
@@ -491,7 +568,8 @@ object CurationQueries {
     "q85_budget_select" -> (q85BudgetSelect _),
     "q86_random_projection" -> (q86RandomProjection _),
     "q89_chunk_documents" -> (q89ChunkDocuments _),
-    "q94_span_corruption" -> (q94SpanCorruption _)
+    "q94_span_corruption" -> (q94SpanCorruption _),
+    "q98_curation_pipeline" -> (q98CurationPipeline _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -506,6 +584,7 @@ object CurationQueries {
     "q85_budget_select" -> q85Oracle,
     "q86_random_projection" -> q86Oracle,
     "q89_chunk_documents" -> q89Oracle,
-    "q94_span_corruption" -> q94Oracle
+    "q94_span_corruption" -> q94Oracle,
+    "q98_curation_pipeline" -> q98Oracle
   )
 }

@@ -266,6 +266,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("curation pipeline: dedup is an aggregate; one window total") {
+    val p = plan(queries.CurationQueries
+      .q98CurationPipeline(spark, TestSpark.sf))
+    // keep-first dedup must be the combinable min(struct) aggregate, so
+    // the only Window in the whole composed pipeline is the per-domain
+    // budget cutoff (formatted explain prints each node twice: tree +
+    // detail)
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("bm25: query terms broadcast onto the inverted index, no cartesian") {
     val p = plan(queries.ProfileQueries.q95Bm25TopK(spark, TestSpark.sf))
     assert(p.contains("BroadcastHashJoin"),
