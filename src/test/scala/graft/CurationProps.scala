@@ -112,6 +112,31 @@ class CurationProps extends Properties("curation") {
       }
     }
 
+  property("BPE encode agrees with a driver-side replay on any corpus") =
+    Prop.forAll(genDocs, Gen.choose(1, 5)) { (docs, k) =>
+      import graft.pipeline.Bpe
+      val df = docs.toDF("id", "text")
+      val merges = Bpe.learnMerges(spark, Bpe.wordCounts(df, "text"), k)
+      val got = df.select(col("id"),
+          Bpe.encodedSymbolCount(col("text"), merges).as("n"))
+        .as[(Long, Long)].collect().toMap
+      // replay the merge ladder per word on the driver with the same
+      // padded literal-replace semantics (String.replace scans the
+      // original left-to-right, like Spark's)
+      def encode(word: String): Long = {
+        val init = " " + word.trim.map(c => s"$c ").mkString.trim + " "
+        val done = merges.foldLeft(init) { (s, m) =>
+          s.replace(s" ${m.l_sym} ${m.r_sym} ", s" ${m.l_sym}${m.r_sym} ")
+        }
+        done.trim.split(" ", -1).length.toLong
+      }
+      docs.forall { case (id, text) =>
+        val words = text.trim.toLowerCase.replaceAll("\\s+", " ")
+          .split(" ", -1).filter(_.nonEmpty)
+        got(id) == words.map(encode).sum
+      }
+    }
+
   property("spanCorruptionPlan masks within bounds for any density knob") =
     Prop.forAll(genDocs, Gen.choose(1, 5)) { (docs, spanLen) =>
       val rows = Curation.spanCorruptionPlan(
