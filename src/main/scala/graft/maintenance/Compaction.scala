@@ -84,6 +84,30 @@ object Compaction {
 
     require(fs.rename(dst, bak), s"compaction swap failed: $dst -> $bak")
     require(fs.rename(tmp, dst), s"compaction swap failed: $tmp -> $dst")
+    // Time travel: if the store carried a commit log, carry it (and the
+    // accumulated history) into the rewritten root, archive the replaced
+    // data files under the new commit's history dir instead of deleting
+    // them, and record the rewrite as one adds/removes commit. Stores
+    // without a log keep the old delete-the-backup behavior.
+    val logInBak = new Path(bak, graft.store.StoreLog.dirName)
+    if (fs.exists(logInBak)) {
+      require(fs.rename(logInBak, new Path(dst, graft.store.StoreLog.dirName)),
+        s"compaction log carry failed: $logInBak")
+      val histInBak = new Path(bak, graft.store.StoreLog.historyDirName)
+      if (fs.exists(histInBak))
+        require(
+          fs.rename(histInBak, new Path(dst, graft.store.StoreLog.historyDirName)),
+          s"compaction history carry failed: $histInBak")
+      val oldFiles = graft.store.StoreMeta
+        .listDataFiles(spark, bak.toString).getOrElse(Nil)
+      val newFiles = graft.store.StoreMeta
+        .listDataFiles(spark, path).getOrElse(Nil)
+      val v = graft.store.StoreLog.currentVersion(spark, path) + 1
+      graft.store.StoreLog.archive(spark, path, v,
+        oldFiles.map(fl => (new Path(bak, fl), fl)))
+      graft.store.StoreLog.commit(spark, path, "compact",
+        adds = newFiles, removes = oldFiles)
+    }
     fs.delete(bak, true)
     // re-seed the store's zone-map sidecar for the files just written:
     // the swap dropped the old one (it described pre-compaction files),

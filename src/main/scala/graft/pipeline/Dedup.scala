@@ -257,16 +257,30 @@ object Dedup {
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, maxHamming: Int = 3,
-      maxBucketDocs: Long = 1000): DataFrame = {
+      maxBucketDocs: Long = 1000): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, bits).cache(),
+      "doc_id", "simhash", bits, maxHamming, maxBucketDocs)
+
+  /** Banded hamming-distance pairs over ANY precomputed 64-bit
+    * fingerprint column — the candidate-generation core shared by
+    * [[simhashPairs]] (text) and [[ImageDedup.dhashPairs]] (images).
+    * Pigeonhole banding: `maxHamming + 1` bands, an equi-join on
+    * (band index, band value) — never a cross join — then the exact
+    * `bit_count(xor)` filter on bucket-mates only. The band-entropy and
+    * hot-bucket guards documented on [[simhashPairs]] apply unchanged.
+    */
+  def hammingPairs(
+      fp: DataFrame, idCol: String, hashCol: String,
+      bits: Int, maxHamming: Int, maxBucketDocs: Long): DataFrame = {
     val nBands = maxHamming + 1
     val width = (bits + nBands - 1) / nBands
     val mask = if (width >= 64) -1L else (1L << width) - 1
-    val fp = simhash(docs, idCol, textCol, bits).cache()
+    val keyed = fp.select(col(idCol).as("doc_id"), col(hashCol).as("__fp"))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * width).bitwiseAND(lit(mask)).as("bv"))
+        shiftright(col("__fp"), b * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = fp.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+    val banded = keyed.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bv"))
       .withColumn("bucket_docs", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
@@ -279,10 +293,10 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
-      .join(fp.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("simhash", "sh_a"), Seq("id_a"))
-      .join(fp.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("simhash", "sh_b"), Seq("id_b"))
+      .join(keyed.select(col("doc_id").as("id_a"), col("__fp").as("sh_a")),
+        Seq("id_a"))
+      .join(keyed.select(col("doc_id").as("id_b"), col("__fp").as("sh_b")),
+        Seq("id_b"))
       .withColumn("hamming",
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("bigint"))
       .filter(col("hamming") <= maxHamming)

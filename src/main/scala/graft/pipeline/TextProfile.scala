@@ -73,6 +73,51 @@ object TextProfile {
         count(lit(1)).as("n_bigrams"))
   }
 
+  /** Per-document INTERPOLATED KNESER-NEY bigram score — the smoothed
+    * upgrade of [[bigramLmScores]] (CCNet's actual filter is a smoothed
+    * KenLM model; raw MLE assigns unseen-context bigrams probability
+    * zero and over-trusts hapax counts). Absolute discounting with
+    * continuation back-off:
+    *
+    *   P_KN(w2|w1) = max(c(w1 w2) − D, 0) / c(w1 ·)
+    *               + (D · N1+(w1 ·) / c(w1 ·)) · (N1+(· w2) / B)
+    *
+    * where N1+(w1 ·) counts distinct continuations of w1, N1+(· w2)
+    * counts distinct contexts w2 follows (the "how many places has this
+    * word appeared" continuation probability), and B is the number of
+    * distinct bigram types. Every quantity is a map-side-combinable
+    * count over the bigram-type table (itself one combinable agg over
+    * the exploded grams), so the whole fit is three hash aggregations +
+    * one single-row broadcast — linear in corpus token count, no
+    * windows, no all-pairs. Docs with fewer than two tokens emit no row.
+    */
+  def knBigramLmScores(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(wordNgrams(tokens(col(textCol)), 2)).as("__g"))
+    val cb = grams.groupBy("__g").agg(count(lit(1)).as("__c2"))
+      .withColumn("__w1", substring_index(col("__g"), " ", 1))
+      .withColumn("__w2", substring_index(col("__g"), " ", -1))
+    val byW1 = cb.groupBy("__w1")
+      .agg(sum("__c2").as("__c1"), count(lit(1)).as("__n1f"))
+    val byW2 = cb.groupBy("__w2").agg(count(lit(1)).as("__n1p"))
+    val tot = cb.agg(count(lit(1)).as("__B"))
+    val probs = cb
+      .join(byW1, Seq("__w1")).join(byW2, Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("__g"),
+        (greatest(col("__c2").cast("double") - discount, lit(0.0))
+            / col("__c1")
+          + (lit(discount) * col("__n1f") / col("__c1"))
+            * (col("__n1p").cast("double") / col("__B"))).as("__p"))
+    grams.join(probs, Seq("__g"))
+      .groupBy(idCol)
+      .agg(
+        avg(log(col("__p"))).as("kn_logprob"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   /** Per-document Shannon entropy (bits/token) over the token frequency
     * distribution: `log2(n) - sum(c*log2(c))/n`. Low entropy = looping
     * or template text; pairs with [[repetitionProfile]] as a quality

@@ -323,7 +323,54 @@ object EtlQueries {
       |              (b | (b << 1)) & 1431655765 AS b FROM z3)
       |SELECT log_id, a | (b << 1) AS zcode FROM z4 ORDER BY log_id""".stripMargin)
 
+  /** Snapshot (time-travel) reads over the consolidated store's commit
+    * log ([[graft.store.StoreLog]]): append half the fleet, append the
+    * full fleet (idempotent dedup keeps only the new keys), compact —
+    * then read every version back. v1 must hold exactly the first
+    * batch's distinct keys, v2 the full key set, v3 (post-compaction,
+    * which rewrites every file and ARCHIVES the old ones) the same rows
+    * as v2 — with LogIDs unique at every version. The oracle replays the
+    * same distinct-key algebra per version; a log that lost an add, a
+    * compaction that dropped or duplicated rows, or an archive that
+    * broke an old snapshot all flip a row.
+    */
+  def q101StoreTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q101-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    ConsolidatedStore.append(spark, store,
+      bh.filter(col("database_name") < "db3"))
+    ConsolidatedStore.append(spark, store, bh)
+    graft.maintenance.Compaction.compact(spark, store)
+    val rows = graft.store.StoreLog.readCommits(spark, store).map { c =>
+      val snap = graft.store.StoreLog.snapshot(spark, store, c.version)
+      val agg = snap
+        .agg(count(lit(1)), countDistinct(col("LogID"))).head()
+      (c.version, c.op, agg.getLong(0), agg.getLong(1))
+    }
+    rows.toDF("version", "op", "n_rows", "n_ids").orderBy("version")
+  }
+
+  val q101Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+      |                              physical_device_name)) AS BIGINT) AS n
+      |  FROM backup_history
+      |),
+      |a AS (
+      |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+      |                              physical_device_name)) AS BIGINT) AS n
+      |  FROM backup_history WHERE database_name < 'db3'
+      |)
+      |SELECT 1 AS version, 'append' AS op, a.n AS n_rows, a.n AS n_ids FROM a
+      |UNION ALL SELECT 2, 'append', k.n, k.n FROM k
+      |UNION ALL SELECT 3, 'compact', k.n, k.n FROM k
+      |ORDER BY version""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
@@ -334,6 +381,7 @@ object EtlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q101_store_time_travel" -> q101Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

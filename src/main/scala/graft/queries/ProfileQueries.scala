@@ -382,6 +382,69 @@ object ProfileQueries {
        |       round(max(lm), 4) AS max_lm
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q100: interpolated Kneser-Ney bigram fluency score -------------
+
+  /** [[graft.pipeline.TextProfile.knBigramLmScores]] per lang — q61's
+    * smoothed upgrade. The oracle refits every KN quantity (bigram type
+    * counts, continuation counts, distinct-type total) and replays the
+    * discount/back-off arithmetic in the same IEEE evaluation order, so
+    * a wrong discount clamp, continuation denominator, or interpolation
+    * weight shifts every document's score and flips the row.
+    */
+  def q100KneserNeyLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select("doc_id", "lang")
+      .join(TextProfile.knBigramLmScores(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("kn_logprob"), 4).as("avg_kn"),
+        round(min("kn_logprob"), 4).as("min_kn"),
+        round(max("kn_logprob"), 4).as("max_kn"))
+      .orderBy("lang")
+  }
+
+  val q100Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         string_split(${PipelineQueries.normSql}, ' ') AS w
+       |  FROM documents
+       |),
+       |gr AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(w)),
+       |                               i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM t
+       |),
+       |cb AS (SELECT g, count(*) AS c2 FROM gr GROUP BY g),
+       |byw1 AS (SELECT split_part(g, ' ', 1) AS w1,
+       |                sum(c2) AS c1, count(*) AS n1f
+       |         FROM cb GROUP BY w1),
+       |byw2 AS (SELECT split_part(g, ' ', 2) AS w2, count(*) AS n1p
+       |         FROM cb GROUP BY w2),
+       |tot AS (SELECT count(*) AS b FROM cb),
+       |p AS (
+       |  SELECT cb.g,
+       |         greatest(CAST(cb.c2 AS DOUBLE) - 0.75, 0.0) / byw1.c1
+       |           + (0.75 * byw1.n1f / byw1.c1)
+       |             * (CAST(byw2.n1p AS DOUBLE) / tot.b) AS pr
+       |  FROM cb
+       |  JOIN byw1 ON split_part(cb.g, ' ', 1) = byw1.w1
+       |  JOIN byw2 ON split_part(cb.g, ' ', 2) = byw2.w2
+       |  CROSS JOIN tot
+       |),
+       |d AS (
+       |  SELECT gr.doc_id, gr.lang, avg(ln(p.pr)) AS lm
+       |  FROM gr JOIN p ON gr.g = p.g
+       |  GROUP BY gr.doc_id, gr.lang
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |       round(avg(lm), 4) AS avg_kn,
+       |       round(min(lm), 4) AS min_kn,
+       |       round(max(lm), 4) AS max_kn
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- q92: leakage-safe (group-aware) train/val/test split -----------
 
   /** [[graft.pipeline.Curation.groupAwareSplit]] over the shared winnow
@@ -525,6 +588,7 @@ object ProfileQueries {
     "q73_cluster_representatives" -> (q73ClusterRepresentatives _),
     "q58_tfidf_weights" -> (q58TfIdfWeights _),
     "q61_bigram_lm" -> (q61BigramLm _),
+    "q100_kneser_ney_lm" -> (q100KneserNeyLm _),
     "q92_group_aware_split" -> (q92GroupAwareSplit _),
     "q95_bm25_topk" -> (q95Bm25TopK _)
   )
@@ -538,6 +602,7 @@ object ProfileQueries {
     "q73_cluster_representatives" -> q73Oracle,
     "q58_tfidf_weights" -> q58Oracle,
     "q61_bigram_lm" -> q61Oracle,
+    "q100_kneser_ney_lm" -> q100Oracle,
     "q92_group_aware_split" -> q92Oracle,
     "q95_bm25_topk" -> q95Oracle
   )

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.pipeline.{AudioCodec, MediaRecord, Multimodal, Similarity}
+import graft.pipeline.{AudioCodec, ImageDedup, MediaRecord, Multimodal,
+  Similarity}
 
 /** Oracle-checked similarity-search and multimodal queries over the
   * `embeddings` and `documents` tables. The embedding vectors are
@@ -771,7 +772,101 @@ object SimilarityQueries {
       |  CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms
       |FROM p ORDER BY media_id""".stripMargin
 
+  // ---- q99: perceptual image near-dup pairs (dHash + hamming bands) ---
+
+  /** Deterministic 18x16 grayscale BMP fixture: base pixels are
+    * md5-derived from (id/5, x, y) — so ids sharing a 5-block share a
+    * base image — and each id perturbs ONE pixel (at (id%18, id%16), by
+    * +128 mod 256). A single-pixel edit moves one 2x2 block sum and
+    * flips at most two dHash bits, so within-group pairs sit at hamming
+    * <= 4 while cross-group hashes are ~32 bits apart. BMP is lossless:
+    * decode(encode(pixels)) == pixels, which is what lets the oracle
+    * regenerate the pixels arithmetically.
+    */
+  private def dhashFixtureBmp(id: Long): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bi = new java.awt.image.BufferedImage(
+      18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 18) {
+        val hex = md.digest(s"${id / 5},$x,$y".getBytes("UTF-8"))
+          .take(1).map(b => f"$b%02x").mkString
+        var v = Integer.parseInt(hex, 16)
+        if (x == (id % 18) && y == (id % 16)) v = (v + 128) % 256
+        bi.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode → dHash → banded hamming pairs
+    * ([[graft.pipeline.ImageDedup]]): perceptual near-duplicate image
+    * detection, the multimodal complement of q47's text SimHash pairs.
+    * The oracle regenerates the pixel grid from the md5 formula, pools
+    * the same 2x2 block sums, rebuilds the 64-bit hash as five 13-bit
+    * bands, and replays the band join + hamming filter — so a wrong
+    * decode offset, luma weight, pooling, bit order, or band split all
+    * break the match.
+    */
+  def q99ImageDhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.map(id => (id, dhashFixtureBmp(id)))
+      .toDF("media_id", "payload")
+    ImageDedup.dhashPairs(spark, media, "media_id", "payload",
+        maxHamming = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q99Oracle: String =
+    """WITH px AS (
+      |  SELECT doc_id AS id, x, y,
+      |         (('0x' || substr(md5((doc_id // 5) || ',' || x || ',' || y),
+      |                          1, 2))::INT
+      |          + CASE WHEN x = doc_id % 18 AND y = doc_id % 16
+      |                 THEN 128 ELSE 0 END) % 256 AS v
+      |  FROM documents, unnest(range(0, 18)) u(x), unnest(range(0, 16)) w(y)
+      |),
+      |blocks AS (
+      |  SELECT id, x // 2 AS bx, y // 2 AS by, sum(v) AS s
+      |  FROM px GROUP BY id, bx, by
+      |),
+      |bits AS (
+      |  SELECT a.id, (a.by * 8 + a.bx) AS bit,
+      |         CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bset
+      |  FROM blocks a
+      |  JOIN blocks b ON a.id = b.id AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 8
+      |),
+      |bands AS (
+      |  SELECT id, bit // 13 AS band,
+      |         CAST(sum(bset * (1::BIGINT << (bit % 13))) AS BIGINT) AS bv
+      |  FROM bits GROUP BY id, band
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM bands a
+      |  JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+      |),
+      |h AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(sum(bit_count(xor(x.bv, y.bv))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN bands x ON x.id = c.id_a
+      |  JOIN bands y ON y.id = c.id_b AND y.band = x.band
+      |  GROUP BY c.id_a, c.id_b
+      |)
+      |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 4
+      |ORDER BY id_a, id_b""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_image_dhash_pairs" -> (q99ImageDhashPairs _),
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
     "q29_ann_lsh" -> (q29AnnLsh _),
@@ -791,6 +886,7 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q99_image_dhash_pairs" -> q99Oracle,
     "q27_embedding_topk" -> q27Oracle,
     "q28_embedding_dup_pairs" -> q28Oracle,
     "q29_ann_lsh" -> q29Oracle,

@@ -410,6 +410,65 @@ object StreamQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Gap sessions through Spark's BUILT-IN `session_window` aggregation
+    * on the live streaming path — the declarative twin of q80's
+    * flatMapGroupsWithState sessionizer (same 30-minute gap, different
+    * machinery: MergingSessions eviction instead of hand-rolled
+    * event-time timeouts). Builtin semantics the oracle models exactly:
+    * a session window is [first_ts, last_ts + gap); a new event MERGES
+    * into a session iff its time is strictly before the session end
+    * (diff >= gap starts a new session — note q33's batch sessionizer
+    * uses diff > gap, a deliberate boundary difference pinned here);
+    * append mode emits a session once the final watermark
+    * (max event time − 10 min, ms-floored) reaches its window end.
+    */
+  def q102SessionWindowLive(spark: SparkSession, dir: String): DataFrame =
+    drainToParquet(spark,
+        StreamingEtl.eventsStream(spark, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events")),
+        "q102")
+      .orderBy("user_id", "session_start_us")
+
+  val q102Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |lagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM lagged
+      |),
+      |per_session AS (
+      |  SELECT user_id, session_id,
+      |         epoch_us(min(ts)) AS session_start_us,
+      |         epoch_us(max(ts)) + 1800000000 AS session_end_us,
+      |         count(*) AS n_events
+      |  FROM sess GROUP BY user_id, session_id
+      |),
+      |mx AS (
+      |  SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000 - 600000 AS wm_ms
+      |  FROM events
+      |)
+      |SELECT user_id, session_start_us, session_end_us, n_events
+      |FROM per_session, mx
+      |WHERE session_end_us // 1000 <= wm_ms
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
@@ -421,7 +480,8 @@ object StreamQueries {
     "q79_streaming_windows_live" -> (q79StreamingWindowsLive _),
     "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _),
     "q96_streaming_interval_join_live" -> (q96StreamingIntervalJoinLive _),
-    "q97_streaming_dedup_live" -> (q97StreamingDedupLive _)
+    "q97_streaming_dedup_live" -> (q97StreamingDedupLive _),
+    "q102_session_window_live" -> (q102SessionWindowLive _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -435,6 +495,7 @@ object StreamQueries {
     "q79_streaming_windows_live" -> q79Oracle,
     "q80_streaming_sessions_live" -> q80Oracle,
     "q96_streaming_interval_join_live" -> q96Oracle,
-    "q97_streaming_dedup_live" -> q97Oracle
+    "q97_streaming_dedup_live" -> q97Oracle,
+    "q102_session_window_live" -> q102Oracle
   )
 }

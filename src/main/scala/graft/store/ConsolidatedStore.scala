@@ -228,6 +228,10 @@ object ConsolidatedStore {
           if (loaded.dirty || loaded.segments + 1 > foldEvery)
             StoreMeta.save(spark, path, loaded.files ++ newStats)
           else StoreMeta.saveDelta(spark, path, newStats)
+          // one O(batch) commit record enables snapshot reads (StoreLog);
+          // a pre-log store baselines itself on this first commit
+          StoreLog.commitAppend(spark, path, newFiles,
+            before.toSeq.sorted ++ newFiles)
         } else foldIfDirty()
         n
       } finally if (fresh ne deduped) fresh.unpersist()

@@ -1,0 +1,232 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.Schemas
+
+/** Versioned commit log for the consolidated store — SNAPSHOT reads
+  * (time travel) over immutable parquet, the capability a mutable SQL
+  * table genuinely cannot offer and a 100 TB training-data store needs
+  * (reproduce last month's restore plan; re-run a curation job against
+  * the exact table a model was trained on; audit what a retention pass
+  * removed).
+  *
+  * Design (the Delta-Lake shape, scoped to this store's needs):
+  *
+  *  - `<root>/_graft_log/v000000042.json` — one small JSON commit per
+  *    mutation: `{"version", "op", "adds":[...], "removes":[...]}` with
+  *    store-root-relative file paths. O(1) per append, like the
+  *    [[StoreMeta]] delta segments.
+  *  - **Current-state reads stay plain directory scans.** Unlike Delta,
+  *    the live table IS the directory: operations that replace files
+  *    (compaction) move the replaced files into
+  *    `<root>/_graft_history/v000000042/` (the commit that removed
+  *    them) instead of deleting — underscore-prefixed, so normal scans
+  *    never see them. No reader has to consult the log to get today's
+  *    table; only time travel replays it.
+  *  - [[snapshot]] resolves each file live at version v to its current
+  *    physical home: still in the root if never removed, else in the
+  *    history dir of the commit that removed it.
+  *  - [[vacuum]] bounds storage: drops history dirs of commits `<=
+  *    beforeVersion`, after which snapshots needing them refuse with a
+  *    clear error (exactly Delta's vacuum contract).
+  *
+  * The log is maintained by [[ConsolidatedStore.append]] and
+  * [[graft.maintenance.Compaction]] on list-able layouts (flat or
+  * hive-partitioned — the same condition as the sidecar); foreign
+  * layouts skip logging and simply have no time travel. A store that
+  * predates the log baselines itself on its first logged commit: the
+  * first commit's `adds` cover every live file, so history begins
+  * there.
+  */
+object StoreLog {
+
+  val dirName = "_graft_log"
+  val historyDirName = "_graft_history"
+
+  final case class Commit(
+      version: Int, op: String, adds: Seq[String], removes: Seq[String])
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def commitPath(root: String, v: Int): Path =
+    new Path(s"$root/$dirName/${f"v$v%09d"}.json")
+
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(s"$root/$dirName")
+    fs(spark, p).exists(p)
+  }
+
+  /** Highest committed version (0 = no log). */
+  def currentVersion(spark: SparkSession, root: String): Int =
+    listVersions(spark, root).lastOption.getOrElse(0)
+
+  private def listVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val dir = new Path(s"$root/$dirName")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt
+      }
+      .sorted
+  }
+
+  def readCommits(spark: SparkSession, root: String): Seq[Commit] =
+    listVersions(spark, root).map { v =>
+      val p = commitPath(root, v)
+      val in = fs(spark, p).open(p)
+      val bytes =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      parse(new String(bytes, StandardCharsets.UTF_8))
+    }
+
+  private def parse(json: String): Commit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val jv = JsonMethods.parse(json)
+    Commit(
+      (jv \ "version").extract[Int],
+      (jv \ "op").extract[String],
+      (jv \ "adds").extract[Seq[String]],
+      (jv \ "removes").extract[Seq[String]])
+  }
+
+  private def render(c: Commit): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      ("version" -> c.version) ~ ("op" -> c.op) ~
+        ("adds" -> c.adds) ~ ("removes" -> c.removes)))
+  }
+
+  /** Write the next commit; returns its version. Appends to one store
+    * are serialized (the [[ConsolidatedStore.append]] contract), so the
+    * next version is simply max + 1.
+    */
+  def commit(spark: SparkSession, root: String, op: String,
+      adds: Seq[String], removes: Seq[String]): Int = {
+    val v = currentVersion(spark, root) + 1
+    val p = commitPath(root, v)
+    val out = fs(spark, p).create(p, false) // fail, don't clobber, on a race
+    try out.write(render(Commit(v, op, adds.sorted, removes.sorted))
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    v
+  }
+
+  /** Log an append of `newFiles`. On the FIRST commit of a store that
+    * already holds data (created before logging was enabled), the commit
+    * baselines: `adds` cover every live file, so version 1 is the full
+    * post-append state.
+    */
+  def commitAppend(spark: SparkSession, root: String,
+      newFiles: Seq[String], allLiveFiles: => Seq[String]): Int = {
+    val first = currentVersion(spark, root) == 0
+    commit(spark, root, "append",
+      adds = if (first) allLiveFiles else newFiles, removes = Nil)
+  }
+
+  /** (relative file, base dir) pairs of the table at `version`: replay
+    * adds/removes through v, then resolve each surviving file to its
+    * current home — the root if never removed since, else the history
+    * dir of the commit that removed it. The base dir is what a read
+    * passes as `basePath`: history dirs preserve the relative path
+    * (including hive `key=value` segments), so partition-column
+    * reconstruction works for archived files exactly as for live ones.
+    */
+  def liveFilesAt(
+      spark: SparkSession, root: String, version: Int): Seq[(String, String)] = {
+    val commits = readCommits(spark, root)
+    require(commits.nonEmpty, s"store $root has no commit log")
+    require(version >= 1 && version <= commits.last.version,
+      s"version $version out of range 1..${commits.last.version}")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits.takeWhile(_.version <= version).foreach { c =>
+      live ++= c.adds; live --= c.removes
+    }
+    val removedAt = scala.collection.mutable.Map.empty[String, Int]
+    commits.dropWhile(_.version <= version).foreach { c =>
+      c.removes.foreach(fl => if (live(fl)) removedAt.getOrElseUpdate(fl, c.version))
+    }
+    live.toSeq.map { fl =>
+      val base = removedAt.get(fl) match {
+        case Some(v) => s"$root/$historyDirName/${f"v$v%09d"}"
+        case None => root
+      }
+      (fl, base)
+    }
+  }
+
+  /** The table as of `version` — same schema and `basePath`-resolved
+    * partition columns as a current read. Fails with the vacuum message
+    * if a needed history file was vacuumed away.
+    */
+  def snapshot(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val files = liveFilesAt(spark, root, version)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        Schemas.consolidated)
+    files.foreach { case (rel, base) =>
+      val p = new Path(s"$base/$rel")
+      require(fs(spark, p).exists(p),
+        s"snapshot v$version needs $p — vacuumed? (see StoreLog.vacuum)")
+    }
+    files.groupBy(_._2).toSeq.sortBy(_._1).map { case (base, group) =>
+      spark.read
+        .schema(Schemas.consolidated)
+        .option("basePath", base)
+        .parquet(group.map { case (rel, _) => s"$base/$rel" }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Delete history dirs of commits `<= beforeVersion`; snapshots that
+    * need them are no longer reconstructible (the vacuum trade: storage
+    * back, old versions gone). The log itself is kept — it is tiny and
+    * still documents what happened.
+    */
+  def vacuum(spark: SparkSession, root: String, beforeVersion: Int): Int = {
+    val dir = new Path(s"$root/$historyDirName")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return 0
+    var removed = 0
+    f.listStatus(dir).foreach { e =>
+      val n = e.getPath.getName
+      if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toInt <= beforeVersion) {
+        f.delete(e.getPath, true)
+        removed += 1
+      }
+    }
+    removed
+  }
+
+  /** Move `files` (root-relative) into the history dir of `version` —
+    * called by operations that replace files (compaction) BEFORE they
+    * delete the originals. Creates parent dirs as needed so partition
+    * subpaths survive.
+    */
+  def archive(spark: SparkSession, root: String, version: Int,
+      files: Seq[(Path, String)]): Unit = {
+    val base = new Path(s"$root/$historyDirName/${f"v$version%09d"}")
+    val f = fs(spark, base)
+    files.foreach { case (src, rel) =>
+      val dst = new Path(base, rel)
+      f.mkdirs(dst.getParent)
+      require(f.rename(src, dst), s"archive failed: $src -> $dst")
+    }
+  }
+}

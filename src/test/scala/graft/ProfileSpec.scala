@@ -101,6 +101,32 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(m(2L) - math.log(0.5)) < 1e-12)
   }
 
+  test("Kneser-Ney LM: closed forms, smoothing beats MLE on rare bigrams") {
+    // corpus {"a b", "a c"}: c(ab)=c(ac)=1, c(a.)=2, N1+(a.)=2,
+    // N1+(.b)=N1+(.c)=1, B=2 ->
+    // P(b|a) = max(1-0.75,0)/2 + (0.75*2/2)*(1/2) = 0.125 + 0.375 = 0.5
+    val mixed = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextProfile.knBigramLmScores(mixed, "doc_id", "text")
+      .select("doc_id", "kn_logprob")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(m(1L) - math.log(0.5)) < 1e-12)
+    assert(math.abs(m(2L) - math.log(0.5)) < 1e-12)
+    // hapax bigram in a corpus with a dominant context: KN discounts the
+    // MLE estimate (P_KN < P_MLE for the rare bigram with a common w2
+    // continuation elsewhere... ) and every probability is in (0, 1]
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "zq cat")).toDF("doc_id", "text")
+    val kn = TextProfile.knBigramLmScores(corpus, "doc_id", "text")
+      .select("doc_id", "kn_logprob").as[(Long, Double)].collect().toMap
+    assert(kn.values.forall(v => v <= 1e-12), "ln P must be <= 0")
+    assert(kn.values.forall(_.isFinite), "smoothing keeps every P > 0")
+    // docs with no bigrams emit no row
+    val single = Seq((9L, "x")).toDF("doc_id", "text")
+    assert(TextProfile.knBigramLmScores(single, "doc_id", "text")
+      .count() === 0L)
+  }
+
   test("token entropy: constant tokens -> 0, distinct tokens -> log2(n)") {
     val docs = Seq(
       (1L, Seq.fill(16)("x").mkString(" ")),

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.maintenance.Compaction
+import graft.store.{ConsolidatedStore, StoreLog}
+
+/** Commit-log / time-travel contract: every append commits, compaction
+  * archives what it replaces, snapshots reconstruct every version
+  * exactly, vacuum trades old versions for storage, and hive-partitioned
+  * layouts keep their partition column through the archive.
+  */
+class StoreLogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/store"
+
+  private lazy val bh = graft.etl.BackupHistoryDerivation
+    .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+
+  test("append/append/compact: three versions, all snapshots exact") {
+    val dir = freshDir("graft-log")
+    val a = bh.filter(col("database_name") < "db3")
+    ConsolidatedStore.append(spark, dir, a)
+    ConsolidatedStore.append(spark, dir, bh)
+    Compaction.compact(spark, dir, maxRecordsPerFile = 1000000L)
+
+    val commits = StoreLog.readCommits(spark, dir)
+    assert(commits.map(_.version) === Seq(1, 2, 3))
+    assert(commits.map(_.op) === Seq("append", "append", "compact"))
+    assert(commits(2).removes.nonEmpty && commits(2).adds.nonEmpty)
+
+    val nA = a.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    val nAll = bh.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(StoreLog.snapshot(spark, dir, 1).count() === nA)
+    assert(StoreLog.snapshot(spark, dir, 2).count() === nAll)
+    // v3 must equal v2 row-for-row (compaction only moves bytes)
+    val v2 = StoreLog.snapshot(spark, dir, 2)
+    val v3 = StoreLog.snapshot(spark, dir, 3)
+    assert(v3.exceptAll(v2).isEmpty && v2.exceptAll(v3).isEmpty)
+    // ...and equal the current directory read (parquet file order may
+    // differ from the snapshot's declared schema order; exceptAll is
+    // positional, so align by name first)
+    val cur = ConsolidatedStore.read(spark, dir)
+      .select(v3.columns.map(col).toSeq: _*)
+    assert(v3.exceptAll(cur).isEmpty && cur.exceptAll(v3).isEmpty)
+  }
+
+  test("vacuum drops old versions, keeps the log and the current table") {
+    val dir = freshDir("graft-vacuum")
+    ConsolidatedStore.append(spark, dir, bh.filter(col("database_name") < "db3"))
+    ConsolidatedStore.append(spark, dir, bh)
+    Compaction.compact(spark, dir, maxRecordsPerFile = 1000000L)
+    val nAll = bh.dropDuplicates(ConsolidatedStore.dedupKey).count()
+
+    assert(StoreLog.vacuum(spark, dir, beforeVersion = 3) === 1)
+    // pre-compaction snapshots needed the archived files -> refused
+    val e = intercept[IllegalArgumentException] {
+      StoreLog.snapshot(spark, dir, 1).count()
+    }
+    assert(e.getMessage.contains("vacuumed"))
+    // the latest version and the live read are untouched
+    assert(StoreLog.snapshot(spark, dir, 3).count() === nAll)
+    assert(ConsolidatedStore.read(spark, dir).count() === nAll)
+    // log survives for audit
+    assert(StoreLog.readCommits(spark, dir).size === 3)
+  }
+
+  test("hive-partitioned store: archived snapshots keep partition values") {
+    val dir = freshDir("graft-log-hive")
+    ConsolidatedStore.append(spark, dir,
+      bh.filter(col("database_name") < "db3"),
+      partitionBy = Seq("database_name"))
+    ConsolidatedStore.append(spark, dir, bh,
+      partitionBy = Seq("database_name"))
+    // compaction rewrites a hive store flat; v1 must still resolve its
+    // database_name from the archived hive paths' key=value segments
+    Compaction.compact(spark, dir, maxRecordsPerFile = 1000000L)
+    val v1 = StoreLog.snapshot(spark, dir, 1)
+    val expect = bh.filter(col("database_name") < "db3")
+      .dropDuplicates(ConsolidatedStore.dedupKey)
+      .groupBy("database_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = v1.groupBy("database_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(!got.keySet.contains(null))
+  }
+
+  test("a pre-log store baselines on its first logged commit") {
+    val dir = freshDir("graft-log-baseline")
+    // simulate a store created before logging: write files directly
+    // (schema-complete, LogID included)
+    graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+      .filter(col("database_name") === "db0").limit(50)
+      .write.parquet(dir)
+    val pre = spark.read.parquet(dir).count()
+    ConsolidatedStore.append(spark, dir,
+      bh.filter(col("database_name") === "db4"))
+    val commits = StoreLog.readCommits(spark, dir)
+    assert(commits.size === 1)
+    // version 1 covers the WHOLE live table, not just the new batch
+    assert(StoreLog.snapshot(spark, dir, 1).count() ===
+      ConsolidatedStore.read(spark, dir).count())
+    assert(StoreLog.snapshot(spark, dir, 1).count() > pre)
+  }
+}
