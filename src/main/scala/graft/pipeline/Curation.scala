@@ -251,6 +251,67 @@ object Curation {
         col("c.chunk_tok"), col("c.chunk_hash"))
   }
 
+  /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank every
+    * document within its language by language-model score and cut the
+    * ranking into thirds — head (most fluent), middle, tail. CCNet keeps
+    * head+middle and drops (or downweights) tail; the cut is RELATIVE per
+    * language, which is the point — an absolute perplexity threshold
+    * would gut low-resource languages whose LM is weaker everywhere.
+    *
+    * The score is [[TextProfile.knBigramLmScores]] (interpolated
+    * Kneser-Ney, fitted on the corpus itself — the self-scoring variant);
+    * the cut uses `percent_rank` ordered by (score desc, id), so tier
+    * membership is exact integer-rank arithmetic: no RNG, no approximate
+    * quantiles, bit-identical across engines and reruns.
+    *
+    * Scale shape: scoring is the KN pipeline's hash aggregations; the
+    * tiering itself is ONE window shuffle partitioned by language.
+    * Per-language ranking is a distributed sort within each language's
+    * partitions — the same shape CCNet runs (per-language shards sorted
+    * by perplexity). A language so large its sort won't fit one
+    * partitioning is exactly the case AQE skew-split handles.
+    */
+  def perplexityTiers(
+      docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val scored = docs
+      .join(TextProfile.knBigramLmScores(docs, idCol, textCol), Seq(idCol))
+    val pr = percent_rank().over(Window.partitionBy(langCol)
+      .orderBy(col("kn_logprob").desc, col(idCol)))
+    scored
+      .withColumn("__pr", pr)
+      .withColumn("tier",
+        when(col("__pr") < 1.0 / 3.0, "head")
+          .when(col("__pr") < 2.0 / 3.0, "middle")
+          .otherwise("tail"))
+      .drop("__pr")
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    * 2006): keep the k rows with the largest `u^(1/w)` where u is the
+    * document's deterministic md5 hash fraction ([[splitFraction]]) and
+    * w its weight — e.g. a quality score, so curation keeps a
+    * quality-BIASED sample rather than the quality-TOP slice that
+    * [[budgetSelect]] takes (pure top-k collapses diversity; A-ES is the
+    * standard fix). With u fixed per id, membership is deterministic
+    * across reruns and engines, yet distributed exactly as
+    * weighted-without-replacement for the given hash draw.
+    *
+    * Scale shape: the key is a pure projection; the global top-k is
+    * Spark's TakeOrdered (per-partition heaps + driver merge of k rows),
+    * NOT a full sort — the one global-selection shape that stays cheap
+    * at corpus scale. Ties (same 16-bit u, same weight) break by id.
+    * Weights must be strictly positive.
+    */
+  def weightedSample(
+      df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val key = pow(splitFraction(col(idCol)), lit(1.0) / weight)
+    df.withColumn("es_key", key)
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Document-frequency vocabulary: distinct tokens per document,
     * df-counted corpus-wide, min-df-filtered, top-k by (df desc, token).
     * One explode + one hash aggregation (map-side combinable) + a

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over a directed edge list — the crawl-frontier /
+  * source-ranking primitive of web-scale corpus curation (Common Crawl
+  * ranks its seed list by harmonic centrality / PageRank; curation
+  * pipelines reuse the same scores to weight domains). Also useful over
+  * the NEAR-DUP graph: rank documents by centrality inside their
+  * duplicate cluster to pick the canonical copy.
+  *
+  * Power iteration with a FIXED round count (no convergence test): rank
+  * updates are
+  *
+  *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  dangling/N )
+  *
+  * where `dangling` is the total rank mass sitting on nodes with no
+  * out-edges (redistributed uniformly — the standard stochastic-matrix
+  * completion, Page et al. 1999 §2.6). A fixed round count keeps the
+  * result a pure function of the edge list, which is what makes it
+  * exactly replayable by the SQL oracle (one unrolled CTE per round).
+  *
+  * Scale shape per round: one equi-join of the edge list against the
+  * current ranks (both shuffled on node id — the partitioning is reused
+  * across all rounds), one map-side-combinable sum per destination, and
+  * one driver-scalar aggregate for the dangling mass. Rounds are
+  * `localCheckpoint`ed like [[Components]] — iterated self-referential
+  * plans must be flattened per round or plan depth (and any cache miss)
+  * grows with the iteration count.
+  */
+object PageRank {
+
+  /** @param edges directed edges; the first two columns are (src, dst).
+    *              Duplicate edges are collapsed (a link counts once).
+    * @return (node, rank) for every node appearing as src or dst; ranks
+    *         sum to 1 up to float error.
+    */
+  def pageRank(
+      edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(damping > 0 && damping < 1, "damping in (0, 1)")
+    require(iters >= 0, "iters must be nonnegative")
+    val e = edges
+      .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    val n = nodes.count()
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      // rank mass on dangling nodes (no out-edges): a driver scalar —
+      // the one per-round action, same cost class as Components' rounds
+      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("deg")).as("in_mass"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n)
+            + lit(damping) * (coalesce(col("in_mass"), lit(0.0))
+              + lit(dangling / n))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -360,6 +360,57 @@ object CurationQueries {
        |GROUP BY source ORDER BY domain""".stripMargin
   }
 
+  // ---- q104: weighted sampling without replacement (A-ES) -------------
+
+  private val WsK = 100
+
+  /** [[Curation.weightedSample]] biased by quality (+0.1 so the weight
+    * is strictly positive): the Efraimidis–Spirakis `u^(1/w)` key over
+    * the md5 hash fraction, global top-[[WsK]]. The oracle recomputes
+    * the identical quality arithmetic (q21's formula), hash draw, and
+    * pow-key ordering — the SELECTED MEMBERSHIP, not an aggregate, is
+    * what's compared.
+    */
+  def q104WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (lit(0.1) + TextAnalysis.qualityScore(col("text"))).as("w"))
+    Curation.weightedSample(docs, "doc_id", col("w"), WsK)
+      .select(col("doc_id"), col("lang"), round(col("w"), 4).as("weight"))
+  }
+
+  val q104Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $normSql AS norm,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(string_split($normSql, ' '),
+       |                         x -> x IN ($stopList))) AS n_stop
+       |  FROM documents
+       |),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    0.1 + 0.25 * (
+       |      least(1.0, n_tok / 100.0)
+       |      + greatest(0.0, 1.0 - 5.0 * (CAST(n_punct AS DOUBLE) / len(norm)))
+       |      + least(1.0, 5.0 * (CAST(n_stop AS DOUBLE) / n_tok))
+       |      + greatest(0.0, 1.0 - abs((len(norm) - (n_tok - 1.0)) / n_tok - 5.0) / 5.0)
+       |    ) AS w
+       |  FROM t
+       |),
+       |keyed AS (
+       |  SELECT doc_id, lang, w,
+       |         pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |               / 65536.0,
+       |             1.0 / w) AS es_key
+       |  FROM scored
+       |)
+       |SELECT doc_id, lang, round(w, 4) AS weight
+       |FROM keyed ORDER BY es_key DESC, doc_id LIMIT $WsK""".stripMargin
+  }
+
   // ---- q86: Johnson–Lindenstrauss random projection -------------------
 
   private val JlOutDim = 16
@@ -569,7 +620,8 @@ object CurationQueries {
     "q86_random_projection" -> (q86RandomProjection _),
     "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q94_span_corruption" -> (q94SpanCorruption _),
-    "q98_curation_pipeline" -> (q98CurationPipeline _)
+    "q98_curation_pipeline" -> (q98CurationPipeline _),
+    "q104_weighted_sample" -> (q104WeightedSample _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -585,6 +637,7 @@ object CurationQueries {
     "q86_random_projection" -> q86Oracle,
     "q89_chunk_documents" -> q89Oracle,
     "q94_span_corruption" -> q94Oracle,
-    "q98_curation_pipeline" -> q98Oracle
+    "q98_curation_pipeline" -> q98Oracle,
+    "q104_weighted_sample" -> q104Oracle
   )
 }

@@ -579,6 +579,153 @@ object ProfileQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q103: CCNet-style perplexity tiering ---------------------------
+
+  /** [[graft.pipeline.Curation.perplexityTiers]]: per-language
+    * percent_rank over the q100 Kneser-Ney scores, cut into
+    * head/middle/tail thirds (Wenzek et al. 2020 §4.3 — the relative
+    * per-language cut that keeps low-resource languages alive). The
+    * oracle refits the whole KN pipeline AND replays the rank cut, so a
+    * wrong window ordering, tie-break, or cut constant moves documents
+    * across tiers and flips counts.
+    */
+  def q103PerplexityTiers(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Curation.perplexityTiers(
+        Tables.documents(spark, dir).select("doc_id", "lang", "text"),
+        "doc_id", "text", "lang")
+      .groupBy("lang", "tier")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("kn_logprob"), 4).as("avg_kn"))
+      .orderBy("lang", "tier")
+
+  val q103Oracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |         string_split(${PipelineQueries.normSql}, ' ') AS w
+       |  FROM documents
+       |),
+       |gr AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_transform(range(1, len(w)),
+       |                               i -> w[i] || ' ' || w[i+1])) AS g
+       |  FROM t
+       |),
+       |cb AS (SELECT g, count(*) AS c2 FROM gr GROUP BY g),
+       |byw1 AS (SELECT split_part(g, ' ', 1) AS w1,
+       |                sum(c2) AS c1, count(*) AS n1f
+       |         FROM cb GROUP BY w1),
+       |byw2 AS (SELECT split_part(g, ' ', 2) AS w2, count(*) AS n1p
+       |         FROM cb GROUP BY w2),
+       |tot AS (SELECT count(*) AS b FROM cb),
+       |p AS (
+       |  SELECT cb.g,
+       |         greatest(CAST(cb.c2 AS DOUBLE) - 0.75, 0.0) / byw1.c1
+       |           + (0.75 * byw1.n1f / byw1.c1)
+       |             * (CAST(byw2.n1p AS DOUBLE) / tot.b) AS pr
+       |  FROM cb
+       |  JOIN byw1 ON split_part(cb.g, ' ', 1) = byw1.w1
+       |  JOIN byw2 ON split_part(cb.g, ' ', 2) = byw2.w2
+       |  CROSS JOIN tot
+       |),
+       |d AS (
+       |  SELECT gr.doc_id, gr.lang, avg(ln(p.pr)) AS lm
+       |  FROM gr JOIN p ON gr.g = p.g
+       |  GROUP BY gr.doc_id, gr.lang
+       |),
+       |ranked AS (
+       |  SELECT lang, lm,
+       |         percent_rank() OVER (PARTITION BY lang
+       |                              ORDER BY lm DESC, doc_id) AS pr
+       |  FROM d
+       |),
+       |tiers AS (
+       |  SELECT lang, lm,
+       |         CASE WHEN pr < 1.0 / 3.0 THEN 'head'
+       |              WHEN pr < 2.0 / 3.0 THEN 'middle'
+       |              ELSE 'tail' END AS tier
+       |  FROM ranked
+       |)
+       |SELECT lang, tier, count(*) AS n_docs, round(avg(lm), 4) AS avg_kn
+       |FROM tiers GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
+
+  // ---- q105: PageRank over the near-dup graph -------------------------
+
+  /** Power-iteration rounds for q105 and its oracle — fixed, so the
+    * result is a pure function of the edge list in both engines.
+    */
+  private val PrIters = 5
+
+  /** [[graft.pipeline.PageRank.pageRank]] over the shared winnow pair
+    * graph, DIRECTED id_a→id_b: lower-id docs link to their higher-id
+    * near-twins, so dst-only nodes are dangling and the oracle exercises
+    * the dangling-mass redistribution every round. Emits the top-15
+    * central nodes; every PageRank quantity (out-degrees, per-round
+    * dangling mass, the (1−d)/N teleport) is replayed in the same
+    * evaluation order by $PrIters unrolled CTE rounds.
+    */
+  def q105PageRank(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.PageRank.pageRank(
+        winnowPairGraph(spark, dir).select("id_a", "id_b"),
+        damping = 0.85, iters = PrIters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(15)
+      .select(col("node"), round(col("rank"), 6).as("pr_score"))
+
+  val q105Oracle: String = {
+    // every multi-referenced CTE is MATERIALIZED: DuckDB inlines
+    // single-reference CTEs, and each round references its predecessor
+    // twice — inlining would re-run the (md5-heavy) winnow prefix
+    // 2^rounds times
+    val rounds = (0 until PrIters).map { i =>
+      s"""dang$i AS (
+         |  SELECT coalesce(sum(r.r), 0.0) AS m
+         |  FROM r$i r LEFT JOIN od ON r.node = od.node
+         |  WHERE od.deg IS NULL
+         |),
+         |c$i AS (
+         |  SELECT e.dst AS node, sum(r.r / od.deg) AS s
+         |  FROM e JOIN r$i r ON e.src = r.node JOIN od ON od.node = e.src
+         |  GROUP BY e.dst
+         |),
+         |r${i + 1} AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |         (1.0 - 0.85) / nn.n
+         |           + 0.85 * (coalesce(c.s, 0.0) + d.m / nn.n) AS r
+         |  FROM nodes CROSS JOIN nn CROSS JOIN dang$i d
+         |  LEFT JOIN c$i c ON c.node = nodes.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp)),
+       |e AS MATERIALIZED (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5
+       |),
+       |od AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |nn AS MATERIALIZED (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT node, round(r, 6) AS pr_score
+       |FROM r$PrIters
+       |ORDER BY r DESC, node
+       |LIMIT 15""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
@@ -590,7 +737,9 @@ object ProfileQueries {
     "q61_bigram_lm" -> (q61BigramLm _),
     "q100_kneser_ney_lm" -> (q100KneserNeyLm _),
     "q92_group_aware_split" -> (q92GroupAwareSplit _),
-    "q95_bm25_topk" -> (q95Bm25TopK _)
+    "q95_bm25_topk" -> (q95Bm25TopK _),
+    "q103_perplexity_tiers" -> (q103PerplexityTiers _),
+    "q105_pagerank" -> (q105PageRank _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -604,6 +753,8 @@ object ProfileQueries {
     "q61_bigram_lm" -> q61Oracle,
     "q100_kneser_ney_lm" -> q100Oracle,
     "q92_group_aware_split" -> q92Oracle,
-    "q95_bm25_topk" -> q95Oracle
+    "q95_bm25_topk" -> q95Oracle,
+    "q103_perplexity_tiers" -> q103Oracle,
+    "q105_pagerank" -> q105Oracle
   )
 }
