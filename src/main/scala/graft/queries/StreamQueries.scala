@@ -383,6 +383,67 @@ object StreamQueries {
       |       - epoch_us(CAST(a.ts AS TIMESTAMP)) BETWEEN 0 AND 3600000000
       |ORDER BY a.user_id, l_event_id, r_event_id""".stripMargin
 
+  /** The stream-stream LEFT OUTER interval join live: matched pairs emit
+    * on match (q96's set exactly), and every unmatched click emits
+    * null-extended once the final watermark passes the end of its match
+    * window — the state-eviction deadline doubling as the null-emission
+    * schedule, which is THE semantic that distinguishes a streaming
+    * outer join from its batch twin. Deterministic for fixed input
+    * under AvailableNow (the trailing no-data batch advances the final
+    * watermark), so the oracle can model the cutoff: a click with no
+    * purchase within the hour is emitted iff `click_ts + 1h` is behind
+    * the final GLOBAL watermark — the MIN over both inputs' (max event
+    * time − 10 min, ms-floored); the lagging stream governs eviction,
+    * which is exactly the multi-watermark semantics worth pinning.
+    */
+  def q106StreamingLeftJoinLive(
+      spark: SparkSession, dir: String): DataFrame = {
+    def typed(t: String) = StreamingEtl.eventsStream(spark, dir)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    drainToParquet(spark,
+        StreamingEtl.intervalJoinStream(
+            typed("click"), typed("purchase"),
+            Seq("user_id"), "ts", "ts", maxGapSeconds = 3600,
+            joinType = "left_outer")
+          .select(col("user_id"),
+            col("l_event_id"), col("r_event_id"),
+            (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
+              .as("gap_us")),
+        "q106")
+      .orderBy("user_id", "l_event_id", "r_event_id")
+  }
+
+  val q106Oracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'click'
+      |),
+      |p AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events WHERE event_type = 'purchase'
+      |),
+      |m AS (
+      |  SELECT c.user_id, c.event_id AS l_event_id, p.event_id AS r_event_id,
+      |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 3600000000
+      |),
+      |wm AS (
+      |  SELECT least((SELECT epoch_us(max(ts)) // 1000 FROM c),
+      |               (SELECT epoch_us(max(ts)) // 1000 FROM p))
+      |           - 600000 AS wm_ms
+      |)
+      |SELECT user_id, l_event_id, r_event_id, gap_us FROM m
+      |UNION ALL
+      |SELECT c.user_id, c.event_id AS l_event_id,
+      |       NULL AS r_event_id, NULL AS gap_us
+      |FROM c, wm
+      |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.l_event_id = c.event_id)
+      |  AND epoch_us(c.ts) // 1000 + 3600000 < wm.wm_ms
+      |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
+
   /** Watermarked streaming dedup through the REAL path: the events table
     * delivered TWICE (a union of two file-source streams over the same
     * file — duplicate redelivery at ingest), deduped on the event id
@@ -480,6 +541,7 @@ object StreamQueries {
     "q79_streaming_windows_live" -> (q79StreamingWindowsLive _),
     "q80_streaming_sessions_live" -> (q80StreamingSessionsLive _),
     "q96_streaming_interval_join_live" -> (q96StreamingIntervalJoinLive _),
+    "q106_streaming_left_join_live" -> (q106StreamingLeftJoinLive _),
     "q97_streaming_dedup_live" -> (q97StreamingDedupLive _),
     "q102_session_window_live" -> (q102SessionWindowLive _)
   )
@@ -495,6 +557,7 @@ object StreamQueries {
     "q79_streaming_windows_live" -> q79Oracle,
     "q80_streaming_sessions_live" -> q80Oracle,
     "q96_streaming_interval_join_live" -> q96Oracle,
+    "q106_streaming_left_join_live" -> q106Oracle,
     "q97_streaming_dedup_live" -> q97Oracle,
     "q102_session_window_live" -> q102Oracle
   )

@@ -112,6 +112,13 @@ object StreamingEtl {
     * so the streamed result converges to the batch bandJoin output; the
     * equivalence is asserted in StreamingSpec. Also runs as plain batch.
     */
+  /** @param joinType "inner" (emit on match) or "left_outer": unmatched
+    *                  left rows additionally emit null-extended once the
+    *                  right-side watermark passes the end of their match
+    *                  window (`leftTs + maxGap`) — the state eviction that
+    *                  bounds outer-join memory is also what schedules the
+    *                  null emission.
+    */
   def intervalJoinStream(
       left: DataFrame,
       right: DataFrame,
@@ -119,7 +126,8 @@ object StreamingEtl {
       leftTs: String,
       rightTs: String,
       maxGapSeconds: Long,
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     require(keys.nonEmpty, "intervalJoinStream needs at least one key")
     val l = left.select(keys.map(col) ++
         left.columns.filterNot(keys.contains).map(c => col(c).as(s"l_$c")): _*)
@@ -130,7 +138,7 @@ object StreamingEtl {
     val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
       expr(s"r_$rightTs >= l_$leftTs AND " +
         s"r_$rightTs <= l_$leftTs + INTERVAL $maxGapSeconds SECONDS")
-    l.join(r, cond).select(
+    l.join(r, cond, joinType).select(
       keys.map(k => l(k)) ++
         left.columns.filterNot(keys.contains).map(c => col(s"l_$c")) ++
         right.columns.filterNot(keys.contains).map(c => col(s"r_$c")): _*)

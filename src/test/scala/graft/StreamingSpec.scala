@@ -364,4 +364,56 @@ class StreamingSpec extends AnyFunSuite {
       s"stream-only: ${(streamed -- batch).take(3)}, " +
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
+
+  test("left-outer interval join: inner pairs plus watermark-expired unmatched") {
+    def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    val q = StreamingEtl.intervalJoinStream(
+        typed("click"), typed("purchase"),
+        Seq("user_id"), "ts", "ts", maxGapSeconds = 3600,
+        joinType = "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("loj_out")
+      .select("user_id", "l_event_id", "r_event_id")
+      .as[(Long, Long, Option[Long])].collect()
+    val matched = out.collect { case (u, l, Some(r)) => (u, l, r) }.toSet
+    val nulls = out.collect { case (_, l, None) => l }.toSet
+
+    def batchTyped(t: String) = Tables.events(spark, TestSpark.sf)
+      .filter(col("event_type") === t)
+      .select("user_id", "ts", "event_id")
+    val batch = graft.operators.BandJoin.bandJoin(
+        batchTyped("click"), batchTyped("purchase"),
+        Seq("user_id"), "ts", "ts", maxGapSeconds = 3600)
+      .select("user_id", "l_event_id", "r_event_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // the matched half IS the inner join
+    assert(matched === batch)
+    // null-extended rows: only truly unmatched clicks, each at most once,
+    // and every unmatched click old enough to be past the final
+    // watermark's eviction deadline is present
+    val matchedIds = batch.map(_._2)
+    assert(nulls.intersect(matchedIds).isEmpty, "null row for a matched click")
+    assert(out.collect { case (_, l, None) => l }.length === nulls.size,
+      "duplicate null emissions")
+    val clicks = batchTyped("click")
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, Long)].collect()
+    // the query has ONE global watermark: the min over both inputs'
+    // (max event time − delay), ms-floored — the lagging side governs
+    val wmMs = Seq("click", "purchase").map(t =>
+      batchTyped(t).agg(max(unix_millis(col("ts")))).as[Long].head()).min -
+      600000L
+    val mustEmit = clicks.collect {
+      case (id, ts) if !matchedIds.contains(id) && ts + 3600000L < wmMs => id
+    }.toSet
+    assert(mustEmit.subsetOf(nulls),
+      s"missing null rows for expired clicks: ${(mustEmit -- nulls).take(5)}")
+    assert(nulls.nonEmpty)
+  }
 }
