@@ -251,6 +251,40 @@ object Curation {
         col("c.chunk_tok"), col("c.chunk_hash"))
   }
 
+  /** Epoch-weighted domain mixing: [[temperatureMix]] can only KEEP OR
+    * DROP (rates capped at 1), but production pretraining mixes routinely
+    * REPEAT high-value domains — Wikipedia at 3 epochs while web crawl
+    * runs at 0.5 — so the mix operator must upsample too. Each document
+    * emits `floor(r)` copies plus one more iff its md5 hash fraction
+    * falls under `frac(r)`, where `r` is its domain's epoch count: the
+    * emitted corpus hits each domain's epoch target exactly in
+    * expectation, deterministically (no RNG state — same copies on every
+    * rerun, executor, and engine). Output carries `copy_idx` (0-based)
+    * so downstream shuffles can decorrelate the copies.
+    *
+    * Scale shape: a pure row-local projection + controlled explode — no
+    * shuffle, no window; the fan-out factor is the epoch count, decided
+    * per row. Domains absent from `epochs` use `defaultEpochs`; a NULL
+    * domain emits nothing (rate 0), keeping unlabeled rows out of the
+    * mix like [[temperatureMix]].
+    */
+  def epochMix(
+      df: DataFrame, idCol: String, domainCol: String,
+      epochs: Map[String, Double], defaultEpochs: Double): DataFrame = {
+    require(defaultEpochs >= 0 && epochs.values.forall(_ >= 0),
+      "epoch counts must be nonnegative")
+    val rate = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (d, r)) =>
+      when(col(domainCol) === d, r).otherwise(acc)
+    }
+    val copies = (floor(rate).cast("int")
+      + when(splitFraction(col(idCol)) < rate - floor(rate), 1).otherwise(0))
+    // guard the empty case: Spark's sequence(0, -1) would step DOWN and
+    // yield [0, -1] instead of an empty range
+    val idxs = when(copies > 0, sequence(lit(0), copies - 1))
+      .otherwise(array().cast("array<int>"))
+    df.withColumn("copy_idx", explode(idxs))
+  }
+
   /** CCNet-style perplexity tiering (Wenzek et al. 2020 §4.3): rank every
     * document within its language by language-model score and cut the
     * ranking into thirds — head (most fluent), middle, tail. CCNet keeps

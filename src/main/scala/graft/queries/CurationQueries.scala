@@ -411,6 +411,44 @@ object CurationQueries {
        |FROM keyed ORDER BY es_key DESC, doc_id LIMIT $WsK""".stripMargin
   }
 
+  // ---- q107: epoch-weighted domain mixing (upsampling) ----------------
+
+  private val MixEpochs = Seq("src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.4)
+
+  /** [[Curation.epochMix]]: src0 at 3 epochs (exact triplication), src1
+    * at 2.5 (2 or 3 copies by hash draw), src2 downsampled at 0.4, the
+    * rest at 1. The FULL emitted multiset — every (doc, copy_idx) row —
+    * is compared, so a wrong floor/fraction split, hash draw, or
+    * empty-range guard shows up as row drift.
+    */
+  def q107EpochMix(spark: SparkSession, dir: String): DataFrame =
+    Curation.epochMix(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id", "source", MixEpochs.toMap, defaultEpochs = 1.0)
+      .select(col("doc_id"), col("source"),
+        col("copy_idx").cast("long").as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+
+  val q107Oracle: String = {
+    val cases = MixEpochs
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |         CASE $cases ELSE 1.0 END AS rate,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |           / 65536.0 AS frac
+       |  FROM documents
+       |),
+       |n AS (
+       |  SELECT doc_id, source,
+       |         CAST(floor(rate) AS BIGINT)
+       |           + CASE WHEN frac < rate - floor(rate) THEN 1 ELSE 0 END
+       |           AS k
+       |  FROM base
+       |)
+       |SELECT doc_id, source, unnest(range(k)) AS copy_idx
+       |FROM n ORDER BY doc_id, copy_idx""".stripMargin
+  }
+
   // ---- q86: Johnson–Lindenstrauss random projection -------------------
 
   private val JlOutDim = 16
@@ -621,7 +659,8 @@ object CurationQueries {
     "q89_chunk_documents" -> (q89ChunkDocuments _),
     "q94_span_corruption" -> (q94SpanCorruption _),
     "q98_curation_pipeline" -> (q98CurationPipeline _),
-    "q104_weighted_sample" -> (q104WeightedSample _)
+    "q104_weighted_sample" -> (q104WeightedSample _),
+    "q107_epoch_mix" -> (q107EpochMix _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -638,6 +677,7 @@ object CurationQueries {
     "q89_chunk_documents" -> q89Oracle,
     "q94_span_corruption" -> q94Oracle,
     "q98_curation_pipeline" -> q98Oracle,
-    "q104_weighted_sample" -> q104Oracle
+    "q104_weighted_sample" -> q104Oracle,
+    "q107_epoch_mix" -> q107Oracle
   )
 }

@@ -368,4 +368,33 @@ class PlanSpec extends AnyFunSuite {
     // one scan node (formatted explain prints it twice: tree + detail)
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
   }
+
+  test("epoch mix is a shuffle-free generate; weighted sample takes ordered") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val mix = pipeline.Curation.epochMix(docs.select("doc_id", "source"),
+      "doc_id", "source", Map("src0" -> 2.5), defaultEpochs = 1.0)
+    val pm = plan(mix)
+    assert(!pm.contains("Exchange") && !pm.contains("Join"),
+      "epochMix must be a row-local fan-out")
+    val ws = pipeline.Curation.weightedSample(
+      docs.select(col("doc_id"), lit(1.0).as("w")), "doc_id", col("w"), 5)
+    val pw = plan(ws)
+    // global top-k must be per-partition heaps + driver merge, never a
+    // full distributed sort
+    assert(pw.contains("TakeOrderedAndProject"),
+      s"weightedSample should plan TakeOrdered:\n${pw.take(400)}")
+  }
+
+  test("perplexity tiering: exactly one Window (the per-language rank cut)") {
+    val p = plan(pipeline.Curation.perplexityTiers(
+      graft.Tables.documents(spark, TestSpark.sf)
+        .select("doc_id", "lang", "text"),
+      "doc_id", "text", "lang"))
+    // the KN scoring side must stay pure aggregations — only the
+    // percent_rank cut is allowed to window
+    assert("""\(\d+\) Window""".r.findAllIn(p).size == 1,
+      s"expected exactly one Window node:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
