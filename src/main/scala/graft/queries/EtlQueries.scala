@@ -226,6 +226,58 @@ object EtlQueries {
         |SELECT 2, 'srvB', win.n, 0, mx.wm FROM win, mx
         |ORDER BY run, server""".stripMargin)
 
+  /** Metadata-only aggregate answering — the zone-map sidecar doubling
+    * as an aggregate index: after one ETL load, `max(LogID)`, the
+    * dedup-key min/max envelope, and the null-device row count are read
+    * from `_graft_meta` ALONE (driver-side fold over per-file stats, no
+    * data-file scan — the same stats-based answering a lakehouse
+    * transaction log provides for `count/min/max`). The oracle re-derives
+    * every value from the msdb extract CTE, so the sidecar's contents
+    * are cross-checked against an INDEPENDENT derivation: a stats bug
+    * that would someday misprune an append fails this row first.
+    */
+  def q108StoreStatsOnly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    val store = s"$tmp/consolidated"
+    EtlRunner.runOnce(spark, Map("srvA" -> MsdbDerivation.sources(spark, dir)),
+      store, s"$tmp/watermarks")
+    val meta = graft.store.StoreMeta.load(spark, store)
+      .getOrElse(sys.error("sidecar missing after append"))
+    val fs = meta.files
+    require(fs.nonEmpty, "empty store after load")
+    def bd(x: java.math.BigDecimal) = BigDecimal(x)
+    Seq((
+      meta.maxLogId,
+      fs.map(f => bd(f.lastLsnMin)).min.toLong,
+      fs.map(f => bd(f.lastLsnMax)).max.toLong,
+      fs.map(f => bd(f.firstLsnMin)).min.toLong,
+      fs.map(f => bd(f.firstLsnMax)).max.toLong,
+      fs.map(_.dbMin).min,
+      fs.map(_.dbMax).max,
+      fs.map(_.devNullCount).sum))
+      .toDF("max_logid", "last_lsn_min", "last_lsn_max",
+        "first_lsn_min", "first_lsn_max", "db_min", "db_max",
+        "n_null_device")
+  }
+
+  val q108Oracle: String = MsdbDerivation.oracle(
+    ", " + extractCte + ",\n" +
+      """k AS (
+        |  SELECT DISTINCT last_lsn, first_lsn, database_name,
+        |                  physical_device_name
+        |  FROM extract0
+        |)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM k) AS max_logid,
+        |       (SELECT min(last_lsn) FROM k) AS last_lsn_min,
+        |       (SELECT max(last_lsn) FROM k) AS last_lsn_max,
+        |       (SELECT min(first_lsn) FROM k) AS first_lsn_min,
+        |       (SELECT max(first_lsn) FROM k) AS first_lsn_max,
+        |       (SELECT min(database_name) FROM k) AS db_min,
+        |       (SELECT max(database_name) FROM k) AS db_max,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM k
+        |        WHERE physical_device_name IS NULL) AS n_null_device""".stripMargin)
+
   /** §2.9 LIVE: the ETL's load/dedup/advance triangle through the REAL
     * Structured Streaming path — q64's streaming twin. The canonical
     * batch is delivered twice (duplicate redelivery) into a file-source
@@ -376,6 +428,7 @@ object EtlQueries {
     "q16_retention_cleanup" -> (q16Retention _),
     "q17_watermark_window" -> (q17WatermarkWindow _),
     "q64_etl_round_trip" -> (q64EtlRoundTrip _),
+    "q108_store_stats_only" -> (q108StoreStatsOnly _),
     "q81_streaming_etl_live" -> (q81StreamingEtlLive _),
     "q82_zorder_codes" -> (q82ZorderCodes _)
   )
@@ -387,6 +440,7 @@ object EtlQueries {
     "q16_retention_cleanup" -> q16Oracle,
     "q17_watermark_window" -> q17Oracle,
     "q64_etl_round_trip" -> q64Oracle,
+    "q108_store_stats_only" -> q108Oracle,
     "q81_streaming_etl_live" -> q81Oracle,
     "q82_zorder_codes" -> q82Oracle
   )
