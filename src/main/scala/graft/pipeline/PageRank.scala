@@ -42,31 +42,39 @@ object PageRank {
     require(iters >= 0, "iters must be nonnegative")
     val e = edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-      .distinct().localCheckpoint()
-    val outDeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg")).localCheckpoint()
+      .distinct()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // fold the out-degree INTO the edge list once — every round's
+    // contribution join then touches exactly two relations, not three
+    val e2 = e.join(outDeg, Seq("src")).localCheckpoint()
+    // carry a has_out flag on the node table: the per-round dangling
+    // mass becomes a shuffle-free filter+agg over the checkpointed rank
+    // partitions instead of a per-round anti-join
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(outDeg.select(col("src").as("node"), lit(true).as("has_out")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("has_out"), lit(false)).as("has_out"))
+      .localCheckpoint()
     val n = nodes.count()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       // rank mass on dangling nodes (no out-edges): a driver scalar —
-      // the one per-round action, same cost class as Components' rounds
-      val dangling = ranks.join(outDeg, Seq("node"), "left_anti")
+      // one cheap per-round action over the checkpointed ranks
+      val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      val contribs = e
-        .join(ranks, e("src") === ranks("node"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
+      val contribs = e2
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("in_mass"))
       ranks = nodes
         .join(contribs, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("has_out"),
           (lit((1.0 - damping) / n)
             + lit(damping) * (coalesce(col("in_mass"), lit(0.0))
               + lit(dangling / n))).as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 }
