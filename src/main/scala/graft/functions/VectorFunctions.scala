@@ -172,6 +172,11 @@ object VectorFunctions {
           exprs(2).eval().asInstanceOf[Number].intValue()),
         "built-in")
     }
+    val nn = org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize")
+    if (!reg.functionExists(nn)) {
+      reg.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
+    }
     val ba = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg")
     if (!reg.functionExists(ba)) {
       // Spark's own runtime-filter bloom machinery (the expressions
@@ -210,6 +215,12 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("vec_dot", a, b)
+  }
+
+  /** Column API for [[NfcNormalize]]: Unicode NFC canonicalization. */
+  def nfcNormalize(s: Column): Column = {
+    register(SparkSession.active)
+    call_function("nfc_normalize", s)
   }
 
   /** Column API for [[CountInSet]]: tokens in a literal string set. */

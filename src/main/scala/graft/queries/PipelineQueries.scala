@@ -1248,9 +1248,52 @@ object PipelineQueries {
        |       CAST(round(1.0 / (1.0 + exp(-z)), 4) >= 0.5 AS INT) AS keep
        |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---- q109: unicode NFC canonicalization -----------------------------
+
+  /** [[graft.functions.NfcNormalize]] — the custom codegen'd Catalyst
+    * expression for Unicode canonical composition (Spark has no builtin;
+    * a UDF would break whole-stage codegen). Every 13th document gets a
+    * DECOMPOSED suffix planted (e + combining acute, i + combining
+    * diaeresis — the "same text, different bytes" situation crawls
+    * produce); the output pins the codepoint-length contraction and the
+    * md5 of the normalized bytes, so the oracle's `nfc_normalize`
+    * (utf8proc) must agree with the JDK normalizer character for
+    * character.
+    */
+  def q109NfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    // decomposed on purpose: 'e' + U+0301, 'i' + U+0308 — NFC
+    // composes both, contracting the codepoint length by 2
+    val suffix = " cafe\u0301 nai\u0308ve"
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 13 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(suffix)).as("t2"))
+      .select(
+        col("doc_id"),
+        length(col("t2")).cast("long").as("len_raw"),
+        length(graft.functions.VectorFunctions.nfcNormalize(col("t2")))
+          .cast("long").as("len_nfc"),
+        md5(graft.functions.VectorFunctions.nfcNormalize(col("t2"))
+          .cast("binary")).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q109Oracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         text || ' caf' || chr(101) || chr(769)
+      |              || ' na' || chr(105) || chr(776) || 've' AS t2
+      |  FROM documents WHERE doc_id % 13 = 0
+      |)
+      |SELECT doc_id,
+      |       length(t2) AS len_raw,
+      |       length(nfc_normalize(t2)) AS len_nfc,
+      |       md5(nfc_normalize(t2)) AS nfc_md5
+      |FROM t ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cleaning_funnel" -> (q40CleaningFunnel _),
     "q68_quality_classifier" -> (q68QualityClassifier _),
+    "q109_nfc_normalize" -> (q109NfcNormalize _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
@@ -1276,6 +1319,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "q40_cleaning_funnel" -> q40Oracle,
     "q68_quality_classifier" -> q68Oracle,
+    "q109_nfc_normalize" -> q109Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q87_bloom_decontaminate" -> q87Oracle,

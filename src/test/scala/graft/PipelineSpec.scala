@@ -883,4 +883,26 @@ class PipelineSpec extends AnyFunSuite {
       assert(ks.map(_._1).toSet === prefix, s"$domain prefix mismatch")
     }
   }
+
+  test("nfc_normalize composes decomposed sequences; identity on NFC text") {
+    import graft.functions.VectorFunctions.nfcNormalize
+    val rows = Seq(
+      ("café", "café"), // e + combining acute → é
+      ("naïve", "naïve"), // i + combining diaeresis → ï
+      ("plain ascii", "plain ascii"),
+      ("café", "café") // already NFC: unchanged
+    ).toDF("raw", "want")
+    val got = rows.select(nfcNormalize(col("raw")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g === w) }
+    // idempotent, and usable from SQL text (registry path)
+    graft.functions.VectorFunctions.register(spark)
+    val twice = spark.sql(
+      "SELECT nfc_normalize(nfc_normalize('café')) AS x")
+      .as[String].head()
+    assert(twice === "café")
+    // null-safe
+    val n = rows.select(nfcNormalize(lit(null).cast("string"))).head().isNullAt(0)
+    assert(n)
+  }
 }
