@@ -66,6 +66,24 @@ class PageRankSpec extends AnyFunSuite {
       "plain spokes are exactly symmetric")
   }
 
+  test("pagerank matches the replay on random digraphs (seeded)") {
+    for (seed <- Seq(7, 21, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 20 + rnd.nextInt(30)
+      val edges = Seq.fill(3 * nNodes)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = PageRank.pageRank(edges.toDF("src", "dst"), 0.85, 6)
+        .as[(Long, Double)].collect().toMap
+      val want = replay(edges, 0.85, 6)
+      assert(got.keySet === want.keySet, s"seed $seed node set")
+      got.foreach { case (v, r) =>
+        assert(math.abs(r - want(v)) < 1e-9, s"seed $seed node $v")
+      }
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"seed $seed mass")
+    }
+  }
+
   test("perplexityTiers partitions each language and orders tiers by score") {
     val docs = Tables.documents(spark, TestSpark.sf)
       .select("doc_id", "lang", "text")
