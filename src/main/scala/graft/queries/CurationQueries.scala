@@ -449,6 +449,38 @@ object CurationQueries {
        |FROM n ORDER BY doc_id, copy_idx""".stripMargin
   }
 
+  // ---- q110: deterministic sharded export + on-disk manifest ----------
+
+  private val NExportShards = 8
+
+  /** [[graft.pipeline.Export.exportShards]]: hash-shard the corpus into
+    * a hive `shard=K/` tree (one shuffle, one file per shard) and
+    * manifest it by READING THE TREE BACK. The oracle recomputes shard
+    * membership from the md5 fraction, so a writer that dropped,
+    * duplicated, or misrouted one row drifts the per-shard counts or
+    * id bounds.
+    */
+  def q110ExportShards(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    graft.pipeline.Export.exportShards(
+        Tables.documents(spark, dir).select("doc_id", "lang"),
+        "doc_id", s"$tmp/shards", NExportShards)
+      .select(col("shard").cast("int").as("shard"), col("n_rows"),
+        col("id_min"), col("id_max"))
+      .orderBy("shard")
+  }
+
+  val q110Oracle: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |                  / 65536.0) * $NExportShards) AS shard
+       |  FROM documents
+       |)
+       |SELECT CAST(shard AS INT) AS shard, count(*) AS n_rows,
+       |       min(doc_id) AS id_min, max(doc_id) AS id_max
+       |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- q86: Johnson–Lindenstrauss random projection -------------------
 
   private val JlOutDim = 16
@@ -660,7 +692,8 @@ object CurationQueries {
     "q94_span_corruption" -> (q94SpanCorruption _),
     "q98_curation_pipeline" -> (q98CurationPipeline _),
     "q104_weighted_sample" -> (q104WeightedSample _),
-    "q107_epoch_mix" -> (q107EpochMix _)
+    "q107_epoch_mix" -> (q107EpochMix _),
+    "q110_export_shards" -> (q110ExportShards _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -678,6 +711,7 @@ object CurationQueries {
     "q94_span_corruption" -> q94Oracle,
     "q98_curation_pipeline" -> q98Oracle,
     "q104_weighted_sample" -> q104Oracle,
-    "q107_epoch_mix" -> q107Oracle
+    "q107_epoch_mix" -> q107Oracle,
+    "q110_export_shards" -> q110Oracle
   )
 }

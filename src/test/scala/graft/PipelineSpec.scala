@@ -884,6 +884,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("exportShards: hive layout, one data file per shard, stable re-export") {
+    import graft.pipeline.Export
+    val tmp = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    val docs = Tables.documents(spark, TestSpark.sf).select("doc_id", "lang")
+    val m1 = Export.exportShards(docs, "doc_id", s"$tmp/s", 4)
+      .orderBy("shard").collect().toSeq
+    val root = new java.io.File(s"$tmp/s")
+    val dirs = root.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("shard=")))
+    // repartition-by-shard means one writer task per shard → one file
+    dirs.foreach { d =>
+      val parts = new java.io.File(root, d).listFiles()
+        .filter(f => f.getName.startsWith("part-"))
+      assert(parts.length === 1, s"$d has ${parts.length} part files")
+    }
+    // re-export of the unchanged corpus is bit-stable (manifest equal)
+    val m2 = Export.exportShards(docs, "doc_id", s"$tmp/s2", 4)
+      .orderBy("shard").collect().toSeq
+    assert(m1 === m2)
+    // no row dropped or duplicated by the writer
+    assert(m1.map(_.getLong(1)).sum === docs.count())
+  }
+
   test("nfc_normalize composes decomposed sequences; identity on NFC text") {
     import graft.functions.VectorFunctions.nfcNormalize
     val rows = Seq(
