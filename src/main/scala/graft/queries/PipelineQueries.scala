@@ -1290,10 +1290,69 @@ object PipelineQueries {
       |       md5(nfc_normalize(t2)) AS nfc_md5
       |FROM t ORDER BY doc_id""".stripMargin
 
+  // ---- q111: corrupt-JSONL ingest (schema-on-read robustness) ---------
+
+  /** Shared CTE (valid in BOTH dialects): each document rendered as a
+    * JSONL line, every 17th truncated mid-string — the malformed-line
+    * reality of any crawled JSONL feed.
+    */
+  val jsonLinesSql: String =
+    """j AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 17 = 0
+      |              THEN substr('{"id":' || doc_id || ',"lang":"' || lang
+      |                     || '","nc":' || n_chars || '}', 1, 9)
+      |              ELSE '{"id":' || doc_id || ',"lang":"' || lang
+      |                     || '","nc":' || n_chars || '}' END AS line
+      |  FROM documents
+      |)""".stripMargin
+
+  /** Schema-on-read JSONL ingest with dead-letter accounting:
+    * `from_json` under PERMISSIVE semantics nulls the struct for a
+    * malformed line instead of failing the job — corrupt lines land in
+    * the NULL-lang bucket with `n_ok = 0`, clean lines must parse every
+    * field exactly (the per-lang `sum_nc` pins the extracted values,
+    * not just the counts). The oracle replays the same lines through
+    * DuckDB's `json_valid`/`json_extract`.
+    */
+  def q111JsonlIngest(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val lines = spark.sql(s"WITH $jsonLinesSql SELECT * FROM j")
+    val parsed = lines.withColumn("p",
+      from_json(col("line"), org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, lang STRING, nc BIGINT")))
+    parsed
+      .groupBy(col("p.lang").as("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        // PERMISSIVE from_json yields an all-null-FIELDS struct for a
+        // malformed line (not a null struct) — probe a field every
+        // valid line carries
+        sum(when(col("p.id").isNotNull, 1L).otherwise(0L)).as("n_ok"),
+        sum(coalesce(col("p.nc"), lit(0L))).as("sum_nc"))
+      .orderBy(asc_nulls_first("lang"))
+  }
+
+  // concatenated, NOT re-interpolated under another stripMargin: the
+  // CTE's continuation lines start with `||`, which a second strip
+  // would truncate to `|` (the q14 lesson)
+  val q111Oracle: String =
+    "WITH " + jsonLinesSql + "\n" +
+      """SELECT CASE WHEN json_valid(line)
+        |            THEN json_extract_string(line, '$.lang') END AS lang,
+        |       count(*) AS n,
+        |       CAST(sum(CASE WHEN json_valid(line) THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_ok,
+        |       CAST(sum(CASE WHEN json_valid(line)
+        |                     THEN CAST(json_extract(line, '$.nc') AS BIGINT)
+        |                     ELSE 0 END) AS BIGINT) AS sum_nc
+        |FROM j GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cleaning_funnel" -> (q40CleaningFunnel _),
     "q68_quality_classifier" -> (q68QualityClassifier _),
     "q109_nfc_normalize" -> (q109NfcNormalize _),
+    "q111_jsonl_ingest" -> (q111JsonlIngest _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
@@ -1320,6 +1379,7 @@ object PipelineQueries {
     "q40_cleaning_funnel" -> q40Oracle,
     "q68_quality_classifier" -> q68Oracle,
     "q109_nfc_normalize" -> q109Oracle,
+    "q111_jsonl_ingest" -> q111Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q87_bloom_decontaminate" -> q87Oracle,
