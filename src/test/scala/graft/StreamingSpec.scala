@@ -365,6 +365,54 @@ class StreamingSpec extends AnyFunSuite {
         s"batch-only: ${(batch -- streamed).take(3)}")
   }
 
+  test("window agg across time-ordered micro-batches equals the one-batch run") {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import org.apache.spark.sql.expressions.Window
+    // three time-CONTIGUOUS slices (ntile over the ts ordering): batch
+    // N+1 never carries data older than batch N's watermark, so nothing
+    // is dropped as late and the final emitted set must match a single
+    // batch — THE invariant of cross-micro-batch watermark advancement
+    val ev = Tables.events(spark, TestSpark.sf)
+      .select("ts", "event_type", "value")
+      .withColumn("slice", ntile(3).over(Window.orderBy("ts")))
+    val dir = JFiles.createTempDirectory("graft-mb").toString
+    val streamDir = s"$dir/stream"
+    JFiles.createDirectories(Paths.get(streamDir))
+    for (i <- 1 to 3) {
+      val tmp = s"$dir/s$i"
+      ev.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      // b1 < b2 < b3: path order = time order for the file source
+      JFiles.move(part, Paths.get(s"$streamDir/b$i.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val schema = spark.read.parquet(streamDir).schema
+    def drain(multiBatch: Boolean): (Set[(Long, String, Long)], Int) = {
+      val reader = spark.readStream.schema(schema)
+      val src = (if (multiBatch) reader.option("maxFilesPerTrigger", "1")
+                 else reader).parquet(streamDir)
+      val name = s"mb_out_$multiBatch"
+      val q = StreamingEtl.eventWindowAgg(src)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (spark.table(name).select("window_start_epoch", "event_type", "n_events")
+        .as[(Long, String, Long)].collect().toSet, batches)
+    }
+    val (multi, nBatches) = drain(multiBatch = true)
+    val (single, _) = drain(multiBatch = false)
+    assert(nBatches === 3, s"expected 3 data micro-batches, got $nBatches")
+    assert(multi.nonEmpty && multi === single,
+      s"multi-only: ${(multi -- single).take(3)}, " +
+        s"single-only: ${(single -- multi).take(3)}")
+  }
+
   test("left-outer interval join: inner pairs plus watermark-expired unmatched") {
     def typed(t: String) = StreamingEtl.eventsStream(spark, TestSpark.sf)
       .filter(col("event_type") === t)
