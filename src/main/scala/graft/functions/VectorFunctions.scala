@@ -177,6 +177,11 @@ object VectorFunctions {
       reg.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
     }
+    val cp = org.apache.spark.sql.catalyst.FunctionIdentifier("count_phrases")
+    if (!reg.functionExists(cp)) {
+      reg.createOrReplaceTempFunction(
+        "count_phrases", exprs => CountPhrases(exprs(0), exprs(1)), "built-in")
+    }
     val ba = org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg")
     if (!reg.functionExists(ba)) {
       // Spark's own runtime-filter bloom machinery (the expressions
@@ -221,6 +226,16 @@ object VectorFunctions {
   def nfcNormalize(s: Column): Column = {
     register(SparkSession.active)
     call_function("nfc_normalize", s)
+  }
+
+  /** Column API for [[CountPhrases]]: distinct dictionary phrases
+    * occurring as substrings, one Aho–Corasick pass.
+    */
+  def countPhrases(text: Column, phrases: Seq[String]): Column = {
+    register(SparkSession.active)
+    call_function("count_phrases", text,
+      org.apache.spark.sql.functions.array(
+        phrases.map(org.apache.spark.sql.functions.lit): _*))
   }
 
   /** Column API for [[CountInSet]]: tokens in a literal string set. */

@@ -1348,11 +1348,45 @@ object PipelineQueries {
         |                     ELSE 0 END) AS BIGINT) AS sum_nc
         |FROM j GROUP BY 1 ORDER BY lang NULLS FIRST""".stripMargin
 
+  // ---- q112: Aho–Corasick blocklist phrase scan -----------------------
+
+  /** Overlap-heavy on purpose: prefixes of each other and shared
+    * suffixes, so a failure-link or output-inheritance bug changes
+    * counts.
+    */
+  private val Blocklist =
+    Seq("an", "and", "nd", "the", "data", "of the", "tion", "zqx")
+
+  /** [[graft.functions.CountPhrases]] — distinct blocklist phrases per
+    * document in ONE byte-level Aho–Corasick pass (O(|text|) per row
+    * regardless of dictionary size; the naive `filter(dict, contains)`
+    * spelling scans the text once per phrase with an interpreted
+    * lambda). Value-level per document: the oracle recomputes every
+    * count with per-phrase `contains`, so any automaton bug shifts
+    * rows.
+    */
+  def q112PhraseScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .countPhrases(lower(col("text")), Blocklist).as("n_terms"))
+      .orderBy("doc_id")
+
+  val q112Oracle: String = {
+    val list = Blocklist.map(p => s"'$p'").mkString(", ")
+    s"""SELECT doc_id,
+       |       CAST(len(list_filter([$list],
+       |                            p -> contains(lower(text), p)))
+       |            AS INT) AS n_terms
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cleaning_funnel" -> (q40CleaningFunnel _),
     "q68_quality_classifier" -> (q68QualityClassifier _),
     "q109_nfc_normalize" -> (q109NfcNormalize _),
     "q111_jsonl_ingest" -> (q111JsonlIngest _),
+    "q112_phrase_scan" -> (q112PhraseScan _),
     "q62_boilerplate_lines" -> (q62Boilerplate _),
     "q63_decontaminate" -> (q63Decontaminate _),
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
@@ -1380,6 +1414,7 @@ object PipelineQueries {
     "q68_quality_classifier" -> q68Oracle,
     "q109_nfc_normalize" -> q109Oracle,
     "q111_jsonl_ingest" -> q111Oracle,
+    "q112_phrase_scan" -> q112Oracle,
     "q62_boilerplate_lines" -> q62Oracle,
     "q63_decontaminate" -> q63Oracle,
     "q87_bloom_decontaminate" -> q87Oracle,

@@ -907,6 +907,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(m1.map(_.getLong(1)).sum === docs.count())
   }
 
+  test("count_phrases equals brute-force contains on adversarial strings") {
+    import graft.functions.VectorFunctions.countPhrases
+    // heavy overlap: prefixes of each other, self-overlapping, shared
+    // suffixes — the cases where failure links and output inheritance
+    // can silently go wrong
+    val dict = Seq("a", "ab", "aba", "bb", "bab", "abab", "aaa", "ba")
+    val rnd = new scala.util.Random(5)
+    val texts = Seq.fill(80)(
+      Seq.fill(rnd.nextInt(30))("ab".charAt(rnd.nextInt(2))).mkString) ++
+      Seq("", "ababab", "aaaa", "bbbb", "xyz")
+    val got = texts.toDF("t")
+      .select(countPhrases(col("t"), dict)).as[Int].collect().toSeq
+    val want = texts.map(t => dict.count(p => t.contains(p)))
+    assert(got === want)
+  }
+
+  test("count_phrases on multi-byte UTF-8 phrases and via SQL registry") {
+    import graft.functions.VectorFunctions
+    val dict = Seq("naïve", "café", "é na")
+    val got = Seq("the café naïve one", "plain", "")
+      .toDF("t")
+      .select(VectorFunctions.countPhrases(col("t"), dict))
+      .as[Int].collect().toSeq
+    assert(got === Seq(3, 0, 0))
+    VectorFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT count_phrases('xabay', array('ab', 'ba', 'zz')) AS c")
+      .as[Int].head() === 2)
+  }
+
   test("nfc_normalize composes decomposed sequences; identity on NFC text") {
     import graft.functions.VectorFunctions.nfcNormalize
     val rows = Seq(
