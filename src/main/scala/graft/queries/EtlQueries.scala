@@ -421,8 +421,87 @@ object EtlQueries {
       |UNION ALL SELECT 3, 'compact', k.n, k.n FROM k
       |ORDER BY version""".stripMargin)
 
+  /** Copy-on-write MERGE (upsert) into the store
+    * ([[graft.store.StoreMerge]]): append the fleet, then merge a batch
+    * of (a) corrections — db1's full backups re-report CompressedSizeMB
+    * +1000 — and (b) fresh rows — db2's diffs re-run under shifted LSNs
+    * and `_v2` devices. The per-database aggregate pins all three merge
+    * obligations at value level: corrected rows keep their ORIGINAL
+    * LogIDs (sum_logid unchanged for db1 vs a plain append replay),
+    * inserts continue numbering past the table max (db2's sum shifts by
+    * exactly the replayed row_number sums), and untouched databases
+    * survive the rewrite byte-identically.
+    */
+  def q114StoreMerge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q114-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    ConsolidatedStore.append(spark, store, bh)
+    val lsnT = graft.model.Schemas.lsnType
+    val corrections = bh
+      .filter(col("database_name") === "db1" && col("BackupType") === "Full")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000)
+    val fresh = bh
+      .filter(col("database_name") === "db2" && col("BackupType") === "Diff")
+      .withColumn("first_lsn", (col("first_lsn") + 100000000L).cast(lsnT))
+      .withColumn("last_lsn", (col("last_lsn") + 100000000L).cast(lsnT))
+      .withColumn("physical_device_name",
+        concat(col("physical_device_name"), lit("_v2")))
+    graft.store.StoreMerge.merge(spark, store, corrections.unionByName(fresh))
+    ConsolidatedStore.read(spark, store)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        sum(col("LogID")).as("sum_logid"),
+        sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .orderBy("database_name")
+  }
+
+  val q114Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |ids AS (
+      |  SELECT database_name, backup_type, compressed_size_mb,
+      |         row_number() OVER (ORDER BY backup_finish_date, database_name,
+      |                            last_lsn, physical_device_name) AS logid
+      |  FROM backup_history
+      |),
+      |mx AS (SELECT max(logid) AS m FROM ids),
+      |base_after AS (
+      |  SELECT database_name, logid,
+      |         CASE WHEN database_name = 'db1' AND backup_type = 'Full'
+      |              THEN compressed_size_mb + 1000
+      |              ELSE compressed_size_mb END AS comp
+      |  FROM ids
+      |),
+      |ins AS (
+      |  SELECT database_name, compressed_size_mb AS comp,
+      |         backup_finish_date, last_lsn + 100000000 AS last_lsn2,
+      |         physical_device_name || '_v2' AS dev
+      |  FROM backup_history
+      |  WHERE database_name = 'db2' AND backup_type = 'Diff'
+      |),
+      |ins_ids AS (
+      |  SELECT database_name, comp,
+      |         (SELECT m FROM mx) +
+      |           row_number() OVER (ORDER BY backup_finish_date, database_name,
+      |                              last_lsn2, dev) AS logid
+      |  FROM ins
+      |),
+      |allr AS (
+      |  SELECT database_name, logid, comp FROM base_after
+      |  UNION ALL SELECT database_name, logid, comp FROM ins_ids
+      |)
+      |SELECT database_name,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT logid) AS BIGINT) AS n_ids,
+      |       CAST(sum(logid) AS BIGINT) AS sum_logid,
+      |       CAST(sum(comp) AS BIGINT) AS sum_comp
+      |FROM allr GROUP BY database_name ORDER BY database_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
+    "q114_store_merge" -> (q114StoreMerge _),
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
@@ -435,6 +514,7 @@ object EtlQueries {
 
   def oracles: Map[String, String] = Map(
     "q101_store_time_travel" -> q101Oracle,
+    "q114_store_merge" -> q114Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

@@ -1,0 +1,169 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Copy-on-write MERGE (upsert) into the consolidated store.
+  *
+  * The reference's write path is insert-with-silent-dup-drop
+  * (`ignore_dup_key`, sql:33) — it can never CORRECT a row. Operationally
+  * that correction happens (msdb re-reports a backup's sizes after a
+  * verify pass, a device is re-labeled after a media refresh), and on SQL
+  * Server it would be a `MERGE` against the same unique index. This is
+  * that statement's lakehouse form, keyed on the identical null-safe
+  * dedup key:
+  *
+  *   - WHEN MATCHED: the batch row replaces the stored row's non-key
+  *     columns; the stored `LogID` is preserved (identity stability — the
+  *     striped-log canonicalization W2 keys on min LogID, sql:1049, and a
+  *     merge must not reshuffle it).
+  *   - WHEN NOT MATCHED: the row is appended with the next LogIDs, same
+  *     numbering contract as [[ConsolidatedStore.withLogIdsFrom]].
+  *
+  * Scale shape (the part that must survive 100 TB): nothing here is
+  * O(table).
+  *   1. [[StoreMeta]] zone maps prune the match probe to files whose key
+  *      ranges can intersect the batch's per-database envelopes — the
+  *      probe scan reads ONLY the 4 key columns + LogID of those files.
+  *   2. Only files that actually CONTAIN a matched key (`input_file_name`
+  *      on the probe) are rewritten; every other file — including
+  *      zone-overlapping ones that held no matched key — is untouched.
+  *   3. Survivor rows of touched files + replacement rows + inserts are
+  *      written as new files; the touched originals are then archived
+  *      under the commit's history dir ([[StoreLog]]), so pre-merge
+  *      snapshots stay readable (time travel over merges, not just
+  *      appends/compactions).
+  *
+  * Readers see the union of old and new files for the instant between the
+  * new-file write and the archive of the touched originals — the same
+  * exposure window as [[graft.maintenance.Compaction]]'s swap; merges are
+  * scheduled off the ingest path and serialized with appends (the
+  * existing store contract).
+  *
+  * A batch with duplicate keys keeps, per key, the row with the greatest
+  * non-key struct (field order = batch column order) — deterministic, no
+  * `dropDuplicates` partition-order dependence.
+  */
+object StoreMerge {
+
+  final case class MergeStats(updated: Long, inserted: Long, filesRewritten: Long)
+
+  private def keyCond(l: String, r: String): Column =
+    Schemas.dedupKey.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+
+  /** Merge `updates` into the store at `path`. `partitionBy`/`sortWithin`
+    * must match what the store's appends use (same contract as
+    * [[ConsolidatedStore.append]]).
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn")): MergeStats = {
+    val loaded = StoreMeta.load(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"merge needs a graft-managed layout (foreign subdirs found): $path"))
+    val key = Schemas.dedupKey
+    val cols = updates.columns.toSeq
+    val nonKey = cols.filterNot(key.contains)
+    require(nonKey.nonEmpty, "updates must carry non-key columns to merge")
+    val deduped = updates
+      .groupBy(key.map(col): _*)
+      .agg(max(struct(nonKey.map(col): _*)).as("__v"))
+      .select(cols.map(c => if (key.contains(c)) col(c) else col(s"__v.$c")): _*)
+      .cache()
+    try {
+      val envelopes = ConsolidatedStore.batchEnvelopes(deduped)
+      if (envelopes.isEmpty) return MergeStats(0L, 0L, 0L)
+      val overlapping = loaded.files
+        .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+      val rootQ = StoreMeta.qualifiedPath(spark, path)
+
+      // key+LogID probe over zone-overlapping files only (column-pruned)
+      val matched =
+        if (overlapping.isEmpty) null
+        else spark.read
+          .option("basePath", path).schema(Schemas.consolidated)
+          .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+          .withColumn("__file", input_file_name())
+          .select(key.map(col) :+ col("LogID") :+ col("__file"): _*)
+          .alias("ex")
+          .join(deduped.select(key.map(col): _*).alias("in"),
+            keyCond("ex", "in"), "left_semi")
+          .cache()
+      try {
+        val nUpd = if (matched == null) 0L else matched.count()
+        val touched: Seq[String] =
+          if (nUpd == 0L) Nil
+          else matched.select("__file").distinct().collect()
+            .map(r => StoreMeta.relativize(rootQ, r.getString(0))).toSeq.sorted
+
+        val replacement =
+          if (nUpd == 0L) None
+          else Some(deduped.alias("in")
+            .join(matched.drop("__file").alias("ex"), keyCond("in", "ex"), "inner")
+            .select(col("ex.LogID").as("LogID") +:
+              cols.map(c => col(s"in.$c").as(c)): _*))
+        val insertRows =
+          if (matched == null) deduped
+          else deduped.alias("in")
+            .join(matched.alias("ex"), keyCond("in", "ex"), "left_anti")
+        val nIns = deduped.count() - nUpd
+        if (nUpd == 0L && nIns == 0L) return MergeStats(0L, 0L, 0L)
+
+        val survivors =
+          if (touched.isEmpty) None
+          else Some(spark.read
+            .option("basePath", path).schema(Schemas.consolidated)
+            .parquet(touched.map(f => s"$path/$f"): _*)
+            .alias("ex")
+            .join(deduped.select(key.map(col): _*).alias("in"),
+              keyCond("ex", "in"), "left_anti"))
+
+        val inserts =
+          if (nIns == 0L) None
+          else Some(ConsolidatedStore.withLogIdsFrom(
+            loaded.maxLogId, insertRows, batchRows = nIns))
+
+        val out = (inserts.toSeq ++ replacement.toSeq ++ survivors.toSeq)
+          .reduce(_ unionByName _)
+        val laidOut =
+          if (sortWithin.isEmpty) out
+          else out.sortWithinPartitions(sortWithin.map(col): _*)
+        val before = loaded.files.map(_.file).toSet
+        val writer = laidOut.write.mode(SaveMode.Append)
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+         else writer).parquet(path)
+
+        val after = StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
+        val newFiles = after.filterNot(before)
+        // archive the replaced originals under the upcoming commit's
+        // history dir (pre-merge snapshots stay readable), then commit.
+        // A store whose very first logged operation is this merge
+        // baselines instead: adds = the full post-merge live set.
+        val first = StoreLog.currentVersion(spark, path) == 0
+        if (touched.nonEmpty) {
+          if (first) {
+            val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+            touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+          } else {
+            val v = StoreLog.currentVersion(spark, path) + 1
+            StoreLog.archive(spark, path, v,
+              touched.map(f => (new Path(s"$path/$f"), f)))
+          }
+        }
+        StoreLog.commit(spark, path, "merge",
+          adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
+                 else newFiles,
+          removes = if (first) Nil else touched)
+
+        val touchedSet = touched.toSet
+        StoreMeta.save(spark, path,
+          loaded.files.filterNot(f => touchedSet(f.file)) ++
+            StoreMeta.scanStats(spark, path, newFiles))
+        MergeStats(nUpd, nIns, touched.size.toLong)
+      } finally if (matched != null) matched.unpersist()
+    } finally deduped.unpersist()
+  }
+}

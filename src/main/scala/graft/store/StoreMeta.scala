@@ -228,7 +228,7 @@ object StoreMeta {
     } ++ sentinels
   }
 
-  private def qualifiedPath(spark: SparkSession, root: String): Path = {
+  private[graft] def qualifiedPath(spark: SparkSession, root: String): Path = {
     val p = new Path(root)
     p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
   }
@@ -238,7 +238,7 @@ object StoreMeta {
     * qualified root and Spark's file-name rendering cannot break the
     * prefix match.
     */
-  private def relativize(root: Path, fileUri: String): String = {
+  private[graft] def relativize(root: Path, fileUri: String): String = {
     val rootPath = root.toUri.getPath
     val filePath = new Path(fileUri).toUri.getPath
     require(filePath.startsWith(rootPath + "/"),
