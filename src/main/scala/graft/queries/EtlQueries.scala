@@ -499,9 +499,143 @@ object EtlQueries {
       |       CAST(sum(comp) AS BIGINT) AS sum_comp
       |FROM allr GROUP BY database_name ORDER BY database_name""".stripMargin)
 
+  /** Physical retention DELETE against the store
+    * ([[graft.store.StoreDelete.purgeExpired]]) — the reference's cleanup
+    * proc (sql:398-424) as a copy-on-write file operation. Two appends
+    * split at Jan 10 give the store a date-correlated file layout (the
+    * whole-file-drop fast path's precondition, asserted in DeleteSpec);
+    * the 45-day purge from Mar 1 2024 computes cutoff = newest start
+    * date below Jan 16 and removes everything strictly below it. The
+    * per-db aggregate pins the survivor SET (min_start_us = the cutoff
+    * boundary) and that survivors kept their two-phase append LogIDs
+    * (sum_logid replays both row_number passes).
+    */
+  def q115StorePurge(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q115-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    ConsolidatedStore.append(spark, store,
+      bh.filter(col("backup_start_date") < lit(t0)))
+    ConsolidatedStore.append(spark, store,
+      bh.filter(col("backup_start_date") >= lit(t0)))
+    graft.store.StoreDelete.purgeExpired(spark, store, retentionDays = 45,
+      now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    ConsolidatedStore.read(spark, store)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("LogID")).as("sum_logid"),
+        min(unix_micros(col("backup_start_date"))).as("min_start_us"))
+      .orderBy("database_name")
+  }
+
+  private val twoPhaseIdsCte: String =
+    """b1 AS (
+      |  SELECT *, row_number() OVER (ORDER BY backup_finish_date,
+      |           database_name, last_lsn, physical_device_name) AS logid
+      |  FROM backup_history WHERE %SPLIT%
+      |),
+      |b2 AS (
+      |  SELECT *, (SELECT count(*) FROM b1) +
+      |         row_number() OVER (ORDER BY backup_finish_date,
+      |           database_name, last_lsn, physical_device_name) AS logid
+      |  FROM backup_history WHERE NOT (%SPLIT%)
+      |),
+      |alltab AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)""".stripMargin
+
+  val q115Oracle: String = BackupHistoryDerivation.oracle(
+    "," + twoPhaseIdsCte.replace("%SPLIT%",
+      "backup_start_date < TIMESTAMP '2024-01-10 00:00:00'") +
+    """,
+      |cut AS (
+      |  SELECT max(backup_start_date) AS c FROM alltab
+      |  WHERE backup_start_date < TIMESTAMP '2024-01-16 00:00:00'
+      |)
+      |SELECT database_name,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(logid) AS BIGINT) AS sum_logid,
+      |       min(epoch_us(backup_start_date)) AS min_start_us
+      |FROM alltab, cut
+      |WHERE backup_start_date >= cut.c
+      |GROUP BY database_name ORDER BY database_name""".stripMargin)
+
+  /** Row-level change-data-feed over the store's commit log
+    * ([[graft.store.StoreLog.changes]]): v1 appends half the fleet, v2
+    * the rest, v3 merges a size correction onto db1's fulls, v4 purges
+    * the retention horizon. Each consecutive span is read back as
+    * typed changes and aggregated: v1→v2 must be pure inserts (batch 2's
+    * replayed ids), v2→v3 exactly one update_pre/update_post pair per
+    * corrected row (post side +1000 MB, SAME id sum — survivors
+    * rewritten alongside them must NOT surface), v3→v4 pure deletes of
+    * the below-cutoff rows (with the post-merge sizes). Any file the
+    * spans did not touch contributing a row, a lost pre-image, or a
+    * renumbered id flips an aggregate.
+    */
+  def q116StoreCdf(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q116-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") >= "db2"))
+    graft.store.StoreMerge.merge(spark, store, bh
+      .filter(col("database_name") === "db1" && col("BackupType") === "Full")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000))
+    graft.store.StoreDelete.purgeExpired(spark, store, retentionDays = 45,
+      now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    val spans = Seq((1, 2), (2, 3), (3, 4)).map { case (a, b) =>
+      graft.store.StoreLog.changes(spark, store, a, b)
+        .withColumn("span", lit(s"v${a}_v$b"))
+    }.reduce(_ unionByName _)
+    spans.groupBy("span", "_change_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("LogID")).as("sum_logid"),
+        sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .orderBy("span", "_change_type")
+  }
+
+  val q116Oracle: String = BackupHistoryDerivation.oracle(
+    "," + twoPhaseIdsCte.replace("%SPLIT%", "database_name < 'db2'") +
+    """,
+      |corr AS (
+      |  SELECT * FROM alltab
+      |  WHERE database_name = 'db1' AND backup_type = 'Full'
+      |),
+      |merged AS (
+      |  SELECT database_name, logid, backup_start_date,
+      |         CASE WHEN database_name = 'db1' AND backup_type = 'Full'
+      |              THEN compressed_size_mb + 1000
+      |              ELSE compressed_size_mb END AS comp
+      |  FROM alltab
+      |),
+      |cut AS (
+      |  SELECT max(backup_start_date) AS c FROM merged
+      |  WHERE backup_start_date < TIMESTAMP '2024-01-16 00:00:00'
+      |),
+      |spans AS (
+      |  SELECT 'v1_v2' AS span, 'insert' AS _change_type,
+      |         logid, compressed_size_mb AS comp FROM b2
+      |  UNION ALL
+      |  SELECT 'v2_v3', 'update_pre', logid, compressed_size_mb FROM corr
+      |  UNION ALL
+      |  SELECT 'v2_v3', 'update_post', logid, compressed_size_mb + 1000 FROM corr
+      |  UNION ALL
+      |  SELECT 'v3_v4', 'delete', m.logid, m.comp
+      |  FROM merged m, cut WHERE m.backup_start_date < cut.c
+      |)
+      |SELECT span, _change_type,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(logid) AS BIGINT) AS sum_logid,
+      |       CAST(sum(comp) AS BIGINT) AS sum_comp
+      |FROM spans GROUP BY span, _change_type
+      |ORDER BY span, _change_type""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
+    "q115_store_purge" -> (q115StorePurge _),
+    "q116_store_cdf" -> (q116StoreCdf _),
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
@@ -515,6 +649,8 @@ object EtlQueries {
   def oracles: Map[String, String] = Map(
     "q101_store_time_travel" -> q101Oracle,
     "q114_store_merge" -> q114Oracle,
+    "q115_store_purge" -> q115Oracle,
+    "q116_store_cdf" -> q116Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

@@ -193,6 +193,62 @@ object StoreLog {
     }.reduce(_ unionByName _)
   }
 
+  /** Row-level change feed between two versions — what CDC consumers
+    * (incremental view maintenance, downstream sync) read instead of
+    * diffing snapshots. Scale shape: only files that ENTERED or LEFT the
+    * live set between the versions are read — files untouched by the
+    * intervening appends/merges/deletes/compactions contribute nothing
+    * and are never scanned, so a trickle append's change feed is
+    * O(batch), not O(table). Rows pair on `LogID` (stable across merges
+    * by the [[StoreMerge]] contract):
+    *
+    *   - id only in the new file set            → `insert`
+    *   - id only in the old file set            → `delete`
+    *   - id in both, any column differing       → `update_pre` + `update_post`
+    *   - id in both, rows identical (a survivor
+    *     rewritten by merge/delete/compaction)  → not a change, dropped
+    *
+    * Returns the consolidated schema plus a leading `_change_type`
+    * column.
+    */
+  def changes(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val fromLive = liveFilesAt(spark, root, fromVersion).toMap
+    val toLive = liveFilesAt(spark, root, toVersion).toMap
+    def readSet(m: Map[String, String]): DataFrame =
+      if (m.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          Schemas.consolidated)
+      else m.groupBy(_._2).toSeq.sortBy(_._1).map { case (base, group) =>
+        spark.read
+          .schema(Schemas.consolidated)
+          .option("basePath", base)
+          .parquet(group.map { case (rel, _) => s"$base/$rel" }.toSeq.sorted: _*)
+      }.reduce(_ unionByName _)
+    val gone = readSet(fromLive.filter { case (f, _) => !toLive.contains(f) })
+    val fresh = readSet(toLive.filter { case (f, _) => !fromLive.contains(f) })
+    val cols = Schemas.consolidated.fieldNames.toSeq
+    import org.apache.spark.sql.functions._
+    val a = gone.alias("a")
+    val n = fresh.alias("n")
+    val aRow = struct(cols.map(c => col(s"a.$c").as(c)): _*)
+    val nRow = struct(cols.map(c => col(s"n.$c").as(c)): _*)
+    def tagged(tag: String, row: org.apache.spark.sql.Column) =
+      struct(lit(tag).as("_change_type"), row.as("row"))
+    a.join(n, col("a.LogID") === col("n.LogID"), "full_outer")
+      .select(explode(
+        when(col("n.LogID").isNull, array(tagged("delete", aRow)))
+          .when(col("a.LogID").isNull, array(tagged("insert", nRow)))
+          .when(aRow <=> nRow, lit(null)) // rewritten survivor — no change
+          .otherwise(array(
+            tagged("update_pre", aRow), tagged("update_post", nRow))))
+        .as("c"))
+      .select(col("c._change_type") +: cols.map(c => col(s"c.row.$c").as(c)): _*)
+  }
+
   /** Delete history dirs of commits `<= beforeVersion`; snapshots that
     * need them are no longer reconstructible (the vacuum trade: storage
     * back, old versions gone). The log itself is kept — it is tiny and
