@@ -173,6 +173,65 @@ object TextAnalysis {
         PiiPhone, "[PHONE]"),
       PiiIp, "[IP]")
 
+  /** Gopher stopword list (Rae et al. 2021, App. A1.1: "contains at
+    * least 2 of the following English words").
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-rule bundle (Rae et al. 2021, App. A1.1) — the
+    * standard hand-written pre-filter that runs BEFORE model-based
+    * quality scoring in most published pipelines (Gopher, MassiveText,
+    * RefinedWeb, Dolma). One row-local struct projection per document:
+    * word-count bounds, mean word length, symbol (#/…) to word ratio,
+    * bullet-started and ellipsis-ended line fractions, alphabetic-word
+    * fraction, stopword presence, duplicate-line fraction, and the
+    * conjunction verdict. Word-count bounds are parameters (the paper's
+    * 50..100k; tests use tighter bounds so the synthetic corpus splits).
+    *
+    * All metrics ride on ONE evaluation of the normalize/split subtrees
+    * ([[graft.functions.Let]]); the per-word regex in the alphabetic
+    * fraction is an interpreted HOF lambda — fine off the hot path, and
+    * the thresholds dominate wall time nowhere (the scan is linear,
+    * shuffle-free). `passes` compares UNROUNDED values; the struct's
+    * reported metrics are rounded to 4dp for cross-engine comparison.
+    */
+  def gopherRules(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column =
+    graft.functions.Let.let(normalize(text), norm =>
+      graft.functions.Let.let(split(norm, " "), w =>
+        graft.functions.Let.let(split(text, "\n"), lines => {
+          val nW = size(w).cast("double")
+          val nL = size(lines).cast("double")
+          val mwl = (length(norm) - (size(w) - 1)).cast("double") / nW
+          val sym = (regexp_count(text, lit("#")) +
+            regexp_count(text, lit("\\.\\.\\."))).cast("double") / nW
+          val bullet =
+            regexp_count(text, lit("(^|\n)[-*•]")).cast("double") / nL
+          val ell =
+            regexp_count(text, lit("\\.\\.\\.(\n|$)")).cast("double") / nL
+          val alpha =
+            size(filter(w, x => x.rlike("[a-z]"))).cast("double") / nW
+          val stops = GopherStopwords
+            .map(s => when(array_contains(w, s), 1).otherwise(0))
+            .reduce(_ + _)
+          val dup =
+            (size(lines) - size(array_distinct(lines))).cast("double") / nL
+          val passes = size(w).between(minWords, maxWords) &&
+            mwl.between(3.0, 10.0) && sym <= 0.1 && bullet <= 0.1 &&
+            ell <= 0.3 && alpha >= 0.8 && stops >= 2 && dup <= 0.3
+          struct(
+            size(w).as("n_words"),
+            round(mwl, 4).as("mean_word_len"),
+            round(sym, 4).as("sym_ratio"),
+            round(bullet, 4).as("bullet_frac"),
+            round(ell, 4).as("ellipsis_frac"),
+            round(alpha, 4).as("alpha_frac"),
+            stops.as("stop_hits"),
+            round(dup, 4).as("dup_line_frac"),
+            passes.as("passes"))
+        })))
+
   /** fastText-style hashed linear quality classifier: each token hashes
     * into one of `buckets` feature slots (hashing trick), the slot's
     * weight is an md5-derived deterministic stand-in for a trained

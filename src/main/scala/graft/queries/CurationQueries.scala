@@ -677,7 +677,96 @@ object CurationQueries {
        |GROUP BY source ORDER BY domain""".stripMargin
   }
 
+  // ---- q113: Gopher quality-rule bundle --------------------------------
+
+  /** Deterministic structural planting: the synthetic corpus is
+    * single-line word soup, so every Nth document gets the pathology a
+    * Gopher rule exists to catch — bullet lists + a trailing ellipsis
+    * (%7), duplicated lines (%11), symbol runs (%13), numeric-only words
+    * (%17). Shared SQL text, identical in both engines (q42 pattern).
+    */
+  val docsGopherSql: String =
+    """docs_gopher AS (
+      |  SELECT doc_id,
+      |         text ||
+      |         CASE WHEN doc_id % 7 = 0
+      |              THEN chr(10) || '- first point' || chr(10) ||
+      |                   '- second point' || chr(10) || 'so it goes...'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 11 = 0
+      |              THEN chr(10) || 'same line repeated' || chr(10) ||
+      |                   'same line repeated'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 3 > 0
+      |              THEN ' note that we have worked with care to be sure'
+      |              ELSE '' END ||
+      |         CASE WHEN doc_id % 13 = 0 THEN ' ### ##### ##' ELSE '' END ||
+      |         CASE WHEN doc_id % 17 = 0
+      |              THEN ' 101 202 303 404 505 606 707 808'
+      |              ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
+  /** The Gopher rule bundle ([[TextAnalysis.gopherRules]]) over the
+    * planted corpus: every metric AND the pass verdict value-checked per
+    * document. Word bounds 20..80 (vs the paper's 50..100k) so the
+    * 10..99-word synthetic corpus splits on the length rule too.
+    */
+  def q113GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    spark.sql(s"WITH $docsGopherSql SELECT doc_id, text FROM docs_gopher")
+      .select(col("doc_id"),
+        TextAnalysis.gopherRules(col("text"),
+          minWords = 20, maxWords = 80).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id")
+  }
+
+  val q113Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    val stopSum = TextAnalysis.GopherStopwords
+      .map(s => s"CASE WHEN list_contains(w, '$s') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $docsGopherSql,
+       |m AS (
+       |  SELECT doc_id, text, $normSql AS norm,
+       |         string_split($normSql, ' ') AS w,
+       |         string_split(text, chr(10)) AS l
+       |  FROM docs_gopher
+       |),
+       |r AS (
+       |  SELECT doc_id,
+       |    len(w) AS n_words,
+       |    (length(norm) - (len(w) - 1)) / CAST(len(w) AS DOUBLE) AS mwl,
+       |    (len(regexp_extract_all(text, '#')) +
+       |     len(regexp_extract_all(text, '\\.\\.\\.')))
+       |      / CAST(len(w) AS DOUBLE) AS sym,
+       |    len(regexp_extract_all(text, '(^|\\n)[-*•]'))
+       |      / CAST(len(l) AS DOUBLE) AS bullet,
+       |    len(regexp_extract_all(text, '\\.\\.\\.(\\n|$$)'))
+       |      / CAST(len(l) AS DOUBLE) AS ell,
+       |    len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+       |      / CAST(len(w) AS DOUBLE) AS alpha,
+       |    $stopSum AS stop_hits,
+       |    (len(l) - len(list_distinct(l))) / CAST(len(l) AS DOUBLE) AS dup
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words,
+       |       round(mwl, 4) AS mean_word_len,
+       |       round(sym, 4) AS sym_ratio,
+       |       round(bullet, 4) AS bullet_frac,
+       |       round(ell, 4) AS ellipsis_frac,
+       |       round(alpha, 4) AS alpha_frac,
+       |       stop_hits,
+       |       round(dup, 4) AS dup_line_frac,
+       |       (n_words BETWEEN 20 AND 80) AND mwl BETWEEN 3 AND 10
+       |         AND sym <= 0.1 AND bullet <= 0.1 AND ell <= 0.3
+       |         AND alpha >= 0.8 AND stop_hits >= 2 AND dup <= 0.3 AS passes
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_gopher_rules" -> (q113GopherRules _),
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
@@ -697,6 +786,7 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q113_gopher_rules" -> q113Oracle,
     "q41_hash_split" -> q41Oracle,
     "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,

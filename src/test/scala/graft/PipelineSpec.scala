@@ -16,6 +16,32 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val docsAug = PipelineQueries.docsAug(spark, TestSpark.sf).cache()
 
+  test("gopher rules: closed-form metrics on a hand-built document") {
+    val text = "the cat sat on the mat with that have be to of and\n" +
+      "- b1\n- b2\ndup\ndup\nend..."
+    val row = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.gopherRules(col("text")).as("g"))
+      .select("g.*").head()
+    assert(row.getAs[Int]("n_words") == 20)
+    assert(row.getAs[Int]("stop_hits") == 8)
+    assert(row.getAs[Double]("bullet_frac") == math.rint(2.0 / 6 * 1e4) / 1e4)
+    assert(row.getAs[Double]("ellipsis_frac") == math.rint(1.0 / 6 * 1e4) / 1e4)
+    assert(row.getAs[Double]("dup_line_frac") == math.rint(1.0 / 6 * 1e4) / 1e4)
+    assert(row.getAs[Double]("sym_ratio") == math.rint(1.0 / 20 * 1e4) / 1e4)
+    assert(row.getAs[Double]("alpha_frac") == math.rint(18.0 / 20 * 1e4) / 1e4)
+    assert(row.getAs[Double]("mean_word_len") == math.rint(56.0 / 20 * 1e4) / 1e4)
+    // fails: word count below the paper's 50 minimum, bullets over 10%
+    assert(!row.getAs[Boolean]("passes"))
+    // the same doc inflated past the word floor with clean prose passes
+    val padded = text.replace("\n- b1", " " +
+      Seq.fill(40)("plain words flow here").mkString(" ") + "\n- b1")
+    val row2 = Seq((1L, padded)).toDF("doc_id", "text")
+      .select(TextAnalysis.gopherRules(col("text"), minWords = 20).as("g"))
+      .select("g.*").head()
+    assert(row2.getAs[Int]("n_words") == 180)
+    assert(!row2.getAs[Boolean]("passes"), "bullet fraction still fails")
+  }
+
   test("exact dedup finds identical texts and only them") {
     val docs = Seq((1L, "same text here"), (2L, "same   TEXT  here"),
       (3L, "different")).toDF("doc_id", "text")
