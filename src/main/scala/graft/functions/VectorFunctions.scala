@@ -203,6 +203,14 @@ object VectorFunctions {
           .BloomFilterMightContain(exprs(0), exprs(1)),
         "built-in")
     }
+    val mg = org.apache.spark.sql.catalyst.FunctionIdentifier("misra_gries")
+    if (!reg.functionExists(mg)) {
+      reg.createOrReplaceTempFunction(
+        "misra_gries",
+        exprs => MisraGriesAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()),
+        "built-in")
+    }
     val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
     if (!reg.functionExists(cm)) {
       // the analyzer wraps a bare AggregateFunction into an
@@ -278,6 +286,14 @@ object VectorFunctions {
     register(SparkSession.active)
     call_function("bloom_contains", bloom,
       org.apache.spark.sql.functions.xxhash64(v))
+  }
+
+  /** Column API for [[MisraGriesAgg]]: at-most-k frequent-item
+    * candidates of a string column as a map<string,long>.
+    */
+  def misraGries(v: Column, k: Int): Column = {
+    register(SparkSession.active)
+    call_function("misra_gries", v, org.apache.spark.sql.functions.lit(k))
   }
 
   /** Column API for [[CountMinAgg]]: aggregate a string column into a

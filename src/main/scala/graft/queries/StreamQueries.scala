@@ -530,7 +530,43 @@ object StreamQueries {
       |WHERE session_end_us // 1000 <= wm_ms
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // ---- q117: exact heavy hitters (Misra–Gries candidates + confirm) ---
+
+  /** Shared skew derivation: 70% of users collapse onto 3 hot keys, the
+    * rest stay singleton — the hot-key shape salting/heavy-hitter
+    * machinery exists for. Identical SQL text in both engines.
+    */
+  val hhKeysSql: String =
+    """hh AS (
+      |  SELECT CASE WHEN user_id % 10 < 7 THEN 'hot' || (user_id % 3)
+      |              ELSE 'cold' || user_id END AS k
+      |  FROM events WHERE user_id IS NOT NULL
+      |)""".stripMargin
+
+  /** Exact heavy hitters over the skewed key ([[graft.pipeline.HeavyHitters]]):
+    * Misra–Gries candidate scan (constant-size mergeable buffers, input
+    * never shuffled) + exact confirm of the ≤ k candidates. The oracle
+    * is the DEFINITION — a full GROUP BY with HAVING n*k > N — so a
+    * summary that dropped a true heavy hitter, a merge that inflated a
+    * count past the threshold, or a confirm pass that kept a borderline
+    * item all diverge.
+    */
+  def q117HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.events(spark, dir).createOrReplaceTempView("events")
+    val keys = spark.sql(s"WITH $hhKeysSql SELECT k FROM hh")
+    graft.pipeline.HeavyHitters.exact(keys, col("k"), k = 20)
+  }
+
+  val q117Oracle: String =
+    s"""WITH $hhKeysSql,
+       |n AS (SELECT count(*) AS c FROM hh)
+       |SELECT k AS item, count(*) AS n_exact
+       |FROM hh, n GROUP BY k, n.c
+       |HAVING count(*) * 20 > c
+       |ORDER BY n_exact DESC, item""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_heavy_hitters" -> (q117HeavyHitters _),
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
     "q36_json_props" -> (q36JsonProps _),
@@ -547,6 +583,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q117_heavy_hitters" -> q117Oracle,
     "q32_event_windows" -> q32Oracle,
     "q33_sessionize" -> q33Oracle,
     "q36_json_props" -> q36Oracle,

@@ -16,6 +16,32 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val docsAug = PipelineQueries.docsAug(spark, TestSpark.sf).cache()
 
+  test("heavy hitters: exact and partition-invariant on adversarial keys") {
+    val rows = (1 to 1000).map(i => s"u$i") ++ Seq.fill(150)("hotA") ++
+      Seq.fill(160)("hotB") ++ Seq.fill(141)("nearMiss")
+    val k = 10
+    val n = rows.size
+    val expected = rows.groupBy(identity).view
+      .mapValues(_.size.toLong).filter(_._2 * k > n).toMap
+    assert(expected.keySet == Set("hotA", "hotB"),
+      s"fixture must straddle the threshold: $expected")
+    for (p <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k").repartition(p)
+      val got = graft.pipeline.HeavyHitters.exact(df, col("k"), k)
+        .as[(String, Long)].collect().toMap
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("misra-gries buffer is bounded by k and keeps the majority item") {
+    val rows = Seq.fill(600)("maj") ++ (1 to 400).map(i => s"t$i")
+    val m = rows.toDF("k").repartition(11)
+      .agg(graft.functions.VectorFunctions.misraGries(col("k"), 5))
+      .head().getMap[String, Long](0)
+    assert(m.size <= 5, s"summary overflowed: $m")
+    assert(m.contains("maj"), s"majority item evicted: $m")
+  }
+
   test("gopher rules: closed-form metrics on a hand-built document") {
     val text = "the cat sat on the mat with that have be to of and\n" +
       "- b1\n- b2\ndup\ndup\nend..."
