@@ -175,7 +175,83 @@ object RelationalQueries {
       |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
       |ORDER BY custkey""".stripMargin
 
+  // ---- q118: data-contract validation ---------------------------------
+
+  /** Planted contract violations over `orders` — every kind the
+    * validator must count exactly, one CASE per violation class so the
+    * classes stay independent and replayable. Shared SQL text (q42/q113
+    * pattern).
+    */
+  val dirtyOrdersSql: String =
+    """dirty_orders AS (
+      |  SELECT
+      |    CASE WHEN o_orderkey % 101 = 0 THEN 7 ELSE o_orderkey END
+      |      AS o_orderkey,
+      |    CASE WHEN o_orderkey % 89 = 0 THEN NULL
+      |         WHEN o_orderkey % 79 = 0 THEN o_custkey + 9000000
+      |         ELSE o_custkey END AS o_custkey,
+      |    CASE WHEN o_orderkey % 83 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderstatus
+      |  FROM orders
+      |)""".stripMargin
+
+  /** Declarative data-contract validation ([[graft.pipeline.Validation]],
+    * the Deequ shape): five checks — key uniqueness, FK integrity to
+    * `customer`, not-null, range, and a domain predicate — each returning
+    * its exact violation count over the planted-dirty orders. All
+    * row-local checks fold into ONE aggregation pass; the FK check is
+    * one anti-join against the distinct customer keys.
+    */
+  def q118ContractValidation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Validation._
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    val dirty = spark.sql(s"WITH $dirtyOrdersSql SELECT * FROM dirty_orders")
+    validate(dirty, Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0.0, 1e9),
+      ForeignKey(Seq("o_custkey"), Tables.customer(spark, dir),
+        Seq("c_custkey")),
+      Satisfies("status_domain",
+        col("o_orderstatus").isin("O", "F", "P"))
+    )).orderBy("check")
+  }
+
+  val q118Oracle: String =
+    s"""WITH $dirtyOrdersSql,
+       |checks AS (
+       |  SELECT 'not_null(o_custkey)' AS chk,
+       |         (SELECT count(*) FROM dirty_orders WHERE o_custkey IS NULL)
+       |           AS v
+       |  UNION ALL
+       |  SELECT 'unique(o_orderkey)',
+       |         (SELECT count(*) FROM dirty_orders) -
+       |         (SELECT count(DISTINCT o_orderkey) FROM dirty_orders)
+       |  UNION ALL
+       |  SELECT 'in_range(o_totalprice,0.0,1.0E9)',
+       |         (SELECT count(*) FROM dirty_orders
+       |          WHERE o_totalprice IS NOT NULL
+       |            AND (o_totalprice < 0 OR o_totalprice > 1000000000))
+       |  UNION ALL
+       |  SELECT 'foreign_key(o_custkey)',
+       |         (SELECT count(*) FROM dirty_orders d
+       |          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+       |            ON d.o_custkey = c.c_custkey
+       |          WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+       |  UNION ALL
+       |  SELECT 'status_domain',
+       |         (SELECT count(*) FROM dirty_orders
+       |          WHERE NOT coalesce(o_orderstatus IN ('O', 'F', 'P'), false))
+       |)
+       |SELECT chk AS "check",
+       |       (SELECT CAST(count(*) AS BIGINT) FROM dirty_orders) AS n_rows,
+       |       CAST(v AS BIGINT) AS n_violations,
+       |       v = 0 AS passed
+       |FROM checks ORDER BY chk""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_contract_validation" -> (q118ContractValidation _),
     "q06_except_customers" -> (q06ExceptCustomers _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_market_revenue" -> (q02MarketRevenue _),
@@ -185,6 +261,7 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q118_contract_validation" -> q118Oracle,
     "q06_except_customers" -> q06Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_market_revenue" -> q02Oracle,

@@ -565,7 +565,89 @@ object StreamQueries {
        |HAVING count(*) * 20 > c
        |ORDER BY n_exact DESC, item""".stripMargin
 
+  // ---- q119: distribution drift (PSI) between corpus halves ----------
+
+  /** Population Stability Index ([[graft.pipeline.Drift]]) between the
+    * first and second half of January's events, on a numeric feature
+    * (`value`, 10 fixed bins over [0,500)) and a categorical one
+    * (`event_type`). Per-bin terms are value-checked — the oracle
+    * replays the Laplace-smoothed share arithmetic bin by bin, so a
+    * wrong total, a dropped empty bin, or a smoothing drift all flip
+    * rows; the PSI itself is the sum of `psi_term`.
+    */
+  def q119DistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.Drift
+    val ev = graft.Tables.events(spark, dir)
+    val mid = java.sql.Timestamp.valueOf("2024-01-16 00:00:00")
+    val a = ev.filter(col("ts") < lit(mid))
+    val b = ev.filter(col("ts") >= lit(mid))
+    Drift.psiTerms(a, b, Drift.numericBin(col("value"), 0.0, 500.0, 10),
+        "value")
+      .unionByName(Drift.psiTerms(a, b,
+        coalesce(col("event_type"), lit("(null)")), "event_type"))
+      .orderBy("feature", "bin")
+  }
+
+  val q119Oracle: String =
+    """WITH a AS (
+      |  SELECT * FROM events
+      |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+      |),
+      |b AS (
+      |  SELECT * FROM events
+      |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16 00:00:00'
+      |),
+      |va AS (
+      |  SELECT least(9, greatest(0, CAST(floor((value - 0.0) / (500.0 - 0.0)
+      |           * 10) AS BIGINT))) AS bin, count(*) AS n_a
+      |  FROM a GROUP BY 1
+      |),
+      |vb AS (
+      |  SELECT least(9, greatest(0, CAST(floor((value - 0.0) / (500.0 - 0.0)
+      |           * 10) AS BIGINT))) AS bin, count(*) AS n_b
+      |  FROM b GROUP BY 1
+      |),
+      |vj AS (
+      |  SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |  FROM va FULL JOIN vb USING (bin)
+      |),
+      |vt AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM vj),
+      |v AS (
+      |  SELECT 'value' AS feature, CAST(bin AS VARCHAR) AS bin, n_a, n_b,
+      |         round(((n_a + 0.5) / (ta + 0.5 * nb) -
+      |                (n_b + 0.5) / (tb + 0.5 * nb)) *
+      |               ln(((n_a + 0.5) / (ta + 0.5 * nb)) /
+      |                  ((n_b + 0.5) / (tb + 0.5 * nb))), 6) AS psi_term
+      |  FROM vj, vt
+      |),
+      |ea AS (
+      |  SELECT coalesce(event_type, '(null)') AS bin, count(*) AS n_a
+      |  FROM a GROUP BY 1
+      |),
+      |eb AS (
+      |  SELECT coalesce(event_type, '(null)') AS bin, count(*) AS n_b
+      |  FROM b GROUP BY 1
+      |),
+      |ej AS (
+      |  SELECT bin, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+      |  FROM ea FULL JOIN eb USING (bin)
+      |),
+      |et AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS nb FROM ej),
+      |e AS (
+      |  SELECT 'event_type' AS feature, bin, n_a, n_b,
+      |         round(((n_a + 0.5) / (ta + 0.5 * nb) -
+      |                (n_b + 0.5) / (tb + 0.5 * nb)) *
+      |               ln(((n_a + 0.5) / (ta + 0.5 * nb)) /
+      |                  ((n_b + 0.5) / (tb + 0.5 * nb))), 6) AS psi_term
+      |  FROM ej, et
+      |)
+      |SELECT feature, bin, CAST(n_a AS BIGINT) AS n_a,
+      |       CAST(n_b AS BIGINT) AS n_b, psi_term
+      |FROM (SELECT * FROM v UNION ALL SELECT * FROM e)
+      |ORDER BY feature, bin""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_distribution_drift" -> (q119DistributionDrift _),
     "q117_heavy_hitters" -> (q117HeavyHitters _),
     "q32_event_windows" -> (q32EventWindows _),
     "q33_sessionize" -> (q33Sessions _),
@@ -583,6 +665,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q119_distribution_drift" -> q119Oracle,
     "q117_heavy_hitters" -> q117Oracle,
     "q32_event_windows" -> q32Oracle,
     "q33_sessionize" -> q33Oracle,

@@ -16,6 +16,44 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val docsAug = PipelineQueries.docsAug(spark, TestSpark.sf).cache()
 
+  test("validation counts each violation class exactly; clean data passes") {
+    import graft.pipeline.Validation._
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val dirty = Seq(
+      (1L, Option(1L), 10.0),   // clean
+      (1L, Option(2L), 20.0),   // duplicate key
+      (2L, None, 30.0),         // null fk
+      (3L, Option(9L), -5.0),   // orphan fk + out of range
+      (4L, Option(3L), 40.0)    // clean
+    ).toDF("k", "fk", "v")
+    val got = validate(dirty, Seq(
+      NotNull("fk"), Unique(Seq("k")), InRange("v", 0.0, 100.0),
+      ForeignKey(Seq("fk"), ref, Seq("rk")),
+      Satisfies("v_positive", col("v") > 0)))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(got("not_null(fk)") == ((1L, false)))
+    assert(got("unique(k)") == ((1L, false)))
+    assert(got("in_range(v,0.0,100.0)") == ((1L, false)))
+    assert(got("foreign_key(fk)") == ((1L, false)))
+    assert(got("v_positive") == ((1L, false)))
+    val clean = validate(ref, Seq(NotNull("rk"), Unique(Seq("rk"))))
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(clean.forall(_._4), clean.mkString(","))
+  }
+
+  test("psi terms are zero for identical halves, positive under shift") {
+    import graft.pipeline.Drift
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Drift.psiTerms(a, a, Drift.numericBin(col("v"), 0, 100, 5), "v")
+      .agg(sum(abs(col("psi_term")))).head().getDouble(0)
+    assert(same == 0.0, s"identical distributions must give PSI 0, got $same")
+    val b = (1 to 100).map(i => (i % 50 + 50).toDouble).toDF("v")
+    val shifted = Drift.psiTerms(a, b, Drift.numericBin(col("v"), 0, 100, 5), "v")
+      .agg(sum(col("psi_term"))).head().getDouble(0)
+    assert(shifted > 0.2, s"shifted distribution must flag drift, got $shifted")
+  }
+
   test("heavy hitters: exact and partition-invariant on adversarial keys") {
     val rows = (1 to 1000).map(i => s"u$i") ++ Seq.fill(150)("hotA") ++
       Seq.fill(160)("hotB") ++ Seq.fill(141)("nearMiss")
