@@ -631,11 +631,79 @@ object EtlQueries {
       |FROM spans GROUP BY span, _change_type
       |ORDER BY span, _change_type""".stripMargin)
 
+  /** Incremental view maintenance from the change feed
+    * ([[graft.store.IncrementalAgg]]): seed a per-database (count, size)
+    * aggregate from the v1 snapshot, then fold each span's CDF deltas
+    * through the q116 history (append → merge → purge) WITHOUT rescanning
+    * the table. Both the incrementally-maintained view and the direct
+    * recompute over the final store are emitted — the oracle derives the
+    * final aggregate independently for both labels, so the incremental
+    * chain must converge to the truth, not merely agree with the direct
+    * path.
+    */
+  def q120IncrementalView(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{IncrementalAgg, StoreLog}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q120-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") >= "db2"))
+    graft.store.StoreMerge.merge(spark, store, bh
+      .filter(col("database_name") === "db1" && col("BackupType") === "Full")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000))
+    graft.store.StoreDelete.purgeExpired(spark, store, retentionDays = 45,
+      now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    val keys = Seq("database_name")
+    val metrics = Seq(
+      "n_rows" -> lit(1L),
+      "sum_comp" -> col("CompressedSizeMB").cast("long"))
+    val seed = IncrementalAgg.direct(
+      StoreLog.snapshot(spark, store, 1), keys, metrics)
+    val maintained = (1 until StoreLog.currentVersion(spark, store))
+      .foldLeft(seed) { (mv, v) =>
+        IncrementalAgg.applyDelta(
+          mv, StoreLog.changes(spark, store, v, v + 1), keys, metrics)
+      }
+      .filter(col("n_rows") > 0)
+    val direct = IncrementalAgg.direct(
+      ConsolidatedStore.read(spark, store), keys, metrics)
+    maintained.withColumn("path", lit("incremental"))
+      .unionByName(direct.withColumn("path", lit("direct")))
+      .select("path", "database_name", "n_rows", "sum_comp")
+      .orderBy("path", "database_name")
+  }
+
+  val q120Oracle: String = BackupHistoryDerivation.oracle(
+    "," + twoPhaseIdsCte.replace("%SPLIT%", "database_name < 'db2'") +
+    """,
+      |merged AS (
+      |  SELECT database_name, backup_start_date,
+      |         CASE WHEN database_name = 'db1' AND backup_type = 'Full'
+      |              THEN compressed_size_mb + 1000
+      |              ELSE compressed_size_mb END AS comp
+      |  FROM alltab
+      |),
+      |cut AS (
+      |  SELECT max(backup_start_date) AS c FROM merged
+      |  WHERE backup_start_date < TIMESTAMP '2024-01-16 00:00:00'
+      |),
+      |fin AS (
+      |  SELECT database_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(sum(comp) AS BIGINT) AS sum_comp
+      |  FROM merged, cut WHERE backup_start_date >= cut.c
+      |  GROUP BY database_name
+      |)
+      |SELECT 'direct' AS path, database_name, n_rows, sum_comp FROM fin
+      |UNION ALL
+      |SELECT 'incremental', database_name, n_rows, sum_comp FROM fin
+      |ORDER BY path, database_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q115_store_purge" -> (q115StorePurge _),
     "q116_store_cdf" -> (q116StoreCdf _),
+    "q120_incremental_view" -> (q120IncrementalView _),
     "q14_extract_consolidated" -> (q14Extract _),
     "q15_dedup_idempotent" -> (q15DedupIdempotent _),
     "q16_retention_cleanup" -> (q16Retention _),
@@ -651,6 +719,7 @@ object EtlQueries {
     "q114_store_merge" -> q114Oracle,
     "q115_store_purge" -> q115Oracle,
     "q116_store_cdf" -> q116Oracle,
+    "q120_incremental_view" -> q120Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

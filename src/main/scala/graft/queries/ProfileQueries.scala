@@ -533,9 +533,12 @@ object ProfileQueries {
       .orderBy("query_id", "rank")
   }
 
-  val q95Oracle: String = {
+  /** BM25 CTE chain (`q`..`r`) shared by the q95 oracle and q121's
+    * lexical leg; `r` holds every (query, doc, score, rank).
+    */
+  private val bm25CtesSql: String = {
     val normSql = PipelineQueries.normSql
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT doc_id AS query_id,
        |         list_slice(string_split($normSql, ' '), 5, 8) AS qtok
        |  FROM documents WHERE doc_id % 97 = 0
@@ -573,11 +576,88 @@ object ProfileQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |                               ORDER BY score DESC, doc_id) AS rank
        |  FROM sc
-       |)
+       |)""".stripMargin
+  }
+
+  val q95Oracle: String =
+    s"""WITH $bm25CtesSql
        |SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
        |FROM r WHERE rank <= $Bm25K
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---- q121: hybrid retrieval via Reciprocal Rank Fusion --------------
+
+  /** Hybrid lexical+vector retrieval ([[graft.pipeline.Retrieval.rrfFuse]]):
+    * the q95 keyword queries rank documents by BM25, the SAME query ids
+    * rank the doc-aligned prefix of the embeddings table by cosine, and
+    * RRF (c=60) fuses the two top-10 lists — the uncalibrated
+    * rank-combination every hybrid RAG stack runs. The oracle replays
+    * both legs (BM25 term arithmetic, dot-product ranking) AND the
+    * 1/(60+rank) fusion, so a rank shift in either leg or a fusion
+    * tie-break drift reorders the output.
+    */
+  def q121HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("qid"),
+        array_join(slice(graft.pipeline.TextAnalysis.tokens(col("text")),
+          5, 4), " ").as("qtext"))
+    val lex = graft.pipeline.TfIdf.bm25TopK(
+        docs, "doc_id", "text", queries, "qid", "qtext", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val emb = Tables.embeddings(spark, dir).filter(col("vec_id") < nDocs)
+    val vec = graft.pipeline.Similarity.bruteForceTopK(
+        emb.select(col("vec_id").as("doc_id"), col("embedding")),
+        emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+    graft.pipeline.Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("query_id", "rank")
   }
+
+  val q121Oracle: String =
+    s"""WITH $bm25CtesSql,
+       |lex AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |vq AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings, nd WHERE vec_id % 97 = 0 AND vec_id < nd.n
+       |),
+       |vc AS (
+       |  SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings, nd WHERE vec_id < nd.n
+       |),
+       |vs AS (
+       |  SELECT query_id, doc_id,
+       |         round(list_dot_product(qv, cv), 4) AS sim
+       |  FROM vc, vq WHERE query_id <> doc_id
+       |),
+       |vr AS (
+       |  SELECT query_id, doc_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sim DESC, doc_id) AS rank
+       |  FROM vs
+       |),
+       |vec AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= 10),
+       |fused AS (
+       |  SELECT query_id, doc_id, rank FROM lex
+       |  UNION ALL SELECT query_id, doc_id, rank FROM vec
+       |),
+       |rrf AS (
+       |  SELECT query_id, doc_id,
+       |         round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+       |  FROM fused GROUP BY query_id, doc_id
+       |),
+       |fr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM rrf
+       |)
+       |SELECT query_id, doc_id, rrf_score, CAST(rank AS BIGINT) AS rank
+       |FROM fr WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---- q103: CCNet-style perplexity tiering ---------------------------
 
@@ -738,6 +818,7 @@ object ProfileQueries {
     "q100_kneser_ney_lm" -> (q100KneserNeyLm _),
     "q92_group_aware_split" -> (q92GroupAwareSplit _),
     "q95_bm25_topk" -> (q95Bm25TopK _),
+    "q121_hybrid_rrf" -> (q121HybridRrf _),
     "q103_perplexity_tiers" -> (q103PerplexityTiers _),
     "q105_pagerank" -> (q105PageRank _)
   )
@@ -754,6 +835,7 @@ object ProfileQueries {
     "q100_kneser_ney_lm" -> q100Oracle,
     "q92_group_aware_split" -> q92Oracle,
     "q95_bm25_topk" -> q95Oracle,
+    "q121_hybrid_rrf" -> q121Oracle,
     "q103_perplexity_tiers" -> q103Oracle,
     "q105_pagerank" -> q105Oracle
   )
