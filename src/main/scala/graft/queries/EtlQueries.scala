@@ -698,9 +698,67 @@ object EtlQueries {
       |SELECT 'incremental', database_name, n_rows, sum_comp FROM fin
       |ORDER BY path, database_name""".stripMargin)
 
+  /** Device point lookup over the sidecar's exact device-hash sets
+    * ([[ConsolidatedStore.readForDevice]]): the store is laid out in two
+    * device-population-disjoint files (URL vs disk appends), db3's
+    * devices are nulled (the NULLs-are-equal key population), and three
+    * probes — a URL device, a disk device, and NULL — must return
+    * exactly the derivation's rows for that device. DeviceLookupSpec
+    * separately asserts the file-level pruning (only the probed file is
+    * scanned); here the VALUES are pinned.
+    */
+  def q122DeviceLookup(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q122-").toString
+    val store = s"$tmp/consolidated"
+    val bh0 = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    val bh = bh0.withColumn("physical_device_name",
+      when(col("database_name") === "db3", lit(null).cast("string"))
+        .otherwise(col("physical_device_name")))
+    ConsolidatedStore.append(spark, store, bh.filter(col("device_type") === 9))
+    ConsolidatedStore.append(spark, store, bh.filter(col("device_type") === 2))
+    val probes = Seq(
+      "url_probe" -> "https://bk.example.com/db4/s4_0.bak",
+      "disk_probe" -> "X:/bk/db1/s21_0.bak",
+      "null_probe" -> null)
+    probes.map { case (label, dev) =>
+      ConsolidatedStore.readForDevice(spark, store, dev)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("database_name")).as("n_dbs"),
+          sum(col("last_lsn").cast("long")).as("sum_lsn"))
+        .select(lit(label).as("probe"), col("n_rows"), col("n_dbs"),
+          col("sum_lsn"))
+    }.reduce(_ unionByName _).orderBy("probe")
+  }
+
+  val q122Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |nulled AS (
+      |  -- DISTINCT over the dedup key replays the store's NULLs-are-
+      |  -- equal ignore_dup_key semantics: nulling db3's devices makes
+      |  -- its stripes key-identical, and the append keeps one per set
+      |  SELECT DISTINCT database_name, last_lsn, first_lsn,
+      |         CASE WHEN database_name = 'db3' THEN NULL
+      |              ELSE physical_device_name END AS dev
+      |  FROM backup_history
+      |),
+      |probes AS (
+      |  SELECT 'url_probe' AS probe,
+      |         'https://bk.example.com/db4/s4_0.bak' AS dev
+      |  UNION ALL SELECT 'disk_probe', 'X:/bk/db1/s21_0.bak'
+      |  UNION ALL SELECT 'null_probe', NULL
+      |)
+      |SELECT p.probe,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT n.database_name) AS BIGINT) AS n_dbs,
+      |       CAST(sum(CAST(n.last_lsn AS BIGINT)) AS BIGINT) AS sum_lsn
+      |FROM probes p JOIN nulled n ON n.dev IS NOT DISTINCT FROM p.dev
+      |GROUP BY p.probe ORDER BY p.probe""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
+    "q122_device_lookup" -> (q122DeviceLookup _),
     "q115_store_purge" -> (q115StorePurge _),
     "q116_store_cdf" -> (q116StoreCdf _),
     "q120_incremental_view" -> (q120IncrementalView _),
@@ -720,6 +778,7 @@ object EtlQueries {
     "q115_store_purge" -> q115Oracle,
     "q116_store_cdf" -> q116Oracle,
     "q120_incremental_view" -> q120Oracle,
+    "q122_device_lookup" -> q122Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

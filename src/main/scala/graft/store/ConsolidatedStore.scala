@@ -158,17 +158,59 @@ object ConsolidatedStore {
         min("last_lsn"), max("last_lsn"),
         min("first_lsn"), max("first_lsn"),
         min("physical_device_name"), max("physical_device_name"),
-        sum(when(col("physical_device_name").isNull, 1L).otherwise(0L)))
+        sum(when(col("physical_device_name").isNull, 1L).otherwise(0L)),
+        sort_array(collect_set(when(col("physical_device_name").isNotNull,
+          xxhash64(col("physical_device_name"))))))
       .collect().toSeq
       .map { r =>
         val db = r.getString(0)
+        val hashes = r.getSeq[Long](8)
         KeyRanges(
           r.getDecimal(1), r.getDecimal(2), r.getDecimal(3), r.getDecimal(4),
           db, db,
           if (r.isNullAt(5)) null else r.getString(5),
           if (r.isNullAt(6)) null else r.getString(6),
-          r.getLong(7))
+          r.getLong(7),
+          devHashes =
+            if (hashes.size > StoreMeta.DevHashSetCap) null else hashes)
       }
+
+  /** Device point lookup ("which backups landed on this device" — the
+    * fleet-ops question behind the reference's media-recovery paths):
+    * reads ONLY files whose sidecar device-hash set contains the probe
+    * (exact xxhash64 membership; files without a recorded set fall back
+    * to their min/max range, pre-migration rows stay conservative).
+    * A null probe matches files holding null-device rows, consistent
+    * with the NULLs-are-equal key semantics.
+    */
+  def readForDevice(spark: SparkSession, path: String,
+      device: String): DataFrame = {
+    val probe = col("physical_device_name") <=>
+      (if (device == null) lit(null).cast("string") else lit(device))
+    StoreMeta.load(spark, path) match {
+      case None => read(spark, path).filter(probe)
+      case Some(loaded) =>
+        val h =
+          if (device == null) 0L
+          else spark.range(1).select(xxhash64(lit(device))).head().getLong(0)
+        val files = loaded.files.filter { f =>
+          if (device == null) f.devNullCount != 0
+          else if (f.devHashes != null) f.devHashes.contains(h)
+          else f.devMin == null || f.devMax == null ||
+            (StoreMeta.cmpUtf8(f.devMin, device) <= 0 &&
+              StoreMeta.cmpUtf8(device, f.devMax) <= 0) ||
+            f.devNullCount < 0 // pre-migration row: consult
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            Schemas.consolidated)
+        else spark.read
+          .option("basePath", path).schema(Schemas.consolidated)
+          .parquet(files.map(f => s"$path/${f.file}"): _*)
+          .filter(probe)
+    }
+  }
 
   /** O(batch + overlap) append: the anti-join's existing side is pruned
     * by [[StoreMeta]]'s per-file zone maps to files whose dedup-key

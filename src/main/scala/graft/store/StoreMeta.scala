@@ -37,7 +37,8 @@ final case class FileStats(
     dbMax: String,
     devMin: String,
     devMax: String,
-    devNullCount: Long)
+    devNullCount: Long,
+    devHashes: Seq[Long] = null)
 
 /** Min/max of the dedup-key columns over one incoming (deduped) batch —
   * or over one `database_name` group of it: the append path computes one
@@ -55,7 +56,8 @@ final case class KeyRanges(
     dbMax: String,
     devMin: String,
     devMax: String,
-    devNullCount: Long)
+    devNullCount: Long,
+    devHashes: Seq[Long] = null)
 
 /** Store-metadata sidecar: the Spark analog of the reference's unique
   * index on `(last_lsn, first_lsn, database_name, physical_device_name)`
@@ -92,6 +94,13 @@ object StoreMeta {
     */
   val SegmentFoldThreshold = 64
 
+  /** Max distinct device hashes recorded per file/envelope; above it the
+    * set is dropped (null) and pruning falls back to min/max ranges.
+    * 256 longs = 2 KB — sidecar rows stay metadata-sized while covering
+    * the typical few-devices-per-file reality.
+    */
+  val DevHashSetCap = 256
+
   private val metaSchema = StructType(Seq(
     StructField("file", StringType, nullable = false),
     StructField("logid_max", LongType, nullable = false),
@@ -106,7 +115,15 @@ object StoreMeta {
     // nullable for migration: pre-log-structured sidecars lack the
     // column; such rows read as null and are treated as unrecorded, so
     // they heal via one rescan instead of mis-pruning null-device keys
-    StructField("dev_null_count", LongType, nullable = true)))
+    StructField("dev_null_count", LongType, nullable = true),
+    // exact xxhash64 set of the file's distinct non-null device names,
+    // capped at [[DevHashSetCap]] (null = overflowed or pre-migration —
+    // conservative, range-only pruning). An exact secondary "index" for
+    // the highest-cardinality key column: device names are near-unique
+    // per (set, stripe), so min/max ranges of neighboring files overlap
+    // almost always while their actual device SETS almost never do.
+    StructField("dev_hashes", ArrayType(LongType, containsNull = false),
+      nullable = true)))
 
   /** Result of [[load]]: reconciled per-file stats, whether the sidecar
     * on disk drifted from the listing (caller should fold a full rewrite
@@ -207,16 +224,20 @@ object StoreMeta {
         min("physical_device_name").as("dev_min"),
         max("physical_device_name").as("dev_max"),
         sum(when(col("physical_device_name").isNull, 1L).otherwise(0L))
-          .as("dev_null_count"))
+          .as("dev_null_count"),
+        sort_array(collect_set(when(col("physical_device_name").isNotNull,
+          xxhash64(col("physical_device_name"))))).as("dev_hashes"))
       .collect().toSeq
     // input_file_name() may return a zero-row file's name never (no rows
     // → no group): emit a sentinel so load() does not re-mark such a
     // file unknown-and-dirty on every subsequent append
     val seen = grouped.map(r => relativize(rootPath, r.getString(0))).toSet
     val sentinels = files.filterNot(seen).map { f =>
-      FileStats(f, 0L, null, null, null, null, null, null, null, null, 0L)
+      FileStats(f, 0L, null, null, null, null, null, null, null, null, 0L,
+        devHashes = Seq.empty)
     }
     grouped.map { r =>
+      val hashes = r.getSeq[Long](11)
       FileStats(
         relativize(rootPath, r.getString(0)),
         r.getLong(1),
@@ -224,7 +245,8 @@ object StoreMeta {
         r.getString(6), r.getString(7),
         if (r.isNullAt(8)) null else r.getString(8),
         if (r.isNullAt(9)) null else r.getString(9),
-        r.getLong(10))
+        r.getLong(10),
+        devHashes = if (hashes.size > DevHashSetCap) null else hashes)
     } ++ sentinels
   }
 
@@ -266,7 +288,7 @@ object StoreMeta {
       rows.add(Row(
         f.file, f.logIdMax,
         f.lastLsnMin, f.lastLsnMax, f.firstLsnMin, f.firstLsnMax,
-        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount))
+        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount, f.devHashes))
     }
     spark.createDataFrame(rows, metaSchema)
       .coalesce(1)
@@ -297,7 +319,8 @@ object StoreMeta {
     if (r.isNullAt(7)) null else r.getString(7),
     if (r.isNullAt(8)) null else r.getString(8),
     if (r.isNullAt(9)) null else r.getString(9),
-    if (r.isNullAt(10)) -1L else r.getLong(10)) // -1 = pre-migration row
+    if (r.isNullAt(10)) -1L else r.getLong(10), // -1 = pre-migration row
+    devHashes = if (r.isNullAt(11)) null else r.getSeq[Long](11))
 
   private def decOverlap(
       fMin: JBigDecimal, fMax: JBigDecimal,
@@ -312,10 +335,29 @@ object StoreMeta {
 
   private def devOverlap(f: FileStats, b: KeyRanges): Boolean = {
     val nullsMeet = f.devNullCount != 0 && b.devNullCount != 0
-    val rangesMeet =
-      f.devMin != null && f.devMax != null && b.devMin != null && b.devMax != null &&
-        !(cmpUtf8(f.devMax, b.devMin) < 0 || cmpUtf8(f.devMin, b.devMax) > 0)
-    nullsMeet || rangesMeet
+    if (nullsMeet) return true
+    // exact device-set check when both sides recorded their (capped)
+    // hash sets: near-unique device names make range overlap vacuous,
+    // while the actual SETS of two unrelated files are disjoint — this
+    // is what turns "every file between the batch's min and max device"
+    // into "files sharing an actual device". Hash collisions only ever
+    // ADD a file (conservative); both sides hash with the same xxhash64.
+    if (f.devHashes != null && b.devHashes != null)
+      return sortedIntersect(f.devHashes, b.devHashes)
+    f.devMin != null && f.devMax != null && b.devMin != null && b.devMax != null &&
+      !(cmpUtf8(f.devMax, b.devMin) < 0 || cmpUtf8(f.devMin, b.devMax) > 0)
+  }
+
+  /** Whether two ascending Long seqs share an element (two-pointer). */
+  private def sortedIntersect(a: Seq[Long], b: Seq[Long]): Boolean = {
+    val ai = a.iterator.buffered
+    val bi = b.iterator.buffered
+    while (ai.hasNext && bi.hasNext) {
+      val c = java.lang.Long.compare(ai.head, bi.head)
+      if (c == 0) return true
+      if (c < 0) ai.next() else bi.next()
+    }
+    false
   }
 
   /** UTF-8 byte-order comparison — matches Spark's binary string
@@ -323,7 +365,7 @@ object StoreMeta {
     * use); `String.compareTo` compares UTF-16 code units and disagrees
     * for supplementary characters, which would mis-prune.
     */
-  private def cmpUtf8(a: String, b: String): Int = {
+  private[store] def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
