@@ -755,10 +755,104 @@ object EtlQueries {
       |FROM probes p JOIN nulled n ON n.dev IS NOT DISTINCT FROM p.dev
       |GROUP BY p.probe ORDER BY p.probe""".stripMargin)
 
+  /** Streaming CDC apply — the live form of q114: a file-source stream
+    * of correction batches lands in ARRIVAL ORDER (maxFilesPerTrigger=1)
+    * and each micro-batch upserts via [[graft.store.StoreMerge]] inside
+    * `foreachBatch`. Batch 1 re-reports db1's fulls at +1000 MB, batch 2
+    * re-reports the SAME rows at +2000 and adds fresh shifted-key rows —
+    * so the final store must show the LAST writer's +2000 (order-
+    * sensitive apply, the CDC contract), original LogIDs on every
+    * corrected row, and exactly one insert per fresh key. A reordered
+    * batch, a dropped upsert, or a double-applied insert all flip the
+    * aggregate.
+    */
+  def q123StreamingMergeLive(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q123-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    ConsolidatedStore.append(spark, store, bh)
+    val lsnT = graft.model.Schemas.lsnType
+    val corr = bh
+      .filter(col("database_name") === "db1" && col("BackupType") === "Full")
+    corr.withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000)
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    Thread.sleep(1200) // distinct mtimes pin the micro-batch order
+    corr.withColumn("CompressedSizeMB", col("CompressedSizeMB") + 2000)
+      .unionByName(bh
+        .filter(col("database_name") === "db2" && col("BackupType") === "Diff")
+        .withColumn("first_lsn", (col("first_lsn") + 100000000L).cast(lsnT))
+        .withColumn("last_lsn", (col("last_lsn") + 100000000L).cast(lsnT))
+        .withColumn("physical_device_name",
+          concat(col("physical_device_name"), lit("_v2"))))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(bh.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the micro-batch frame belongs to a cloned session — run the
+        // merge's own reads/joins in that same session
+        graft.store.StoreMerge.merge(batch.sparkSession, store, batch); ()
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    ConsolidatedStore.read(spark, store)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        sum(col("LogID")).as("sum_logid"),
+        sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .orderBy("database_name")
+  }
+
+  /** q114's replay with the last-writer +2000 correction. */
+  val q123Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |ids AS (
+      |  SELECT database_name, backup_type, compressed_size_mb,
+      |         row_number() OVER (ORDER BY backup_finish_date, database_name,
+      |                            last_lsn, physical_device_name) AS logid
+      |  FROM backup_history
+      |),
+      |mx AS (SELECT max(logid) AS m FROM ids),
+      |base_after AS (
+      |  SELECT database_name, logid,
+      |         CASE WHEN database_name = 'db1' AND backup_type = 'Full'
+      |              THEN compressed_size_mb + 2000
+      |              ELSE compressed_size_mb END AS comp
+      |  FROM ids
+      |),
+      |ins AS (
+      |  SELECT database_name, compressed_size_mb AS comp,
+      |         backup_finish_date, last_lsn + 100000000 AS last_lsn2,
+      |         physical_device_name || '_v2' AS dev
+      |  FROM backup_history
+      |  WHERE database_name = 'db2' AND backup_type = 'Diff'
+      |),
+      |ins_ids AS (
+      |  SELECT database_name, comp,
+      |         (SELECT m FROM mx) +
+      |           row_number() OVER (ORDER BY backup_finish_date, database_name,
+      |                              last_lsn2, dev) AS logid
+      |  FROM ins
+      |),
+      |allr AS (
+      |  SELECT database_name, logid, comp FROM base_after
+      |  UNION ALL SELECT database_name, logid, comp FROM ins_ids
+      |)
+      |SELECT database_name,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT logid) AS BIGINT) AS n_ids,
+      |       CAST(sum(logid) AS BIGINT) AS sum_logid,
+      |       CAST(sum(comp) AS BIGINT) AS sum_comp
+      |FROM allr GROUP BY database_name ORDER BY database_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q122_device_lookup" -> (q122DeviceLookup _),
+    "q123_streaming_merge_live" -> (q123StreamingMergeLive _),
     "q115_store_purge" -> (q115StorePurge _),
     "q116_store_cdf" -> (q116StoreCdf _),
     "q120_incremental_view" -> (q120IncrementalView _),
@@ -779,6 +873,7 @@ object EtlQueries {
     "q116_store_cdf" -> q116Oracle,
     "q120_incremental_view" -> q120Oracle,
     "q122_device_lookup" -> q122Oracle,
+    "q123_streaming_merge_live" -> q123Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,
