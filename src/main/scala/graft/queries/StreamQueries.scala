@@ -646,7 +646,117 @@ object StreamQueries {
       |FROM (SELECT * FROM v UNION ALL SELECT * FROM e)
       |ORDER BY feature, bin""".stripMargin
 
+  // ---- q124: ordered conversion funnel over sessions ------------------
+
+  /** Conversion-funnel analysis on first-occurrence ordering: per
+    * session (the q33 gap sessionization reused via
+    * [[Sessionize.assignSessions]]), the funnel counts sessions whose
+    * first view precedes their first click precedes their first
+    * purchase — the product-analytics query every event warehouse
+    * serves. One sessionization window + one combinable min-per-stage
+    * aggregation; nothing joins or re-scans.
+    */
+  def q124SessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select("user_id", "ts", "event_id", "event_type")
+    val s = Sessionize.assignSessions(ev, gapMinutes = 30)
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, unix_micros(col("ts"))))
+    val stages = s.groupBy("user_id", "session_id")
+      .agg(firstOf("view").as("t_view"), firstOf("click").as("t_click"),
+        firstOf("purchase").as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click").isNotNull && col("t_view") <= col("t_click")
+    val s3 = s2 && col("t_purchase").isNotNull &&
+      col("t_click") <= col("t_purchase")
+    stages.agg(
+      count(lit(1)).as("n_sessions"),
+      sum(when(s1, 1L).otherwise(0L)).as("n_view"),
+      sum(when(s2, 1L).otherwise(0L)).as("n_view_click"),
+      sum(when(s3, 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val q124Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+      |  FROM events WHERE user_id IS NOT NULL
+      |),
+      |lagged AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |                      > 1800000000
+      |                 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |sess AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS session_id
+      |  FROM lagged
+      |),
+      |stages AS (
+      |  SELECT user_id, session_id,
+      |         min(CASE WHEN event_type = 'view'
+      |                  THEN epoch_us(ts) END) AS t_view,
+      |         min(CASE WHEN event_type = 'click'
+      |                  THEN epoch_us(ts) END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase'
+      |                  THEN epoch_us(ts) END) AS t_purchase
+      |  FROM sess GROUP BY user_id, session_id
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+      |       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_view,
+      |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+      |                      AND t_view <= t_click THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_view_click,
+      |       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+      |                      AND t_view <= t_click AND t_purchase IS NOT NULL
+      |                      AND t_click <= t_purchase THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_full_funnel
+      |FROM stages""".stripMargin
+
+  // ---- q125: weekly retention cohorts ---------------------------------
+
+  /** Cohort retention: users bucket by first-activity week, activity
+    * counts per (cohort, week offset) — the warehouse retention matrix.
+    * One min-per-user aggregate (broadcast back onto the scan) + one
+    * distinct count per cell; week arithmetic in exact integer epoch
+    * microseconds from a fixed origin.
+    */
+  def q125RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val originUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val weekUs = 604800000000L
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        floor((unix_micros(col("ts")) - originUs) / weekUs).as("week"))
+    val firstWeek = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    ev.join(broadcast(firstWeek), Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val q125Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         (epoch_us(CAST(ts AS TIMESTAMP)) - 1704067200000000)
+      |           // 604800000000 AS week
+      |  FROM events WHERE user_id IS NOT NULL
+      |),
+      |fw AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+      |SELECT fw.cohort_week, e.week - fw.cohort_week AS week_offset,
+      |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM e JOIN fw USING (user_id)
+      |GROUP BY fw.cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_session_funnel" -> (q124SessionFunnel _),
+    "q125_retention_cohorts" -> (q125RetentionCohorts _),
     "q119_distribution_drift" -> (q119DistributionDrift _),
     "q117_heavy_hitters" -> (q117HeavyHitters _),
     "q32_event_windows" -> (q32EventWindows _),
@@ -665,6 +775,8 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q124_session_funnel" -> q124Oracle,
+    "q125_retention_cohorts" -> q125Oracle,
     "q119_distribution_drift" -> q119Oracle,
     "q117_heavy_hitters" -> q117Oracle,
     "q32_event_windows" -> q32Oracle,
