@@ -177,6 +177,33 @@ object AudioCodec {
       nFrames.toLong * Mp3SamplesPerFrame * 1000L / sampleRate))
   }
 
+  /** Raw 16-bit PCM samples of a WAV payload, or None when the bytes
+    * are not recognizable 16-bit PCM — the sample-level entry point for
+    * frame-windowed feature extraction ([[Multimodal.audioFrameEnergies]]).
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val bigEndian = f.isBigEndian
+          val out = new Array[Short](data.length / 2)
+          var i = 0
+          while (i + 1 < data.length) {
+            out(i / 2) =
+              if (bigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            i += 2
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** Decode a WAV payload, or None when the bytes are not recognizable
     * 16-bit PCM (unsupported container, compressed encoding, garbage).
     */

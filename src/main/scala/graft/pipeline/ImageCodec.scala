@@ -40,6 +40,32 @@ object ImageCodec {
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null })
 
+  /** Nearest-neighbor resize to `w`x`h`: destination (x, y) SELECTS
+    * source pixel (x·srcW/w, y·srcH/h) — exact integer arithmetic, no
+    * interpolation kernel, so the resized pixels are bit-replayable
+    * (AWT's scaling ops interpolate with platform-varying rounding;
+    * this is the resize a deterministic training-data pipeline wants
+    * for thumbnail/fingerprint stages). Returns packed 24-bit RGB,
+    * row-major.
+    */
+  def resizeNearest(
+      bi: java.awt.image.BufferedImage, w: Int, h: Int): Array[Int] = {
+    val sw = bi.getWidth
+    val sh = bi.getHeight
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = y * sh / h
+      var x = 0
+      while (x < w) {
+        out(y * w + x) = bi.getRGB(x * sw / w, sy) & 0xffffff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode an encoded image payload, or None when the bytes are not a
     * recognizable image (ImageIO returns null / throws on garbage —
     * both map to None so callers can fall back).

@@ -138,6 +138,68 @@ object Multimodal {
     }
   }
 
+  /** Batch nearest-neighbor resize over an image table — the
+    * thumbnail/normalization stage of a multimodal ingest, on the same
+    * mapPartitions boundary as [[extractFeatures]]. Output:
+    * (media_id, src_w, src_h, pixels) with `pixels` the packed-RGB
+    * row-major [[ImageCodec.resizeNearest]] result; undecodable
+    * payloads yield a null pixel array (and −1 dims) rather than
+    * failing the batch.
+    */
+  def resizeImages(spark: SparkSession, media: DataFrame,
+      idCol: String, payloadCol: String, w: Int, h: Int): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          ImageCodec.readImage(payload) match {
+            case Some(bi) =>
+              (id, bi.getWidth, bi.getHeight,
+                ImageCodec.resizeNearest(bi, w, h))
+            case None => (id, -1, -1, null: Array[Int])
+          }
+        }
+      }
+      .toDF("media_id", "src_w", "src_h", "pixels")
+  }
+
+  /** Frame-windowed audio energy (the VAD / energy-gate feature stage):
+    * decode 16-bit PCM ([[AudioCodec.decodeSamples]]), split into
+    * non-overlapping `frameSamples` windows, and emit per frame the
+    * exact-integer |sample| sum and peak — integer algebra end to end so
+    * the stage is value-replayable (the q71 lesson: float RMS would
+    * drift across engines; Σ|s| and max|s| cannot). Row-local fan-out on
+    * the mapPartitions boundary, zero shuffle; undecodable payloads
+    * contribute no frames.
+    */
+  def audioFrameEnergies(spark: SparkSession, media: DataFrame,
+      idCol: String, payloadCol: String, frameSamples: Int): DataFrame = {
+    import spark.implicits._
+    require(frameSamples > 0, "frameSamples must be positive")
+    media
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        AudioCodec.decodeSamples(payload) match {
+          case Some(s) =>
+            s.grouped(frameSamples).zipWithIndex.map { case (fr, i) =>
+              var sum = 0L
+              var peak = 0
+              fr.foreach { v =>
+                val a = math.abs(v.toInt)
+                sum += a
+                if (a > peak) peak = a
+              }
+              (id, i, fr.length, sum, peak)
+            }
+          case None => Iterator.empty
+        }
+      }
+      .toDF("media_id", "frame_idx", "n_in_frame", "abs_sum", "peak")
+  }
+
   /** Batch feature extraction over the media table — the mapPartitions
     * boundary keeps (hypothetical) codec initialization per-partition,
     * not per-row, and the batch shape matches a vectorized UDF's.

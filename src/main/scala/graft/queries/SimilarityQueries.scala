@@ -865,7 +865,92 @@ object SimilarityQueries {
       |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** REAL image resize ([[graft.pipeline.Multimodal.resizeImages]] →
+    * [[graft.pipeline.ImageCodec.resizeNearest]]): the q99 BMP fixtures
+    * decode and nearest-neighbor-downsample 18x16 → 9x8 (dst (x,y)
+    * selects src (2x, 2y) by exact integer arithmetic), and each
+    * image's resized pixel sequence is md5'd. The oracle regenerates
+    * the EXACT pixel values from the fixture formula, subsamples the
+    * even coordinates, and hashes the identical row-major CSV — so a
+    * decode offset, a rounding kernel sneaking in, or a pixel-order
+    * drift breaks every row.
+    */
+  def q126ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val media = ids.map(id => (id, dhashFixtureBmp(id)))
+      .toDF("media_id", "payload")
+    graft.pipeline.Multimodal.resizeImages(
+        spark, media, "media_id", "payload", w = 9, h = 8)
+      .select(col("media_id"), col("src_w"), col("src_h"),
+        md5(array_join(transform(col("pixels"),
+          p => p.cast("string")), ",")).as("out_md5"))
+      .orderBy("media_id")
+  }
+
+  val q126Oracle: String =
+    """WITH px AS (
+      |  SELECT doc_id AS id, x, y,
+      |         (('0x' || substr(md5((doc_id // 5) || ',' || x || ',' || y),
+      |                          1, 2))::INT
+      |          + CASE WHEN x = doc_id % 18 AND y = doc_id % 16
+      |                 THEN 128 ELSE 0 END) % 256 AS v
+      |  FROM documents, unnest(range(0, 18)) u(x), unnest(range(0, 16)) w(y)
+      |),
+      |sub AS (
+      |  SELECT id, x, y, v * 65793 AS rgb
+      |  FROM px WHERE x % 2 = 0 AND y % 2 = 0
+      |)
+      |SELECT id AS media_id, 18 AS src_w, 16 AS src_h,
+      |       md5(string_agg(CAST(rgb AS VARCHAR), ',' ORDER BY y, x))
+      |         AS out_md5
+      |FROM sub GROUP BY id ORDER BY media_id""".stripMargin
+
+  /** Frame-windowed audio energy over the q71 WAV fixtures
+    * ([[graft.pipeline.Multimodal.audioFrameEnergies]]): real WAV
+    * decode, 200-sample (25 ms at 8 kHz) non-overlapping frames, exact
+    * Σ|s| and max|s| per frame — every frame of every fixture replayed
+    * arithmetically by the oracle, including the short trailing frame.
+    */
+  def q127AudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val n = (800 + (id % 5) * 100).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 7919L + i.toLong * 104729L) % 65536L) - 32768L).toShort
+      }
+      (id, AudioCodec.encodePcm16Wav(samples, 8000))
+    }.toDF("media_id", "payload")
+    Multimodal.audioFrameEnergies(
+        spark, media, "media_id", "payload", frameSamples = 200)
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val q127Oracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, CAST(800 + (doc_id % 5) * 100 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id % 17 = 0
+      |),
+      |s AS (
+      |  SELECT p.doc_id, t.i,
+      |         ((p.doc_id * 7919 + t.i * 104729) % 65536) - 32768 AS v
+      |  FROM p, generate_series(0, 1199) AS t(i)
+      |  WHERE t.i < p.n
+      |)
+      |SELECT doc_id AS media_id,
+      |       CAST(i // 200 AS INT) AS frame_idx,
+      |       CAST(count(*) AS INT) AS n_in_frame,
+      |       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+      |       CAST(max(abs(v)) AS INT) AS peak
+      |FROM s GROUP BY doc_id, i // 200
+      |ORDER BY media_id, frame_idx""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_image_resize" -> (q126ImageResize _),
+    "q127_audio_frames" -> (q127AudioFrames _),
     "q99_image_dhash_pairs" -> (q99ImageDhashPairs _),
     "q27_embedding_topk" -> (q27EmbeddingTopK _),
     "q28_embedding_dup_pairs" -> (q28EmbeddingDupPairs _),
@@ -886,6 +971,8 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q126_image_resize" -> q126Oracle,
+    "q127_audio_frames" -> q127Oracle,
     "q99_image_dhash_pairs" -> q99Oracle,
     "q27_embedding_topk" -> q27Oracle,
     "q28_embedding_dup_pairs" -> q28Oracle,
