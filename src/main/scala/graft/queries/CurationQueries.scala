@@ -43,7 +43,7 @@ object CurationQueries {
     */
   val docsPiiSql: String =
     """docs_pii AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, source, lang,
       |         CASE WHEN doc_id % 29 = 0
       |              THEN text || ' contact: user' || doc_id ||
       |                   '@example.com or 555-123-4567 at 10.0.0.' ||
@@ -765,8 +765,163 @@ object CurationQueries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q128: skip-gram pairs + deterministic negative sampling --------
+
+  /** Word2vec-style training-pair prep ([[graft.pipeline.SkipGram]]):
+    * ±2-window skip-gram positives from ONE row-local tokenization
+    * fan-out, plus 2 md5-deterministic negative vocab ids per positive.
+    * Aggregated per center token so the oracle pins pair counts, context
+    * diversity, AND the full negative-draw arithmetic (vocab ids from a
+    * lexicographic row_number — a changed hash, window, bound check, or
+    * vocab order shifts some sum).
+    */
+  def q128SkipgramPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.SkipGram
+    val docs = Tables.documents(spark, dir)
+    val vocab = SkipGram.vocabulary(docs, "text")
+    val pos = SkipGram.pairs(docs, "doc_id", "text", window = 2)
+    val pairAgg = pos.groupBy("center")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("context")).as("n_ctx"))
+    val negAgg = SkipGram.withNegatives(pos, vocab, k = 2)
+      .groupBy("center").agg(sum("neg_id").as("sum_neg"))
+    pairAgg
+      .join(negAgg, Seq("center"))
+      .join(broadcast(vocab), col("center") === col("token"))
+      .select(col("center"), col("vocab_id"), col("n_pairs"),
+        col("n_ctx"), col("sum_neg"))
+      .orderBy("center")
+  }
+
+  val q128Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split($normSql, ' ') AS w FROM documents
+       |),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) AS vocab_id
+       |  FROM (SELECT DISTINCT unnest(w) AS token FROM t)
+       |),
+       |vs AS (SELECT count(*) AS n FROM vocab),
+       |tok AS (
+       |  SELECT doc_id, w, len(w) AS n,
+       |         unnest(range(1, len(w) + 1)) AS i
+       |  FROM t
+       |),
+       |p AS (
+       |  SELECT doc_id, w[i] AS center, w[i + o.o] AS context
+       |  FROM tok, (VALUES (-2), (-1), (1), (2)) o(o)
+       |  WHERE i + o.o BETWEEN 1 AND n
+       |),
+       |pa AS (
+       |  SELECT center, CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(count(DISTINCT context) AS BIGINT) AS n_ctx
+       |  FROM p GROUP BY center
+       |),
+       |neg AS (
+       |  SELECT center,
+       |         1 + ('0x' || substr(md5(center || '|' || context || '|' || d.j),
+       |                             1, 14))::BIGINT % (SELECT n FROM vs)
+       |           AS neg_id
+       |  FROM p, (VALUES (0), (1)) d(j)
+       |),
+       |na AS (SELECT center, CAST(sum(neg_id) AS BIGINT) AS sum_neg
+       |       FROM neg GROUP BY center)
+       |SELECT pa.center, v.vocab_id, pa.n_pairs, pa.n_ctx, na.sum_neg
+       |FROM pa JOIN na USING (center) JOIN vocab v ON v.token = pa.center
+       |ORDER BY center""".stripMargin
+  }
+
+  // ---- q129: corpus card (one-pass rollup profile) --------------------
+
+  /** The "corpus card" a dataset release ships: per-language AND overall
+    * rows from ONE ROLLUP aggregation over one enriched scan — document
+    * counts, token totals, exact-dedup distinct fingerprints, PII
+    * incidence (over the q42 planted corpus so the counter is non-
+    * vacuous), and mean quality. Every stat is a combinable aggregate;
+    * the rollup adds the ALL row without a second pass.
+    */
+  def q129CorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    val docs = spark.sql(s"WITH $docsPiiSql SELECT * FROM docs_pii")
+    val t = TextAnalysis
+    val enriched = docs.select(
+      col("lang"),
+      t.tokenCount(col("text")).as("n_tok"),
+      round(t.qualityScore(col("text")), 4).as("q"),
+      t.fingerprint(col("text")).as("fp"),
+      (t.piiEmailCount(col("text")) + t.piiPhoneCount(col("text")) +
+        t.piiIpCount(col("text")) > 0).as("has_pii"))
+    enriched.rollup("lang")
+      .agg(
+        grouping(col("lang")).cast("int").as("is_total"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("n_pii_docs"),
+        // per-doc rounding to 4dp first: the cross-engine values are
+        // then EXACTLY equal, and the 3dp-rounded mean cannot flip on
+        // FP summation-order drift (~1e-13) of the aggregate
+        round(avg("q"), 3).as("avg_quality"))
+      .select(col("is_total"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_tokens"), col("n_distinct_fp"),
+        col("n_pii_docs"), col("avg_quality"))
+      .orderBy("is_total", "lang")
+  }
+
+  val q129Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH $docsPiiSql,
+       |enriched AS (
+       |  SELECT lang,
+       |         len(string_split($normSql, ' ')) AS n_tok,
+       |         len(string_split($normSql, ' ')) AS nt,
+       |         length($normSql) AS n_chars,
+       |         len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+       |         len(list_filter(string_split($normSql, ' '),
+       |             x -> x IN ('the','a','of','and','to','in','is','it',
+       |                        'for','on'))) AS n_stop,
+       |         md5($normSql) AS fp,
+       |         (len(regexp_extract_all(text,
+       |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+       |          len(regexp_extract_all(text, '\\d{3}[-.]\\d{3}[-.]\\d{4}')) +
+       |          len(regexp_extract_all(text,
+       |            '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) > 0)
+       |           AS has_pii
+       |  FROM docs_pii
+       |),
+       |scored AS (
+       |  SELECT lang, n_tok, fp, has_pii,
+       |         (least(1.0, n_tok / 100.0)
+       |          + greatest(0.0, 1.0 - 5.0 * (n_punct / CAST(n_chars AS DOUBLE)))
+       |          + least(1.0, 5.0 * (n_stop / CAST(n_tok AS DOUBLE)))
+       |          + greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1))
+       |                                    / CAST(n_tok AS DOUBLE) - 5.0) / 5.0))
+       |         * 0.25 AS q0, round((least(1.0, n_tok / 100.0)
+       |          + greatest(0.0, 1.0 - 5.0 * (n_punct / CAST(n_chars AS DOUBLE)))
+       |          + least(1.0, 5.0 * (n_stop / CAST(n_tok AS DOUBLE)))
+       |          + greatest(0.0, 1.0 - abs((n_chars - (n_tok - 1))
+       |                                    / CAST(n_tok AS DOUBLE) - 5.0) / 5.0))
+       |         * 0.25, 4) AS q
+       |  FROM enriched
+       |)
+       |SELECT CASE WHEN GROUPING(lang) = 1 THEN 1 ELSE 0 END AS is_total,
+       |       coalesce(lang, 'ALL') AS lang,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       |       CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_pii_docs,
+       |       round(avg(q), 3) AS avg_quality
+       |FROM scored GROUP BY ROLLUP (lang)
+       |ORDER BY is_total, lang""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_gopher_rules" -> (q113GopherRules _),
+    "q128_skipgram_pairs" -> (q128SkipgramPairs _),
+    "q129_corpus_card" -> (q129CorpusCard _),
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
@@ -787,6 +942,8 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q113_gopher_rules" -> q113Oracle,
+    "q128_skipgram_pairs" -> q128Oracle,
+    "q129_corpus_card" -> q129Oracle,
     "q41_hash_split" -> q41Oracle,
     "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,
