@@ -123,6 +123,74 @@ object Compaction {
     dataFileCount(spark, path)
   }
 
+  /** Incremental small-file OPTIMIZE: bin-pack only files smaller than
+    * `minBytes` into consolidated rewrites, leaving every
+    * already-large-enough file untouched BY IDENTITY. [[compact]] and
+    * [[zorderCompact]] rewrite the whole table (right after a backfill,
+    * or to re-cluster); this is the steady-state maintenance shape
+    * between them — a store receiving trickle appends accumulates one
+    * small file per batch, and folding them costs O(small files), not
+    * O(table). Replaced originals archive under the commit's history dir
+    * ([[graft.store.StoreLog]]) so pre-optimize snapshots stay readable;
+    * the zone-map sidecar keeps the untouched files' stats and rescans
+    * only the new files.
+    *
+    * @return (filesRewritten, filesAfter)
+    */
+  def optimizeSmall(
+      spark: SparkSession, path: String, minBytes: Long,
+      maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
+    import graft.store.{StoreLog, StoreMeta}
+    val rootFs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val all = StoreMeta.listDataFiles(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize needs a graft-managed layout: $path"))
+    val small = all.filter { f =>
+      rootFs.getFileStatus(new Path(s"$path/$f")).getLen < minBytes
+    }.sorted
+    if (small.size < 2) return (0L, dataFileCount(spark, path))
+
+    val before = all.toSet
+    // bin-pack: one output file per minBytes of input (the whole point —
+    // without an explicit target the range partitioning would re-shard
+    // the handful of rows across the session's shuffle partitions)
+    val totalBytes = small.map(f =>
+      rootFs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+    val target = math.max(1L,
+      (totalBytes + minBytes - 1) / minBytes).toInt
+    spark.read
+      .option("basePath", path)
+      .schema(graft.model.Schemas.consolidated)
+      .parquet(small.map(f => s"$path/$f"): _*)
+      .repartitionByRange(target, col("database_name"), col("last_lsn"))
+      .sortWithinPartitions("database_name", "last_lsn")
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+    val newFiles = StoreMeta.listDataFiles(spark, path)
+      .getOrElse(Nil).filterNot(before)
+
+    val first = StoreLog.currentVersion(spark, path) == 0
+    if (first) small.foreach(f => rootFs.delete(new Path(s"$path/$f"), false))
+    else {
+      val v = StoreLog.currentVersion(spark, path) + 1
+      StoreLog.archive(spark, path, v,
+        small.map(f => (new Path(s"$path/$f"), f)))
+    }
+    StoreLog.commit(spark, path, "optimize",
+      adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
+             else newFiles,
+      removes = if (first) Nil else small)
+
+    // fold the sidecar: load() reconciles against the post-optimize
+    // listing — untouched files keep their recorded stats, the new files
+    // heal via one O(new) scan, the removed entries drop
+    StoreMeta.load(spark, path)
+      .foreach(l => StoreMeta.save(spark, path, l.files))
+    (small.size.toLong, dataFileCount(spark, path))
+  }
+
   /** Parquet data-file count of a table directory (recursive, skips
     * _SUCCESS and hidden files) — the health metric compaction drives
     * down.
@@ -130,14 +198,20 @@ object Compaction {
   def dataFileCount(spark: SparkSession, path: String): Long = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val it = fs.listFiles(p, true)
-    var n = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      val name = f.getPath.getName
-      if (f.isFile && name.endsWith(".parquet") && !name.startsWith(".") &&
-        !name.startsWith("_")) n += 1
+    // manual recursion so hidden/metadata DIRECTORIES (_graft_meta, the
+    // _graft_history archive) are skipped whole — fs.listFiles(p, true)
+    // would descend into them and count archived data files as live
+    def walk(dir: Path): Long = {
+      var n = 0L
+      fs.listStatus(dir).foreach { e =>
+        val name = e.getPath.getName
+        if (!name.startsWith(".") && !name.startsWith("_")) {
+          if (e.isDirectory) n += walk(e.getPath)
+          else if (name.endsWith(".parquet")) n += 1
+        }
+      }
+      n
     }
-    n
+    if (fs.exists(p)) walk(p) else 0L
   }
 }

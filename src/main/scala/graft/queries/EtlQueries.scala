@@ -388,12 +388,7 @@ object EtlQueries {
     */
   def q101StoreTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q101-").toString
-    val store = s"$tmp/consolidated"
-    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    ConsolidatedStore.append(spark, store,
-      bh.filter(col("database_name") < "db3"))
-    ConsolidatedStore.append(spark, store, bh)
+    val store = StoreScaffold.cloned(db3SplitBase(spark, dir))
     graft.maintenance.Compaction.compact(spark, store)
     val rows = graft.store.StoreLog.readCommits(spark, store).map { c =>
       val snap = graft.store.StoreLog.snapshot(spark, store, c.version)
@@ -421,6 +416,48 @@ object EtlQueries {
       |UNION ALL SELECT 3, 'compact', k.n, k.n FROM k
       |ORDER BY version""".stripMargin)
 
+  // ---- shared store-scenario bases (memoized; see StoreScaffold) ------
+
+  private def fullBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "full") { p =>
+      ConsolidatedStore.append(spark, p,
+        BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID"))
+    }
+
+  private def db2SplitBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "split2") { p =>
+      val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+      ConsolidatedStore.append(spark, p, bh.filter(col("database_name") < "db2"))
+      ConsolidatedStore.append(spark, p, bh.filter(col("database_name") >= "db2"))
+    }
+
+  private def db3SplitBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "split3") { p =>
+      val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+      ConsolidatedStore.append(spark, p, bh.filter(col("database_name") < "db3"))
+      ConsolidatedStore.append(spark, p, bh)
+    }
+
+  private def dateSplitBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "datesplit") { p =>
+      val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+      val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      ConsolidatedStore.append(spark, p,
+        bh.filter(col("backup_start_date") < lit(t0)))
+      ConsolidatedStore.append(spark, p,
+        bh.filter(col("backup_start_date") >= lit(t0)))
+    }
+
+  private def deviceSplitBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "devsplit") { p =>
+      val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+        .withColumn("physical_device_name",
+          when(col("database_name") === "db3", lit(null).cast("string"))
+            .otherwise(col("physical_device_name")))
+      ConsolidatedStore.append(spark, p, bh.filter(col("device_type") === 9))
+      ConsolidatedStore.append(spark, p, bh.filter(col("device_type") === 2))
+    }
+
   /** Copy-on-write MERGE (upsert) into the store
     * ([[graft.store.StoreMerge]]): append the fleet, then merge a batch
     * of (a) corrections — db1's full backups re-report CompressedSizeMB
@@ -433,10 +470,8 @@ object EtlQueries {
     * survive the rewrite byte-identically.
     */
   def q114StoreMerge(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q114-").toString
-    val store = s"$tmp/consolidated"
     val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    ConsolidatedStore.append(spark, store, bh)
+    val store = StoreScaffold.cloned(fullBase(spark, dir))
     val lsnT = graft.model.Schemas.lsnType
     val corrections = bh
       .filter(col("database_name") === "db1" && col("BackupType") === "Full")
@@ -511,14 +546,7 @@ object EtlQueries {
     * (sum_logid replays both row_number passes).
     */
   def q115StorePurge(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q115-").toString
-    val store = s"$tmp/consolidated"
-    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    val t0 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-    ConsolidatedStore.append(spark, store,
-      bh.filter(col("backup_start_date") < lit(t0)))
-    ConsolidatedStore.append(spark, store,
-      bh.filter(col("backup_start_date") >= lit(t0)))
+    val store = StoreScaffold.cloned(dateSplitBase(spark, dir))
     graft.store.StoreDelete.purgeExpired(spark, store, retentionDays = 45,
       now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
     ConsolidatedStore.read(spark, store)
@@ -573,11 +601,8 @@ object EtlQueries {
     * renumbered id flips an aggregate.
     */
   def q116StoreCdf(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q116-").toString
-    val store = s"$tmp/consolidated"
     val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") < "db2"))
-    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") >= "db2"))
+    val store = StoreScaffold.cloned(db2SplitBase(spark, dir))
     graft.store.StoreMerge.merge(spark, store, bh
       .filter(col("database_name") === "db1" && col("BackupType") === "Full")
       .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000))
@@ -643,11 +668,8 @@ object EtlQueries {
     */
   def q120IncrementalView(spark: SparkSession, dir: String): DataFrame = {
     import graft.store.{IncrementalAgg, StoreLog}
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q120-").toString
-    val store = s"$tmp/consolidated"
     val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") < "db2"))
-    ConsolidatedStore.append(spark, store, bh.filter(col("database_name") >= "db2"))
+    val store = StoreScaffold.cloned(db2SplitBase(spark, dir))
     graft.store.StoreMerge.merge(spark, store, bh
       .filter(col("database_name") === "db1" && col("BackupType") === "Full")
       .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000))
@@ -708,14 +730,8 @@ object EtlQueries {
     * scanned); here the VALUES are pinned.
     */
   def q122DeviceLookup(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q122-").toString
-    val store = s"$tmp/consolidated"
-    val bh0 = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    val bh = bh0.withColumn("physical_device_name",
-      when(col("database_name") === "db3", lit(null).cast("string"))
-        .otherwise(col("physical_device_name")))
-    ConsolidatedStore.append(spark, store, bh.filter(col("device_type") === 9))
-    ConsolidatedStore.append(spark, store, bh.filter(col("device_type") === 2))
+    // probes are read-only: the memoized base is used directly, no clone
+    val store = deviceSplitBase(spark, dir)
     val probes = Seq(
       "url_probe" -> "https://bk.example.com/db4/s4_0.bak",
       "disk_probe" -> "X:/bk/db1/s21_0.bak",
@@ -768,9 +784,8 @@ object EtlQueries {
     */
   def q123StreamingMergeLive(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q123-").toString
-    val store = s"$tmp/consolidated"
     val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
-    ConsolidatedStore.append(spark, store, bh)
+    val store = StoreScaffold.cloned(fullBase(spark, dir))
     val lsnT = graft.model.Schemas.lsnType
     val corr = bh
       .filter(col("database_name") === "db1" && col("BackupType") === "Full")

@@ -157,4 +157,41 @@ class CompactionSpec extends AnyFunSuite {
       .select("LogID").distinct().count() === nRows)
     graft.util.Checkpoints.release(content)
   }
+
+  test("optimizeSmall bin-packs only sub-threshold files, big file untouched") {
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-optsmall").toString + "/store"
+    // one big append (whole fleet) + 4 tiny trickle appends
+    ConsolidatedStore.append(spark, dir, bh)
+    val lsnT = graft.model.Schemas.lsnType
+    (1 to 4).foreach { i =>
+      ConsolidatedStore.append(spark, dir, bh.limit(5)
+        .withColumn("last_lsn", (col("last_lsn") + i * 77000000L).cast(lsnT)))
+    }
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 5)
+    val bigName = files.maxBy(_.length).getName
+    val minBytes = files.map(_.length).max // everything below the big file
+    val total = spark.read.parquet(dir).count()
+    val vBefore = graft.store.StoreLog.currentVersion(spark, dir)
+
+    val (rewritten, after) = Compaction.optimizeSmall(spark, dir, minBytes)
+    assert(rewritten == 4 && after == 2, s"got ($rewritten, $after)")
+    val names = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(names.contains(bigName), "large file must survive by identity")
+    assert(spark.read.parquet(dir).count() == total, "content preserved")
+    assert(graft.store.StoreLog.snapshot(spark, dir, vBefore).count() == total,
+      "pre-optimize snapshot still readable")
+    // a repeat is a no-op (one consolidated file left below threshold
+    // is not worth a rewrite)
+    assert(Compaction.optimizeSmall(spark, dir, minBytes)._1 <= 1)
+    // the sidecar still serves pruned appends (no heal-drift)
+    val n2 = ConsolidatedStore.append(spark, dir, bh.limit(3)
+      .withColumn("last_lsn", (col("last_lsn") + 999000000L).cast(lsnT)))
+    assert(n2 == 3)
+  }
 }
