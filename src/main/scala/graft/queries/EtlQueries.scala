@@ -804,10 +804,13 @@ object EtlQueries {
       .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
     val q = stream.writeStream
       .option("checkpointLocation", s"$tmp/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the micro-batch frame belongs to a cloned session — run the
-        // merge's own reads/joins in that same session
-        graft.store.StoreMerge.merge(batch.sparkSession, store, batch); ()
+        // merge's own reads/joins in that same session. The txn token
+        // makes a post-restart REDELIVERY of this batch a no-op
+        // (exactly-once apply), not merely value-idempotent.
+        graft.store.StoreMerge.merge(batch.sparkSession, store, batch,
+          txnId = Some(s"q123:$batchId")); ()
       }
       .start()
     q.processAllAvailable(); q.stop()

@@ -47,8 +47,14 @@ object StoreLog {
   val dirName = "_graft_log"
   val historyDirName = "_graft_history"
 
+  /** `txn`: optional idempotence token (writer-chosen, e.g.
+    * "app:batchId") recorded with the commit — the Delta-style
+    * transactional-writer contract that makes a redelivered streaming
+    * micro-batch a NO-OP instead of a double-apply ([[txnSeen]]).
+    */
   final case class Commit(
-      version: Int, op: String, adds: Seq[String], removes: Seq[String])
+      version: Int, op: String, adds: Seq[String], removes: Seq[String],
+      txn: Option[String] = None)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -101,7 +107,8 @@ object StoreLog {
       (jv \ "version").extract[Int],
       (jv \ "op").extract[String],
       (jv \ "adds").extract[Seq[String]],
-      (jv \ "removes").extract[Seq[String]])
+      (jv \ "removes").extract[Seq[String]],
+      (jv \ "txn").extractOpt[String])
   }
 
   private def render(c: Commit): String = {
@@ -109,7 +116,7 @@ object StoreLog {
     import org.json4s.jackson.JsonMethods
     JsonMethods.compact(JsonMethods.render(
       ("version" -> c.version) ~ ("op" -> c.op) ~
-        ("adds" -> c.adds) ~ ("removes" -> c.removes)))
+        ("adds" -> c.adds) ~ ("removes" -> c.removes) ~ ("txn" -> c.txn)))
   }
 
   /** Write the next commit; returns its version. Appends to one store
@@ -117,15 +124,23 @@ object StoreLog {
     * next version is simply max + 1.
     */
   def commit(spark: SparkSession, root: String, op: String,
-      adds: Seq[String], removes: Seq[String]): Int = {
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[String] = None): Int = {
     val v = currentVersion(spark, root) + 1
     val p = commitPath(root, v)
     val out = fs(spark, p).create(p, false) // fail, don't clobber, on a race
-    try out.write(render(Commit(v, op, adds.sorted, removes.sorted))
+    try out.write(render(Commit(v, op, adds.sorted, removes.sorted, txn))
       .getBytes(StandardCharsets.UTF_8))
     finally out.close()
     v
   }
+
+  /** Whether an idempotence token was already committed — the replay
+    * guard a restarted streaming writer checks before re-applying a
+    * micro-batch. O(log) driver read; the log is tiny by construction.
+    */
+  def txnSeen(spark: SparkSession, root: String, txn: String): Boolean =
+    readCommits(spark, root).exists(_.txn.contains(txn))
 
   /** Log an append of `newFiles`. On the FIRST commit of a store that
     * already holds data (created before logging was enabled), the commit

@@ -60,7 +60,13 @@ object StoreMerge {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       partitionBy: Seq[String] = Nil,
-      sortWithin: Seq[String] = Seq("database_name", "last_lsn")): MergeStats = {
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      txnId: Option[String] = None): MergeStats = {
+    // exactly-once replay guard: a redelivered micro-batch whose token
+    // already committed is a NO-OP (the transactional-writer contract a
+    // restarted streaming foreachBatch sink relies on)
+    if (txnId.exists(t => StoreLog.txnSeen(spark, path, t)))
+      return MergeStats(0L, 0L, 0L)
     val loaded = StoreMeta.load(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"merge needs a graft-managed layout (foreign subdirs found): $path"))
@@ -156,7 +162,8 @@ object StoreMerge {
         StoreLog.commit(spark, path, "merge",
           adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
                  else newFiles,
-          removes = if (first) Nil else touched)
+          removes = if (first) Nil else touched,
+          txn = txnId)
 
         val touchedSet = touched.toSet
         StoreMeta.save(spark, path,

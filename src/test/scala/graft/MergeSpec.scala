@@ -89,6 +89,28 @@ class MergeSpec extends AnyFunSuite {
     assert(ConsolidatedStore.read(spark, path).count() == total)
   }
 
+  test("txn token makes a redelivered batch a no-op (exactly-once apply)") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh)
+    val upd = bh.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000)
+    val s1 = StoreMerge.merge(spark, path, upd, txnId = Some("app:1"))
+    assert(s1.updated > 0)
+    val afterFirst = ConsolidatedStore.read(spark, path)
+      .agg(sum(col("CompressedSizeMB"))).head().getLong(0)
+    // redelivery under the SAME token — even with different values —
+    // must not apply
+    val s2 = StoreMerge.merge(spark, path,
+      upd.withColumn("CompressedSizeMB", col("CompressedSizeMB") + 9999),
+      txnId = Some("app:1"))
+    assert(s2 == StoreMerge.MergeStats(0L, 0L, 0L), s"redelivered: $s2")
+    assert(ConsolidatedStore.read(spark, path)
+      .agg(sum(col("CompressedSizeMB"))).head().getLong(0) == afterFirst)
+    // a NEW token applies normally
+    val s3 = StoreMerge.merge(spark, path, upd, txnId = Some("app:2"))
+    assert(s3.updated > 0)
+  }
+
   test("mixed batch: inserts number past the table max; update ids stable") {
     val path = tmp()
     ConsolidatedStore.append(spark, path, bh)
