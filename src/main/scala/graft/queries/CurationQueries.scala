@@ -918,10 +918,117 @@ object CurationQueries {
        |ORDER BY is_total, lang""".stripMargin
   }
 
+  // ---- q130: unigram-LM (SentencePiece-style) tokenizer training ------
+
+  /** Hard-EM unigram tokenizer training ([[graft.pipeline.Unigram]]):
+    * weighted-substring seed vocabulary → Viterbi E-step → usage-based
+    * M-step with pruning → second E-step. The oracle re-trains the WHOLE
+    * model in SQL: it enumerates every segmentation of every word with a
+    * recursive CTE, picks the best path under the identical
+    * (score DESC, longest-last-piece) ordering, re-derives the round-2
+    * scores, and segments again — so a drifted seed count, DP tie-break,
+    * prune rule, or score rounding shifts usage counts somewhere.
+    */
+  def q130UnigramVocab(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Unigram
+      .train(spark, Tables.documents(spark, dir), "text",
+        maxPieceLen = 4, minSeedCount = 2, rounds = 2)
+      .toDF()
+      .select(col("piece"), length(col("piece")).cast("int").as("piece_len"),
+        col("usage"), col("score"))
+      .orderBy("piece")
+  }
+
+  val q130Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    def segCte(segName: String, vocabName: String): String =
+      s"""$segName AS (
+         |  SELECT word, f, 0 AS pos, CAST(0 AS DOUBLE) AS total,
+         |         '' AS pieces, '' AS rkey
+         |  FROM wc
+         |  UNION ALL
+         |  SELECT s.word, s.f, s.pos + v.plen, s.total + v.score,
+         |         CASE WHEN s.pieces = '' THEN v.piece
+         |              ELSE s.pieces || ' ' || v.piece END,
+         |         lpad(CAST(99 - v.plen AS VARCHAR), 2, '0') || s.rkey
+         |  FROM $segName s JOIN $vocabName v
+         |    ON substr(s.word, s.pos + 1, v.plen) = v.piece
+         |  WHERE s.pos < length(s.word)
+         |)""".stripMargin
+    s"""WITH RECURSIVE wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split($normSql, ' ')) AS word
+       |        FROM documents)
+       |  WHERE length(word) BETWEEN 1 AND 16
+       |  GROUP BY word
+       |),
+       |sub AS (
+       |  SELECT substr(word, i, l.l) AS piece, sum(f) AS cnt
+       |  FROM (SELECT word, f, unnest(range(1, length(word) + 1)) AS i
+       |        FROM wc),
+       |       (VALUES (1), (2), (3), (4)) l(l)
+       |  WHERE i + l.l - 1 <= length(word)
+       |  GROUP BY piece
+       |),
+       |seed AS (
+       |  SELECT piece, cnt FROM sub WHERE cnt >= 2 OR length(piece) = 1
+       |),
+       |st AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM seed),
+       |v0 AS (
+       |  SELECT piece, length(piece) AS plen,
+       |         round(ln(cnt / st.tot), 6) AS score
+       |  FROM seed, st
+       |),
+       |${segCte("s1", "v0")},
+       |b1 AS (
+       |  SELECT word, f, pieces,
+       |         row_number() OVER (PARTITION BY word
+       |                            ORDER BY total DESC, rkey ASC) AS rn
+       |  FROM s1 WHERE pos = length(word)
+       |),
+       |u1 AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS u
+       |  FROM (SELECT unnest(string_split(pieces, ' ')) AS piece, f
+       |        FROM b1 WHERE rn = 1)
+       |  GROUP BY piece
+       |),
+       |v2base AS (
+       |  SELECT piece, u FROM u1
+       |  UNION ALL
+       |  SELECT piece, 1 AS u FROM seed
+       |  WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM u1)
+       |),
+       |t2 AS (SELECT CAST(sum(u) AS DOUBLE) AS tot FROM v2base),
+       |v2 AS (
+       |  SELECT piece, length(piece) AS plen,
+       |         round(ln(u / t2.tot), 6) AS score
+       |  FROM v2base, t2
+       |),
+       |${segCte("s2", "v2")},
+       |b2 AS (
+       |  SELECT word, f, pieces,
+       |         row_number() OVER (PARTITION BY word
+       |                            ORDER BY total DESC, rkey ASC) AS rn
+       |  FROM s2 WHERE pos = length(word)
+       |),
+       |u2 AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS u
+       |  FROM (SELECT unnest(string_split(pieces, ' ')) AS piece, f
+       |        FROM b2 WHERE rn = 1)
+       |  GROUP BY piece
+       |)
+       |SELECT v2.piece, CAST(length(v2.piece) AS INT) AS piece_len,
+       |       CAST(coalesce(u2.u, 0) AS BIGINT) AS usage, v2.score
+       |FROM v2 LEFT JOIN u2 ON u2.piece = v2.piece
+       |ORDER BY v2.piece""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_gopher_rules" -> (q113GopherRules _),
     "q128_skipgram_pairs" -> (q128SkipgramPairs _),
     "q129_corpus_card" -> (q129CorpusCard _),
+    "q130_unigram_vocab" -> (q130UnigramVocab _),
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
@@ -944,6 +1051,7 @@ object CurationQueries {
     "q113_gopher_rules" -> q113Oracle,
     "q128_skipgram_pairs" -> q128Oracle,
     "q129_corpus_card" -> q129Oracle,
+    "q130_unigram_vocab" -> q130Oracle,
     "q41_hash_split" -> q41Oracle,
     "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,

@@ -16,6 +16,28 @@ class PipelineSpec extends AnyFunSuite {
 
   private lazy val docsAug = PipelineQueries.docsAug(spark, TestSpark.sf).cache()
 
+  test("unigram trainer: segmentation coverage, pruning, and a known merge") {
+    import graft.pipeline.Unigram
+    // 'abab' dominates: after one EM round the 4-char piece wins whole
+    val docs = (Seq.fill(50)("abab") ++ Seq.fill(3)("ac")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val vocab = Unigram.train(spark, docs, "text",
+      maxPieceLen = 4, minSeedCount = 2, rounds = 2)
+    val byPiece = vocab.map(p => p.piece -> p).toMap
+    assert(byPiece.contains("abab") && byPiece("abab").usage == 50L,
+      s"dominant word should tokenize as one piece: $vocab")
+    // every single char survives (coverage), even barely-used ones
+    assert(Seq("a", "b", "c").forall(byPiece.contains))
+    // segmentation under the final scores covers every word exactly
+    val scores = vocab.map(p => p.piece -> p.score).toMap
+    for (w <- Seq("abab", "ac", "abac", "cab"))
+      assert(Unigram.segment(w, scores, 4).mkString("") == w)
+    // usage mass balances: total piece usage ≥ corpus words (each word
+    // contributes ≥1 piece), and scores are log-probabilities (< 0)
+    assert(vocab.map(_.usage).sum >= 53L)
+    assert(vocab.forall(_.score < 0))
+  }
+
   test("validation counts each violation class exactly; clean data passes") {
     import graft.pipeline.Validation._
     val ref = Seq(1L, 2L, 3L).toDF("rk")
