@@ -866,11 +866,63 @@ object EtlQueries {
       |       CAST(sum(comp) AS BIGINT) AS sum_comp
       |FROM allr GROUP BY database_name ORDER BY database_name""".stripMargin)
 
+  /** Schema evolution on read: an old batch (no `verified` column) and a
+    * new batch (adds BOOLEAN `verified`) land in one table directory;
+    * `mergeSchema` reconciles the footers and old rows surface NULL in
+    * the added column — the additive-evolution contract a long-lived
+    * ingest relies on (the reference would ALTER TABLE; immutable files
+    * evolve at read time). The aggregate pins exact NULL/true/false
+    * populations per database, so a dropped column, a mis-defaulted old
+    * row, or a type-widening surprise flips counts.
+    */
+  def q133SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q133-").toString
+    val t = s"$tmp/t"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+      .select(col("database_name"), col("BackupType"),
+        col("CompressedSizeMB"), col("first_lsn"))
+    bh.filter(col("database_name") < "db2")
+      .write.mode("append").parquet(t)
+    bh.filter(col("database_name") >= "db2")
+      .withColumn("verified",
+        (col("first_lsn").cast("long") / 1000).cast("long") % 2 === 0)
+      .write.mode("append").parquet(t)
+    spark.read.option("mergeSchema", "true").parquet(t)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("verified").isNull, 1L).otherwise(0L)).as("n_unknown"),
+        sum(when(col("verified") === true, 1L).otherwise(0L)).as("n_verified"),
+        sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .orderBy("database_name")
+  }
+
+  val q133Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |evolved AS (
+      |  SELECT database_name, compressed_size_mb,
+      |         CASE WHEN database_name >= 'db2'
+      |              THEN ((CAST(first_lsn AS BIGINT) // 1000) % 2 = 0)
+      |              ELSE NULL END AS verified,
+      |         database_name < 'db2' AS is_old
+      |  FROM backup_history
+      |)
+      |SELECT database_name,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(sum(CASE WHEN verified IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_unknown,
+      |       CAST(sum(CASE WHEN verified THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_verified,
+      |       CAST(sum(compressed_size_mb) AS BIGINT) AS sum_comp
+      |FROM evolved GROUP BY database_name
+      |ORDER BY database_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q122_device_lookup" -> (q122DeviceLookup _),
     "q123_streaming_merge_live" -> (q123StreamingMergeLive _),
+    "q133_schema_evolution" -> (q133SchemaEvolution _),
     "q115_store_purge" -> (q115StorePurge _),
     "q116_store_cdf" -> (q116StoreCdf _),
     "q120_incremental_view" -> (q120IncrementalView _),
@@ -892,6 +944,7 @@ object EtlQueries {
     "q120_incremental_view" -> q120Oracle,
     "q122_device_lookup" -> q122Oracle,
     "q123_streaming_merge_live" -> q123Oracle,
+    "q133_schema_evolution" -> q133Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,

@@ -806,6 +806,58 @@ object ProfileQueries {
        |LIMIT 15""".stripMargin
   }
 
+  // ---- q131: triangle counting over the near-dup graph ----------------
+
+  /** Degree-oriented triangle counting ([[graft.pipeline.Triangles]])
+    * over the shared winnow pair graph — the dup-cluster density
+    * primitive. The oracle rebuilds the orientation (same
+    * (degree, id) order) and the wedge-close join in SQL, so a
+    * double-counted triangle, a dropped orientation tie-break, or a
+    * skew-unsafe wedge enumeration shifts some node's count.
+    */
+  def q131TriangleCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Triangles.perNode(
+        winnowPairGraph(spark, dir).select("id_a", "id_b"))
+      .orderBy("node")
+
+  val q131Oracle: String =
+    s"""WITH ${PipelineQueries.docsAugSql},
+       |docs AS (SELECT doc_id, text FROM docs_aug),
+       |${winnowSql("docs")},
+       |flat AS (SELECT doc_id, unnest(fp_set) AS fp FROM fps),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS df FROM flat GROUP BY fp)
+       |  WHERE df <= 20
+       |),
+       |kept AS (SELECT flat.* FROM flat JOIN rare USING (fp)),
+       |e AS MATERIALIZED (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM kept a JOIN kept b USING (fp)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 5
+       |),
+       |deg AS MATERIALIZED (
+       |  SELECT node, count(*) AS d FROM (
+       |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY node
+       |),
+       |o AS MATERIALIZED (
+       |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+       |              THEN e.a ELSE e.b END AS u,
+       |         CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+       |              THEN e.b ELSE e.a END AS v
+       |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+       |),
+       |tri AS (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM o e1
+       |  JOIN o e2 ON e1.v = e2.u
+       |  JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+       |)
+       |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+       |GROUP BY node ORDER BY node""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q49_winnow_profile" -> (q49WinnowProfile _),
     "q50_winnow_pairs" -> (q50WinnowPairs _),
@@ -820,7 +872,8 @@ object ProfileQueries {
     "q95_bm25_topk" -> (q95Bm25TopK _),
     "q121_hybrid_rrf" -> (q121HybridRrf _),
     "q103_perplexity_tiers" -> (q103PerplexityTiers _),
-    "q105_pagerank" -> (q105PageRank _)
+    "q105_pagerank" -> (q105PageRank _),
+    "q131_triangle_counts" -> (q131TriangleCounts _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -837,6 +890,7 @@ object ProfileQueries {
     "q95_bm25_topk" -> q95Oracle,
     "q121_hybrid_rrf" -> q121Oracle,
     "q103_perplexity_tiers" -> q103Oracle,
-    "q105_pagerank" -> q105Oracle
+    "q105_pagerank" -> q105Oracle,
+    "q131_triangle_counts" -> q131Oracle
   )
 }

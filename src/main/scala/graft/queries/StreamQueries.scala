@@ -754,7 +754,68 @@ object StreamQueries {
       |GROUP BY fw.cohort_week, week_offset
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---- q132: windowed anomaly z-scores --------------------------------
+
+  /** Volume-anomaly detection — the monitoring query behind "alert when
+    * a source's event rate deviates": 6-hour tumbling counts per
+    * event_type, z-scored against that type's own window population.
+    * Mean and variance come from EXACT integer sums
+    * (Σn, Σn², window count), divided in one fixed expression — not
+    * `stddev_pop` — so the arithmetic replays bit-for-bit across
+    * engines. Two combinable aggregations (windows, then per-type
+    * moments broadcast back); no shuffle carries more than the window
+    * table.
+    */
+  def q132AnomalyWindows(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+    val win = ev
+      .groupBy(
+        (floor(unix_micros(col("ts")) / 21600000000L) * 21600L)
+          .as("window_start_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val moments = win.groupBy("event_type")
+      .agg(sum("n").as("s1"), sum(col("n") * col("n")).as("s2"),
+        count(lit(1)).as("k"))
+    val mean = col("s1").cast("double") / col("k")
+    val variance = col("s2").cast("double") / col("k") - mean * mean
+    win.join(broadcast(moments), Seq("event_type"))
+      .withColumn("z",
+        round((col("n").cast("double") - mean) / sqrt(variance), 4))
+      .filter(abs(col("z")) > lit(1.5))
+      .select(col("event_type"), col("window_start_epoch"), col("n"),
+        col("z"))
+      .orderBy("event_type", "window_start_epoch")
+  }
+
+  val q132Oracle: String =
+    """WITH w AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600
+      |           AS window_start_epoch,
+      |         event_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY 1, 2
+      |),
+      |m AS (
+      |  SELECT event_type, sum(n) AS s1, sum(n * n) AS s2,
+      |         count(*) AS k
+      |  FROM w GROUP BY event_type
+      |)
+      |SELECT w.event_type, w.window_start_epoch, w.n,
+      |       round((CAST(w.n AS DOUBLE) - CAST(s1 AS DOUBLE) / k) /
+      |             sqrt(CAST(s2 AS DOUBLE) / k -
+      |                  (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)),
+      |             4) AS z
+      |FROM w JOIN m USING (event_type)
+      |WHERE abs((CAST(w.n AS DOUBLE) - CAST(s1 AS DOUBLE) / k) /
+      |          sqrt(CAST(s2 AS DOUBLE) / k -
+      |               (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)))
+      |      > 1.5
+      |ORDER BY event_type, window_start_epoch""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_anomaly_windows" -> (q132AnomalyWindows _),
     "q124_session_funnel" -> (q124SessionFunnel _),
     "q125_retention_cohorts" -> (q125RetentionCohorts _),
     "q119_distribution_drift" -> (q119DistributionDrift _),
@@ -775,6 +836,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q132_anomaly_windows" -> q132Oracle,
     "q124_session_funnel" -> q124Oracle,
     "q125_retention_cohorts" -> q125Oracle,
     "q119_distribution_drift" -> q119Oracle,
