@@ -102,12 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => new AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.register(spark)
+    NativeAsOf.install(spark)
     if (!spark.experimental.extraOptimizations.contains(RewriteHofDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteHofDotProduct

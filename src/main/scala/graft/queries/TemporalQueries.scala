@@ -88,12 +88,64 @@ object TemporalQueries {
       | AND epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
       |GROUP BY click_hour ORDER BY click_hour""".stripMargin
 
+  // ---- q134: as-of via the NATIVE physical operator --------------------
+
+  /** q53's attribution through the whole-operator engine extension
+    * ([[graft.plans.NativeAsOf]]: custom LogicalPlan + Strategy +
+    * SparkPlan, one O(|L|+|R|) sorted-merge per partition with O(1)
+    * state). Same oracle semantics as q53; null-user purchases flow
+    * through the left join unmatched, exercising the null-key path of
+    * the merge. A divergence between the native operator and SQL's
+    * rank-pruned inequality join is a physical-operator bug by
+    * definition.
+    */
+  def q134NativeAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val left = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val right = Tables.events(spark, dir)
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    graft.plans.NativeAsOf.join(left, right,
+        leftKey = "user_id", rightKey = "r_user_id",
+        leftTs = "ts", rightTs = "r_ts", tieBreak = "r_event_id")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        col("r_event_id").as("click_id"),
+        unix_micros(col("r_ts")).as("click_us"))
+      .orderBy("purchase_id")
+  }
+
+  val q134Oracle: String =
+    """WITH c AS (SELECT user_id, ts, event_id FROM events
+      |           WHERE event_type = 'click' AND user_id IS NOT NULL),
+      |p AS (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id,
+      |         epoch_us(p.ts) AS purchase_us,
+      |         c.event_id AS click_id, epoch_us(c.ts) AS click_us,
+      |         row_number() OVER (
+      |           PARTITION BY p.event_id
+      |           ORDER BY c.ts DESC NULLS LAST,
+      |                    c.event_id DESC NULLS LAST) AS rn
+      |  FROM p LEFT JOIN c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts
+      |)
+      |SELECT purchase_id, user_id, purchase_us, click_id, click_us
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_native_asof" -> (q134NativeAsOf _),
     "q53_asof_attribution" -> (q53AsOfAttribution _),
     "q54_band_conversion" -> (q54BandConversion _)
   )
 
   def oracles: Map[String, String] = Map(
+    "q134_native_asof" -> q134Oracle,
     "q53_asof_attribution" -> q53Oracle,
     "q54_band_conversion" -> q54Oracle
   )
