@@ -917,12 +917,75 @@ object EtlQueries {
       |FROM evolved GROUP BY database_name
       |ORDER BY database_name""".stripMargin)
 
+  /** Right-to-be-forgotten flow with an AUDIT TRAIL: a driver-small key
+    * list (every 50th set's disk devices) deletes via the copy-on-write
+    * predicate path (the `isin` pushes into the per-file match scan),
+    * and the change feed of exactly that version span must contain
+    * nothing but `delete` rows for those keys — the compliance evidence
+    * ("these rows, no others, left at vN"). Emits the audited deletion
+    * and the remaining population; the oracle derives both from the key
+    * rule independently.
+    */
+  def q135ForgetKeys(spark: SparkSession, dir: String): DataFrame = {
+    import graft.store.{StoreDelete, StoreLog}
+    val store = StoreScaffold.cloned(fullBase(spark, dir))
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    val keys = bh
+      .filter((col("first_lsn").cast("long") / 1000).cast("long") % 50 === 0
+        && col("device_type") === 2)
+      .select("physical_device_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val v0 = StoreLog.currentVersion(spark, store)
+    StoreDelete.delete(spark, store,
+      col("physical_device_name").isin(keys: _*))
+    val ch = StoreLog.changes(spark, store, v0, v0 + 1)
+    val audited = ch.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+        .as("n_deletes"),
+      sum(col("LogID")).as("sum_logid"),
+      sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .select(lit("audited_change_feed").as("phase"), col("n_rows"),
+        col("n_deletes"), col("sum_logid"), col("sum_comp"))
+    val remaining = ConsolidatedStore.read(spark, store).agg(
+      count(lit(1)).as("n_rows"),
+      lit(0L).as("n_deletes"),
+      sum(col("LogID")).as("sum_logid"),
+      sum(col("CompressedSizeMB")).cast("long").as("sum_comp"))
+      .select(lit("remaining").as("phase"), col("n_rows"),
+        col("n_deletes"), col("sum_logid"), col("sum_comp"))
+    audited.unionByName(remaining).orderBy("phase")
+  }
+
+  val q135Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |ids AS (
+      |  SELECT database_name, compressed_size_mb, physical_device_name,
+      |         (CAST(first_lsn AS BIGINT) // 1000) % 50 = 0
+      |           AND device_type = 2 AS forget,
+      |         row_number() OVER (ORDER BY backup_finish_date, database_name,
+      |                            last_lsn, physical_device_name) AS logid
+      |  FROM backup_history
+      |)
+      |SELECT 'audited_change_feed' AS phase,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_deletes,
+      |       CAST(sum(logid) AS BIGINT) AS sum_logid,
+      |       CAST(sum(compressed_size_mb) AS BIGINT) AS sum_comp
+      |FROM ids WHERE forget
+      |UNION ALL
+      |SELECT 'remaining', CAST(count(*) AS BIGINT), 0,
+      |       CAST(sum(logid) AS BIGINT), CAST(sum(compressed_size_mb) AS BIGINT)
+      |FROM ids WHERE NOT forget
+      |ORDER BY phase""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q122_device_lookup" -> (q122DeviceLookup _),
     "q123_streaming_merge_live" -> (q123StreamingMergeLive _),
     "q133_schema_evolution" -> (q133SchemaEvolution _),
+    "q135_forget_keys" -> (q135ForgetKeys _),
     "q115_store_purge" -> (q115StorePurge _),
     "q116_store_cdf" -> (q116StoreCdf _),
     "q120_incremental_view" -> (q120IncrementalView _),
@@ -945,6 +1008,7 @@ object EtlQueries {
     "q122_device_lookup" -> q122Oracle,
     "q123_streaming_merge_live" -> q123Oracle,
     "q133_schema_evolution" -> q133Oracle,
+    "q135_forget_keys" -> q135Oracle,
     "q14_extract_consolidated" -> q14Oracle,
     "q15_dedup_idempotent" -> q15Oracle,
     "q16_retention_cleanup" -> q16Oracle,
