@@ -56,7 +56,8 @@ object Bench {
       // q57/q73's contract: clustering and representative selection are
       // measured on top of a materialized pair graph (q50 measures the
       // pair generation itself)
-      if (name.startsWith("q57") || name.startsWith("q73"))
+      if (name.startsWith("q57") || name.startsWith("q73") ||
+        name.startsWith("q131"))
         queries.ProfileQueries.warmWinnowPairGraph(spark, sfDir)
     }
     val results = selected.map { case (name, fn) =>

@@ -232,6 +232,36 @@ object TextAnalysis {
             passes.as("passes"))
         })))
 
+  /** Deterministic feature-hashed text embedding (the hashing-trick
+    * twin of a learned sentence encoder): each token contributes ±1 to
+    * one of `dims` buckets (bucket and sign both md5-derived — no model
+    * artifact, no RNG), scaled by 1/√n_tokens. The geometry is the
+    * signed-random-projection of the bag-of-words, so cosine between
+    * these vectors approximates token-set overlap — good enough to
+    * drive the ANN/dedup machinery end-to-end from raw text when no
+    * trained encoder is present, and exactly replayable by an oracle.
+    *
+    * One row-local projection: per-token (bucket, sign) pairs evaluate
+    * ONCE (Let-bound), then a dims-length transform folds them — md5
+    * cost is O(tokens), not O(dims · tokens).
+    */
+  def hashedEmbedding(text: Column, dims: Int): Column = {
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 14), 16, 10).cast("long") % dims
+    def sign(t: Column): Column =
+      (conv(substring(md5(t), 15, 1), 16, 10).cast("long") % 2 * 2 - 1)
+        .cast("double")
+    graft.functions.Let.let(
+      transform(tokens(text), t => struct(bucket(t).as("b"), sign(t).as("s"))),
+      bs => {
+        val n = size(bs).cast("double")
+        transform(sequence(lit(0), lit(dims - 1)), d =>
+          aggregate(bs, lit(0.0), (acc, x) =>
+            acc + when(x.getField("b") === d, x.getField("s"))
+              .otherwise(0.0)) / sqrt(n))
+      })
+  }
+
   /** fastText-style hashed linear quality classifier: each token hashes
     * into one of `buckets` feature slots (hashing trick), the slot's
     * weight is an md5-derived deterministic stand-in for a trained

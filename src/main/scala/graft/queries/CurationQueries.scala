@@ -1024,11 +1024,63 @@ object CurationQueries {
        |ORDER BY v2.piece""".stripMargin
   }
 
+  // ---- q136: feature-hashed text embedding ----------------------------
+
+  /** [[TextAnalysis.hashedEmbedding]] over the corpus: every document
+    * becomes a 64-dim signed-bag-of-words vector. The oracle regenerates
+    * each token's (bucket, sign) from the identical md5 arithmetic and
+    * re-aggregates per dimension, value-checking the l2 norm and the
+    * first four dimensions per document — a drifted hash slice, sign
+    * rule, scaling, or dimension order flips rows.
+    */
+  def q136HashedEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = TextAnalysis.hashedEmbedding(col("text"), dims = 64)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), v.as("v"))
+      .select(col("doc_id"),
+        round(sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("nrm"),
+        round(element_at(col("v"), 1), 4).as("d0"),
+        round(element_at(col("v"), 2), 4).as("d1"),
+        round(element_at(col("v"), 3), 4).as("d2"),
+        round(element_at(col("v"), 4), 4).as("d3"))
+      .orderBy("doc_id")
+  }
+
+  val q136Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         len(string_split($normSql, ' ')) AS n,
+       |         unnest(string_split($normSql, ' ')) AS t
+       |  FROM documents
+       |),
+       |bs AS (
+       |  SELECT doc_id, n,
+       |         ('0x' || substr(md5(t), 1, 14))::BIGINT % 64 AS b,
+       |         (('0x' || substr(md5(t), 15, 1))::BIGINT % 2) * 2 - 1 AS s
+       |  FROM tok
+       |),
+       |ds AS (
+       |  SELECT doc_id, max(n) AS n, b,
+       |         sum(s) / sqrt(CAST(max(n) AS DOUBLE)) AS v
+       |  FROM bs GROUP BY doc_id, b
+       |)
+       |SELECT doc_id,
+       |       round(sqrt(sum(v * v)), 4) AS nrm,
+       |       round(coalesce(sum(CASE WHEN b = 0 THEN v END), 0.0), 4) AS d0,
+       |       round(coalesce(sum(CASE WHEN b = 1 THEN v END), 0.0), 4) AS d1,
+       |       round(coalesce(sum(CASE WHEN b = 2 THEN v END), 0.0), 4) AS d2,
+       |       round(coalesce(sum(CASE WHEN b = 3 THEN v END), 0.0), 4) AS d3
+       |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_gopher_rules" -> (q113GopherRules _),
     "q128_skipgram_pairs" -> (q128SkipgramPairs _),
     "q129_corpus_card" -> (q129CorpusCard _),
     "q130_unigram_vocab" -> (q130UnigramVocab _),
+    "q136_hashed_embedding" -> (q136HashedEmbedding _),
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
@@ -1052,6 +1104,7 @@ object CurationQueries {
     "q128_skipgram_pairs" -> q128Oracle,
     "q129_corpus_card" -> q129Oracle,
     "q130_unigram_vocab" -> q130Oracle,
+    "q136_hashed_embedding" -> q136Oracle,
     "q41_hash_split" -> q41Oracle,
     "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,

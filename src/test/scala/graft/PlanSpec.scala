@@ -397,4 +397,31 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly one Window node:\n${p.take(600)}")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("session funnel: one sessionization window, no joins") {
+    val p = plan(queries.StreamQueries
+      .q124SessionFunnel(spark, TestSpark.sf))
+    // lag and the running sum carry different frames -> two Window
+    // nodes, but they share one partitioning (a single exchange); the
+    // gate is that nothing ELSE windows and stages never join
+    assert("""\(\d+\) Window""".r.findAllIn(p).size <= 2,
+      s"unexpected extra Window nodes:\n${p.take(600)}")
+    assert(!p.contains("Join"), "funnel stages fold in aggregation, not joins")
+  }
+
+  test("corpus card: one scan, rollup expand, no joins") {
+    val p = plan(queries.CurationQueries
+      .q129CorpusCard(spark, TestSpark.sf))
+    assert("""\(\d+\) Scan""".r.findAllIn(p).size == 1,
+      s"one pass over the corpus:\n${p.take(600)}")
+    assert(p.contains("Expand"), "rollup plans the Expand node")
+    assert(!p.contains("Join"))
+  }
+
+  test("hashed embedding is a join-free, window-free projection") {
+    val p = plan(queries.CurationQueries
+      .q136HashedEmbedding(spark, TestSpark.sf))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"featurization must stay row-local:\n${p.take(600)}")
+  }
 }
