@@ -1075,12 +1075,79 @@ object CurationQueries {
        |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q137: raw text → embedding → ANN, end to end --------------------
+
+  /** The model-free retrieval pipeline COMPOSED: documents featurize
+    * through [[TextAnalysis.hashedEmbedding]] and the q95 keyword-query
+    * docs rank the corpus by COSINE over those vectors
+    * ([[Similarity.bruteForceTopK]] with normalization, since hashed
+    * embeddings are not unit-length). Proves the text→vector→ANN path
+    * needs no external model artifact anywhere; the oracle rebuilds the
+    * embeddings bucket-by-bucket AND replays the cosine ranking.
+    */
+  def q137TextAnnPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = docs.select(col("doc_id"),
+      TextAnalysis.hashedEmbedding(col("text"), dims = 64).as("v"))
+    Similarity.bruteForceTopK(
+        corpus = emb,
+        queries = emb.filter(col("doc_id") % 97 === 0),
+        idCol = "doc_id", vecCol = "v", k = 5, assumeNormalized = false)
+      .orderBy("query_id", "rank")
+  }
+
+  val q137Oracle: String = {
+    val normSql = PipelineQueries.normSql
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |         len(string_split($normSql, ' ')) AS n,
+       |         unnest(string_split($normSql, ' ')) AS t
+       |  FROM documents
+       |),
+       |bs AS (
+       |  SELECT doc_id, n,
+       |         ('0x' || substr(md5(t), 1, 14))::BIGINT % 64 AS b,
+       |         (('0x' || substr(md5(t), 15, 1))::BIGINT % 2) * 2 - 1 AS s
+       |  FROM tok
+       |),
+       |ds AS (
+       |  SELECT doc_id, b, sum(s) / sqrt(CAST(max(n) AS DOUBLE)) AS v
+       |  FROM bs GROUP BY doc_id, b
+       |),
+       |vecs AS (
+       |  SELECT d.doc_id,
+       |         list(coalesce(ds.v, 0.0) ORDER BY dim.b) AS vec
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) dim
+       |  LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.b = dim.b
+       |  GROUP BY d.doc_id
+       |),
+       |q AS (SELECT doc_id AS query_id, vec AS qv FROM vecs
+       |      WHERE doc_id % 97 = 0),
+       |scored AS (
+       |  SELECT query_id, c.doc_id AS neighbor_id,
+       |         round(list_dot_product(qv, c.vec) /
+       |               (sqrt(list_dot_product(qv, qv)) *
+       |                sqrt(list_dot_product(c.vec, c.vec))), 4) AS sim
+       |  FROM vecs c, q WHERE query_id <> c.doc_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |             ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q113_gopher_rules" -> (q113GopherRules _),
     "q128_skipgram_pairs" -> (q128SkipgramPairs _),
     "q129_corpus_card" -> (q129CorpusCard _),
     "q130_unigram_vocab" -> (q130UnigramVocab _),
     "q136_hashed_embedding" -> (q136HashedEmbedding _),
+    "q137_text_ann_pipeline" -> (q137TextAnnPipeline _),
     "q41_hash_split" -> (q41HashSplit _),
     "q65_temperature_mix" -> (q65TemperatureMix _),
     "q42_pii_redaction" -> (q42PiiRedaction _),
@@ -1105,6 +1172,7 @@ object CurationQueries {
     "q129_corpus_card" -> q129Oracle,
     "q130_unigram_vocab" -> q130Oracle,
     "q136_hashed_embedding" -> q136Oracle,
+    "q137_text_ann_pipeline" -> q137Oracle,
     "q41_hash_split" -> q41Oracle,
     "q65_temperature_mix" -> q65Oracle,
     "q42_pii_redaction" -> q42Oracle,
