@@ -168,7 +168,58 @@ object BackupQueries {
       |GROUP BY database_name, canonical_id, first_lsn, last_lsn
       |ORDER BY database_name, canonical_id""".stripMargin)
 
+
+  /** Fleet backup-health / RPO report ([[graft.restore.BackupHealth]]):
+    * per-(db, server) counts by type, last finish per type, RPO minutes
+    * against the deterministic fleet anchor, point-in-time coverage
+    * bound, and the health verdict (has a full AND inside the RPO
+    * budget — 3 days here so the fixture splits). Null-server rows drop
+    * with their group; the oracle replays every conditional max and the
+    * exact minute floor.
+    */
+  def q138BackupHealth(spark: SparkSession, dir: String): DataFrame =
+    graft.restore.BackupHealth
+      .report(canonicalFrame(spark, dir), rpoThresholdMinutes = 4320L)
+      .filter(col("server_name").isNotNull)
+      .orderBy("database_name", "server_name")
+
+  val q138Oracle: String = oracle(
+    """, anchor AS (
+      |  SELECT max(epoch_us(backup_finish_date)) AS a FROM backup_history
+      |),
+      |r AS (
+      |  SELECT database_name, server_name,
+      |         CAST(sum(CASE WHEN backup_type = 'Full' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_full,
+      |         CAST(sum(CASE WHEN backup_type = 'Diff' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_diff,
+      |         CAST(sum(CASE WHEN backup_type = 'Log' THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_log,
+      |         max(CASE WHEN backup_type = 'Full'
+      |                  THEN epoch_us(backup_finish_date) END) AS last_full_us,
+      |         max(CASE WHEN backup_type = 'Diff'
+      |                  THEN epoch_us(backup_finish_date) END) AS last_diff_us,
+      |         max(CASE WHEN backup_type = 'Log'
+      |                  THEN epoch_us(backup_finish_date) END) AS last_log_us,
+      |         max(epoch_us(backup_finish_date)) AS last_any_us
+      |  FROM backup_history
+      |  WHERE device_type IN (2, 9) AND server_name IS NOT NULL
+      |  GROUP BY database_name, server_name
+      |)
+      |SELECT database_name, server_name, n_full, n_diff, n_log,
+      |       last_full_us, last_diff_us, last_log_us,
+      |       CAST(floor((anchor.a - last_any_us) / 60000000.0) AS BIGINT)
+      |         AS rpo_minutes,
+      |       greatest(coalesce(last_log_us, last_full_us), last_full_us)
+      |         AS pit_cover_us,
+      |       n_full > 0 AND
+      |         floor((anchor.a - last_any_us) / 60000000.0) <= 4320
+      |         AS healthy
+      |FROM r, anchor
+      |ORDER BY database_name, server_name""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_backup_health" -> (q138BackupHealth _),
     "q10_latest_full" -> (q10LatestFull _),
     "q11_remaining_logs" -> (q11RemainingLogs _),
     "q12_last_diff" -> (q12LastDiff _),
@@ -176,6 +227,7 @@ object BackupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q138_backup_health" -> q138Oracle,
     "q10_latest_full" -> q10Oracle,
     "q11_remaining_logs" -> q11Oracle,
     "q12_last_diff" -> q12Oracle,
