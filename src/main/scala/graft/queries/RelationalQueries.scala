@@ -250,7 +250,39 @@ object RelationalQueries {
        |       v = 0 AS passed
        |FROM checks ORDER BY chk""".stripMargin
 
+  /** CUBE grouping sets — the 2^n aggregate lattice (q05 covers ROLLUP's
+    * hierarchy; CUBE completes the grouping-set family): revenue over
+    * every subset of (returnflag, linestatus), grouping flags labeling
+    * the lattice level. One Expand + one aggregation; no extra scans.
+    */
+  def q139CubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_flag"), col("g_status"), col("n_rows"), col("revenue"))
+      .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+
+  val q139Oracle: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       CASE WHEN GROUPING(l_returnflag) = 1 THEN 1 ELSE 0 END AS g_flag,
+      |       CASE WHEN GROUPING(l_linestatus) = 1 THEN 1 ELSE 0 END AS g_status,
+      |       CAST(count(*) AS BIGINT) AS n_rows,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_cube_revenue" -> (q139CubeRevenue _),
     "q118_contract_validation" -> (q118ContractValidation _),
     "q06_except_customers" -> (q06ExceptCustomers _),
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -262,6 +294,7 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = Map(
     "q118_contract_validation" -> q118Oracle,
+    "q139_cube_revenue" -> q139Oracle,
     "q06_except_customers" -> q06Oracle,
     "q01_pricing_summary" -> q01Oracle,
     "q02_market_revenue" -> q02Oracle,
