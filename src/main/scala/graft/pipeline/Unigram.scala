@@ -76,6 +76,24 @@ object Unigram {
     out
   }
 
+  /** Candidate-seed relation: weighted substring counts with the
+    * `cnt >= minSeedCount OR length(piece) = 1` keep-predicate applied
+    * in-plan (a Filter above the final HashAggregate), so only the kept
+    * vocabulary crosses to the driver. Exposed so PlanSpec can pin the
+    * filter's presence as a plan-shape gate.
+    */
+  def seedRelation(spark: SparkSession, words: org.apache.spark.sql.Dataset[(String, Long)],
+      maxPieceLen: Int, minSeedCount: Long): DataFrame = {
+    import spark.implicits._
+    words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(maxPieceLen, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+      .filter(col("cnt") >= minSeedCount || length(col("piece")) === 1)
+  }
+
   /** Train `rounds` hard-EM rounds; returns the final vocabulary with
     * round-`rounds` usage counts and the scores that produced them.
     */
@@ -86,18 +104,16 @@ object Unigram {
     val words = wordCounts(docs, textCol, maxWordLen)
       .as[(String, Long)].cache()
     try {
-      // seed: weighted substring occurrence counts (row-local fan-out)
-      val seedCounts = words.flatMap { case (w, f) =>
-        for {
-          i <- 0 until w.length
-          l <- 1 to math.min(maxPieceLen, w.length - i)
-        } yield (w.substring(i, i + l), f)
-      }.toDF("piece", "f").groupBy("piece").agg(sum("f").as("cnt"))
+      // seed: weighted substring occurrence counts (row-local fan-out).
+      // The minSeedCount filter runs INSIDE the plan, after the combinable
+      // sum — the hapax tail (the overwhelming bulk of the distinct
+      // substring table over a large corpus) is dropped executor-side and
+      // never reaches the driver; the collect is vocab-bounded. Length-1
+      // pieces always survive (coverage guarantee), so the character set
+      // falls out of the same filtered relation.
+      val seedKept = seedRelation(spark, words, maxPieceLen, minSeedCount)
         .as[(String, Long)].collect().toMap
-      val chars = seedCounts.keySet.filter(_.length == 1)
-      val seedKept = seedCounts.filter { case (p, c) =>
-        c >= minSeedCount || p.length == 1
-      }
+      val chars = seedKept.keySet.filter(_.length == 1)
       // HALF_UP at 6dp — the same rounding SQL round() applies, so the
       // oracle's ln(c/total) lands on the identical double
       def round6(x: Double): Double =

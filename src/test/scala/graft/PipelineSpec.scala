@@ -38,6 +38,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(vocab.forall(_.score < 0))
   }
 
+  test("unigram seed relation drops the hapax tail executor-side (100:1)") {
+    import graft.pipeline.Unigram
+    // A wide-alphabet corpus (3000-symbol CJK range) where multi-char
+    // substrings are almost all globally unique: the hapax tail
+    // outnumbers the kept vocabulary >100:1, and the in-plan
+    // minSeedCount filter must keep only the vocabulary-sized head.
+    // An exact driver-side count model cross-checks the relation.
+    val rnd = new scala.util.Random(7)
+    val alpha = 3000
+    val words = (0 until 8000).map { _ =>
+      ((0 until 30).map(_ => (0x4E00 + rnd.nextInt(alpha)).toChar).mkString, 1L)
+    }
+    val counts = new scala.collection.mutable.HashMap[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      counts.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    val hapax = counts.valuesIterator.count(_ == 1L).toLong
+    val keptModel = counts.iterator.count { case (p, c) =>
+      c >= 2L || p.length == 1
+    }.toLong
+    assert(hapax > 100L * keptModel,
+      s"fixture contract: hapax=$hapax kept=$keptModel")
+    // the relation that reaches the driver is exactly the kept head —
+    // the tail (>100x larger) was dropped executor-side
+    val kept = Unigram.seedRelation(spark, words.toDS(), 4, 2L).count()
+    assert(kept == keptModel, s"kept=$kept model=$keptModel")
+  }
+
   test("validation counts each violation class exactly; clean data passes") {
     import graft.pipeline.Validation._
     val ref = Seq(1L, 2L, 3L).toDF("rk")

@@ -424,4 +424,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"),
       s"featurization must stay row-local:\n${p.take(600)}")
   }
+
+  test("unigram seed relation filters the hapax tail in-plan, before collect") {
+    import spark.implicits._
+    val words = Seq(("abab", 5L), ("ac", 1L)).toDS()
+    val rel = pipeline.Unigram.seedRelation(spark, words,
+      maxPieceLen = 4, minSeedCount = 2L)
+    val p = plan(rel)
+    // the keep-predicate must be a Filter node in the physical plan —
+    // i.e. evaluated executor-side above the HashAggregate — so the
+    // substring hapax tail never crosses to the driver
+    assert("""\(\d+\) Filter""".r.findAllIn(p).nonEmpty,
+      s"seed keep-predicate must be in-plan:\n${p.take(800)}")
+    assert(p.contains("cnt") && p.contains("length"),
+      s"filter must carry the cnt/length predicate:\n${p.take(800)}")
+    assert(p.contains("HashAggregate"), "seed counts are a combinable agg")
+  }
 }
