@@ -48,29 +48,32 @@ object Validation {
   def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rowLocal: Seq[(Check, Column)] = checks.collect {
-      case c @ NotNull(col0) => c -> col(col0).isNull
-      case c @ InRange(col0, lo, hi) =>
-        c -> (col(col0).isNotNull && !col(col0).between(lo, hi))
-      case c @ Satisfies(_, p) => c -> !coalesce(p, lit(false))
+    // keyed by POSITION in `checks`, not by rendered name — two checks
+    // that happen to render the same label (duplicated NotNull, two
+    // Satisfies given one label) must still count independently
+    val rowLocal: Seq[(Int, Column)] = checks.zipWithIndex.collect {
+      case (NotNull(col0), i) => i -> col(col0).isNull
+      case (InRange(col0, lo, hi), i) =>
+        i -> (col(col0).isNotNull && !col(col0).between(lo, hi))
+      case (Satisfies(_, p), i) => i -> !coalesce(p, lit(false))
     }
     val aggCols = count(lit(1)).as("__n") +: rowLocal.zipWithIndex.map {
-      case ((_, viol), i) =>
-        sum(when(viol, 1L).otherwise(0L)).as(s"__v$i")
+      case ((_, viol), slot) =>
+        sum(when(viol, 1L).otherwise(0L)).as(s"__v$slot")
     }
     val head = df.agg(aggCols.head, aggCols.tail: _*).head()
     val n = head.getLong(0)
-    val rowLocalCounts: Map[String, Long] = rowLocal.zipWithIndex.map {
-      case ((c, _), i) => c.name -> head.getLong(i + 1)
+    val rowLocalCounts: Map[Int, Long] = rowLocal.zipWithIndex.map {
+      case ((checkIdx, _), slot) => checkIdx -> head.getLong(slot + 1)
     }.toMap
-    val results = checks.map {
-      case c @ (_: NotNull | _: InRange | _: Satisfies) =>
-        (c.name, n, rowLocalCounts(c.name))
-      case c @ Unique(cols0) =>
+    val results = checks.zipWithIndex.map {
+      case (c @ (_: NotNull | _: InRange | _: Satisfies), i) =>
+        (c.name, n, rowLocalCounts(i))
+      case (c @ Unique(cols0), _) =>
         // distinct over the key columns only; violations = extra copies
         val distinct = df.select(cols0.map(col): _*).distinct().count()
         (c.name, n, n - distinct)
-      case c @ ForeignKey(cols0, ref, refCols) =>
+      case (c @ ForeignKey(cols0, ref, refCols), _) =>
         val orphans = df
           .filter(cols0.map(col(_).isNotNull).reduce(_ && _))
           .select(cols0.map(col): _*)

@@ -41,6 +41,16 @@ final case class AsOfJoinNode(
     leftTime: Expression,
     rightTime: Expression,
     tieBreak: Expression) extends BinaryNode {
+  // analysis-time type agreement: the merge uses ONE interpreted
+  // ordering built from the LEFT side's types — mismatched sides must
+  // fail here as an analysis error, not as an executor-side
+  // ClassCastException deep inside a task
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: left=${leftKey.dataType} " +
+      s"right=${rightKey.dataType}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types must match: left=${leftTime.dataType} " +
+      s"right=${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(

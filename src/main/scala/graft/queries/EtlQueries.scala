@@ -697,9 +697,9 @@ object EtlQueries {
     val maintained = (1 until StoreLog.currentVersion(spark, store))
       .foldLeft(seed) { (mv, v) =>
         IncrementalAgg.applyDelta(
-          mv, StoreLog.changes(spark, store, v, v + 1), keys, metrics)
+          mv, StoreLog.changes(spark, store, v, v + 1), keys, metrics,
+          countMetric = Some("n_rows"))
       }
-      .filter(col("n_rows") > 0)
     val direct = IncrementalAgg.direct(
       ConsolidatedStore.read(spark, store), keys, metrics)
     maintained.withColumn("path", lit("incremental"))

@@ -21,8 +21,11 @@ import org.apache.spark.sql.functions._
 object BackupHealth {
 
   def report(bh: DataFrame, rpoThresholdMinutes: Long = 1440L): DataFrame = {
-    val anchorUs = bh
-      .agg(max(unix_micros(col("backup_finish_date")))).head().getLong(0)
+    // max() over an empty frame yields one NULL row — an empty fleet
+    // must produce an empty report, not an NPE on the anchor read
+    val anchorUs = Option(bh
+      .agg(max(unix_micros(col("backup_finish_date")))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val finishUs = unix_micros(col("backup_finish_date"))
     def ofType(t: String, c: org.apache.spark.sql.Column) =
       when(col("BackupType") === t, c)

@@ -23,6 +23,43 @@ final case class AccessTokenAuth(token: String) extends SqlServerAuth {
   def properties: Map[String, String] = Map("accessToken" -> token)
 }
 
+/** AAD service-principal auth WITHOUT out-of-band token plumbing: the
+  * reference's cert-based flow
+  * (`New-AzureSQLDbConnectionWithCert.ps1:35-61`) acquires a token from a
+  * local certificate and hands it to the connection; the MS JDBC driver
+  * performs that same exchange itself when given
+  * `authentication=ActiveDirectoryServicePrincipalCertificate` plus the
+  * principal's client id and certificate location (public driver surface,
+  * mssql-jdbc ≥ 12.2), so no token ever crosses the app.
+  * `certPassword`/`certKey` are optional (PFX password / separate key
+  * file); a secret-based principal uses [[ServicePrincipalSecretAuth]].
+  */
+final case class ServicePrincipalCertAuth(
+    clientId: String,
+    certPath: String,
+    certPassword: Option[String] = None,
+    certKey: Option[String] = None) extends SqlServerAuth {
+  def properties: Map[String, String] =
+    Map(
+      "authentication" -> "ActiveDirectoryServicePrincipalCertificate",
+      "user" -> clientId,
+      "clientCertificate" -> certPath
+    ) ++ certPassword.map("clientKeyPassword" -> _) ++
+      certKey.map("clientKey" -> _)
+}
+
+/** AAD service principal with a client secret
+  * (`authentication=ActiveDirectoryServicePrincipal`, the driver's
+  * secret-based twin of the cert flow).
+  */
+final case class ServicePrincipalSecretAuth(
+    clientId: String, clientSecret: String) extends SqlServerAuth {
+  def properties: Map[String, String] = Map(
+    "authentication" -> "ActiveDirectoryServicePrincipal",
+    "user" -> clientId,
+    "password" -> clientSecret)
+}
+
 /** One source SQL Server to ETL (reference control-table row + connection
   * parameters).
   */

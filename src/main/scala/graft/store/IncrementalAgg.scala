@@ -24,9 +24,22 @@ object IncrementalAgg {
   /** Fold one span of changes into `prev`. `prev` must carry `keys` plus
     * one LONG column per metric name; `metrics` maps each metric column
     * to its per-row contribution expression over a change row.
+    *
+    * Group lifecycle: signed-delta folding cannot tell "group deleted"
+    * from "group sums to zero" on its own — [[direct]] OMITS a group
+    * whose rows were all deleted, while a plain fold would keep it with
+    * zeroed metrics. Pass `countMetric` naming a `lit(1L)`-style
+    * row-count metric and `applyDelta` drops groups whose live row count
+    * reaches 0, restoring exact convergence with `direct`. Without one,
+    * callers must filter zero-count groups themselves before comparing.
     */
   def applyDelta(prev: DataFrame, changes: DataFrame, keys: Seq[String],
-      metrics: Seq[(String, Column)]): DataFrame = {
+      metrics: Seq[(String, Column)],
+      countMetric: Option[String] = None): DataFrame = {
+    countMetric.foreach { n =>
+      require(metrics.exists(_._1 == n),
+        s"countMetric '$n' must be one of the maintained metrics")
+    }
     val sign = when(col("_change_type").isin("insert", "update_post"), 1L)
       .otherwise(lit(-1L))
     val delta = changes
@@ -38,13 +51,14 @@ object IncrementalAgg {
     val d = delta.alias("d")
     val joinCond = keys.map(k => col(s"p.$k") <=> col(s"d.$k"))
       .reduce(_ && _)
-    p.join(d, joinCond, "full_outer")
+    val folded = p.join(d, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) ++
           metrics.map { case (n, _) =>
             (coalesce(col(s"p.$n"), lit(0L)) +
               coalesce(col(s"d.$n"), lit(0L))).as(n)
           }: _*)
+    countMetric.fold(folded)(n => folded.filter(col(n) > 0L))
   }
 
   /** The non-incremental twin: the same aggregate computed directly —

@@ -41,7 +41,11 @@ import graft.model.Schemas
   * new-file write and the archive of the touched originals — the same
   * exposure window as [[graft.maintenance.Compaction]]'s swap; merges are
   * scheduled off the ingest path and serialized with appends (the
-  * existing store contract).
+  * existing store contract). A writer that DIES inside that window leaves
+  * the duplication durable (directory reads don't consult the log) — run
+  * [[StoreRepair.repair]] on open after an unclean writer exit; it rolls
+  * the unfinished swap back to the last commit and the merge's txn-token
+  * replay guard makes the rerun exactly-once.
   *
   * A batch with duplicate keys keeps, per key, the row with the greatest
   * non-key struct (field order = batch column order) — deterministic, no

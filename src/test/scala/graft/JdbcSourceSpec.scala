@@ -26,6 +26,24 @@ class JdbcSourceSpec extends AnyFunSuite {
     val tok = JdbcBackupSource.readerOptions(
       base.copy(auth = AccessTokenAuth("eyJ0...")), "sys.databases")
     assert(tok("accessToken") == "eyJ0...")
+
+    // service principal + certificate: the driver does the token
+    // exchange itself — no accessToken property, no out-of-band token
+    val spc = JdbcBackupSource.readerOptions(
+      base.copy(auth = ServicePrincipalCertAuth(
+        "11111111-2222-3333-4444-555555555555", "/etc/certs/etl.pfx",
+        certPassword = Some("pfxpass"))), "sys.databases")
+    assert(spc("authentication") == "ActiveDirectoryServicePrincipalCertificate")
+    assert(spc("user") == "11111111-2222-3333-4444-555555555555")
+    assert(spc("clientCertificate") == "/etc/certs/etl.pfx")
+    assert(spc("clientKeyPassword") == "pfxpass")
+    assert(!spc.contains("accessToken") && !spc.contains("clientKey"))
+
+    val sps = JdbcBackupSource.readerOptions(
+      base.copy(auth = ServicePrincipalSecretAuth("app-id", "app-secret")),
+      "sys.databases")
+    assert(sps("authentication") == "ActiveDirectoryServicePrincipal")
+    assert(sps("user") == "app-id" && sps("password") == "app-secret")
   }
 
   test("writer options batch the set-based append") {

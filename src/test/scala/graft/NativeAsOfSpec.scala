@@ -57,6 +57,20 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(got(104L).isEmpty)
   }
 
+  test("mismatched key/time types fail at analysis, not in executors") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
+    val rightStrKey = Seq(("1", 5L, 200L)).toDF("k2", "t2", "rid")
+    val e1 = intercept[IllegalArgumentException] {
+      NativeAsOf.join(left, rightStrKey, "k", "k2", "t", "t2", "rid")
+    }
+    assert(e1.getMessage.contains("key types must match"), e1.getMessage)
+    val rightStrTime = Seq((1L, "5", 200L)).toDF("k2", "t2", "rid")
+    val e2 = intercept[IllegalArgumentException] {
+      NativeAsOf.join(left, rightStrTime, "k", "k2", "t", "t2", "rid")
+    }
+    assert(e2.getMessage.contains("time types must match"), e2.getMessage)
+  }
+
   test("plans as AsOfJoinExec with at most one shuffle per side") {
     val left = events("purchase")
     val right = events("click")

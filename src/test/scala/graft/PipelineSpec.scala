@@ -66,6 +66,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == keptModel, s"kept=$kept model=$keptModel")
   }
 
+  test("validation: same-named checks count independently (keyed by position)") {
+    import graft.pipeline.Validation._
+    val df = Seq((Option(1L), -2.0), (None, 3.0), (None, -4.0))
+      .toDF("fk", "v")
+    // two Satisfies rendered with ONE label, plus a duplicated NotNull:
+    // each row must report ITS OWN violation count, not the last one's
+    val rows = validate(df, Seq(
+      Satisfies("lbl", col("v") > 0),      // 2 violations
+      Satisfies("lbl", col("fk").isNotNull), // 2 violations (different rows)
+      NotNull("fk"), NotNull("fk")))       // 2 each
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows.length == 4)
+    assert(rows.map(_._3).toSeq == Seq(2L, 2L, 2L, 2L), rows.mkString(", "))
+    // and genuinely different counts under one label stay distinct
+    val rows2 = validate(df, Seq(
+      Satisfies("x", col("v") > -3.0),   // 1 violation (-4.0)
+      Satisfies("x", col("v") > 100.0))) // 3 violations
+      .as[(String, Long, Long, Boolean)].collect()
+    assert(rows2.map(_._3).toSeq == Seq(1L, 3L), rows2.mkString(", "))
+  }
+
   test("validation counts each violation class exactly; clean data passes") {
     import graft.pipeline.Validation._
     val ref = Seq(1L, 2L, 3L).toDF("rk")

@@ -106,4 +106,49 @@ class StoreLogSpec extends AnyFunSuite {
       ConsolidatedStore.read(spark, dir).count())
     assert(StoreLog.snapshot(spark, dir, 1).count() > pre)
   }
+
+  test("IVM with a count metric drops fully-deleted groups (= direct)") {
+    import graft.store.{IncrementalAgg, StoreDelete}
+    val dir = freshDir("graft-ivm-del")
+    // db-partitioned dates: deleting everything before a cutoff wipes
+    // some databases ENTIRELY — those groups must vanish from the
+    // maintained view just as direct() omits them
+    ConsolidatedStore.append(spark, dir, bh)
+    val keys = Seq("database_name")
+    val metrics = Seq(
+      "n_rows" -> lit(1L),
+      "sum_comp" -> col("CompressedSizeMB").cast("long"))
+    StoreDelete.delete(spark, dir, lit(true)) // deletes ALL rows
+    // (seed resolved after the delete so v1 reads its archived home —
+    // a lazy pre-delete plan would point at moved files)
+    val seed = IncrementalAgg.direct(StoreLog.snapshot(spark, dir, 1), keys, metrics)
+    val maintained = (1 until StoreLog.currentVersion(spark, dir))
+      .foldLeft(seed) { (mv, v) =>
+        IncrementalAgg.applyDelta(mv,
+          StoreLog.changes(spark, dir, v, v + 1), keys, metrics,
+          countMetric = Some("n_rows"))
+      }
+    // (snapshot read: a fully-emptied directory has no parquet to infer
+    // a schema from; the log-resolved read carries the schema)
+    val direct = IncrementalAgg.direct(
+      StoreLog.snapshot(spark, dir, StoreLog.currentVersion(spark, dir)),
+      keys, metrics)
+    assert(direct.count() == 0L, "fixture: the purge must empty the table")
+    assert(maintained.count() == 0L,
+      "applyDelta must drop groups whose row count reached 0")
+    // without a count metric the zeroed groups remain — documented
+    val loose = (1 until StoreLog.currentVersion(spark, dir))
+      .foldLeft(seed) { (mv, v) =>
+        IncrementalAgg.applyDelta(mv,
+          StoreLog.changes(spark, dir, v, v + 1), keys, metrics)
+      }
+    assert(loose.count() > 0L)
+    assert(loose.agg(sum("n_rows")).head().getLong(0) == 0L)
+  }
+
+  test("backup-health report on an empty fleet is empty, not an NPE") {
+    val empty = bh.filter(lit(false))
+    val rep = graft.restore.BackupHealth.report(empty)
+    assert(rep.count() == 0L)
+  }
 }

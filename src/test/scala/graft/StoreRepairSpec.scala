@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{ConsolidatedStore, StoreLog, StoreMerge, StoreRepair}
+
+/** Crash recovery of the copy-on-write swap ([[graft.store.StoreRepair]]):
+  * each test reproduces one die-inside-the-window state by hand-editing
+  * the directory, then asserts repair returns the store to its last
+  * commit — bytes, sidecar, and log all agreeing.
+  */
+class StoreRepairSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-repair").toString + "/t"
+
+  private def bh = graft.etl.BackupHistoryDerivation
+    .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+
+  private def build(): String = {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") >= "db2"))
+    path
+  }
+
+  private def parquets(path: String): Seq[String] =
+    new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+
+  test("clean store: repair is a no-op") {
+    val path = build()
+    val before = ConsolidatedStore.read(spark, path).count()
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.clean, s"unexpected repairs on a clean store: $stats")
+    assert(ConsolidatedStore.read(spark, path).count() == before)
+  }
+
+  test("crash after replacement write, before archive: orphans dropped") {
+    val path = build()
+    val rows = ConsolidatedStore.read(spark, path).count()
+    // simulate: a dead merge left an uncommitted replacement file — a
+    // byte-copy of a live file, so every key in it reads twice
+    val victim = parquets(path).head
+    Files.copy(Paths.get(s"$path/$victim"),
+      Paths.get(s"$path/part-99999-deadwriter.c000.snappy.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    assert(ConsolidatedStore.read(spark, path).count() > rows,
+      "fixture: duplication must be visible before repair")
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats == StoreRepair.RepairStats(0L, 1L), stats.toString)
+    assert(ConsolidatedStore.read(spark, path).count() == rows)
+    // sidecar agrees with the directory again (pruned appends stay safe)
+    val meta = graft.store.StoreMeta.load(spark, path).get
+    assert(meta.files.map(_.file).toSet == parquets(path).toSet)
+  }
+
+  test("crash after archive, before commit: originals restored") {
+    val path = build()
+    val rows = ConsolidatedStore.read(spark, path).count()
+    val v = StoreLog.currentVersion(spark, path)
+    // simulate: a dead writer archived an original into the NEXT
+    // version's history dir and died before committing
+    val victim = parquets(path).head
+    val hist = Paths.get(s"$path/${StoreLog.historyDirName}/${"v%09d".format(v + 1)}")
+    Files.createDirectories(hist)
+    Files.move(Paths.get(s"$path/$victim"), hist.resolve(victim))
+    assert(ConsolidatedStore.read(spark, path).count() < rows,
+      "fixture: rows must be missing before repair")
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats == StoreRepair.RepairStats(1L, 0L), stats.toString)
+    assert(ConsolidatedStore.read(spark, path).count() == rows)
+    assert(!Files.exists(hist), "uncommitted history dir must be gone")
+    // committed history (earlier versions) is untouched: snapshots at
+    // every committed version still read
+    for (sv <- 1 to v)
+      assert(StoreLog.snapshot(spark, path, sv).count() > 0)
+  }
+
+  test("combined window: restored originals + dropped orphans, then a rerun merges cleanly") {
+    val path = build()
+    val expected = ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq
+    val v = StoreLog.currentVersion(spark, path)
+    val victim = parquets(path).head
+    val hist = Paths.get(s"$path/${StoreLog.historyDirName}/${"v%09d".format(v + 1)}")
+    Files.createDirectories(hist)
+    // the dead merge: wrote a replacement (orphan), archived the original
+    Files.copy(Paths.get(s"$path/$victim"),
+      Paths.get(s"$path/part-99999-deadwriter.c000.snappy.parquet"))
+    Files.move(Paths.get(s"$path/$victim"), hist.resolve(victim))
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats == StoreRepair.RepairStats(1L, 1L), stats.toString)
+    val got = ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq
+    assert(got == expected, "repair must restore the exact last commit")
+    // and the rerun of the merge applies normally on the repaired store
+    val upd = bh.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 5)
+    val m = StoreMerge.merge(spark, path, upd)
+    assert(m.updated == upd.count() && m.inserted == 0L)
+  }
+}
