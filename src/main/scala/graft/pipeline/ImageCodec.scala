@@ -40,6 +40,45 @@ object ImageCodec {
       try ImageIO.read(new ByteArrayInputStream(bytes))
       catch { case _: Exception => null })
 
+  /** Encode a BufferedImage as JPEG at an explicit quality. At quality
+    * 1.0 the writer's quantization tables are all ones, so an image
+    * whose 8×8 blocks are each uniform (e.g. a solid grayscale frame)
+    * round-trips EXACTLY: only DC coefficients are non-zero and they
+    * quantize losslessly. That exactness (verified in MultimodalSpec) is
+    * what lets compressed-video fixtures carry integer oracles (q140).
+    */
+  def encodeJpeg(
+      bi: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      w.setOutput(out)
+      w.write(null, new javax.imageio.IIOImage(bi, null, null), p)
+    } finally { w.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** Solid single-channel grayscale image (no color transform on the
+    * JPEG path — the exact-round-trip fixture shape).
+    */
+  def grayImage(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = bi.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, gray); x += 1 }
+      y += 1
+    }
+    bi
+  }
+
   /** Nearest-neighbor resize to `w`x`h`: destination (x, y) SELECTS
     * source pixel (x·srcW/w, y·srcH/h) — exact integer arithmetic, no
     * interpolation kernel, so the resized pixels are bit-replayable

@@ -310,8 +310,12 @@ object VideoCodec {
   }
 
   /** Motion-JPEG AVI: each '00dc' chunk is a self-contained JPEG (the
-    * real-world camera/webcam format). Lossy, so only spec-tested with
-    * tolerance — the exact-integer oracle path is the DIB form.
+    * real-world camera/webcam format). Lossy in general (spec-tested
+    * with tolerance for color frames), but grayscale frames whose 8×8
+    * blocks are uniform round-trip EXACTLY at quality 1.0 (all-ones
+    * quant table, DC-only blocks, no color transform) — the
+    * exact-integer oracle path for compressed video (q140), alongside
+    * the uncompressed DIB form (q78).
     */
   def encodeAviMjpeg(
       jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
@@ -390,13 +394,23 @@ object VideoCodec {
         else ImageCodec.readImage(dibToBmp(strf, f))
       img.foreach { bi =>
         decoded += 1
+        // single-channel (grayscale JPEG) frames read raw raster samples
+        // (r=g=b=sample, luma1000 = 1000*sample): getRGB would route the
+        // gray value through a color-profile conversion, destroying the
+        // exact integer round-trip the gray JPEG path guarantees
+        val gray = bi.getColorModel.getNumComponents == 1
+        val raster = bi.getRaster
         var y = 0
         while (y < bi.getHeight) {
           var x = 0
           while (x < bi.getWidth) {
-            val rgb = bi.getRGB(x, y)
-            val luma1000 = 299 * ((rgb >> 16) & 0xff) +
-              587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+            val luma1000 =
+              if (gray) 1000 * raster.getSample(x, y, 0)
+              else {
+                val rgb = bi.getRGB(x, y)
+                299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              }
             sum += luma1000
             hist(math.min(7, luma1000 / 32000)) += 1L
             x += 1

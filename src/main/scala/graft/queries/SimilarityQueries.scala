@@ -643,6 +643,72 @@ object SimilarityQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** q140: COMPRESSED-video pixel decode — Motion-JPEG AVI ('00dc'
+    * chunks, each a self-contained JPEG) decoded through the RIFF walk +
+    * the JDK JPEG reader ([[graft.pipeline.VideoCodec.decodeAvi]]),
+    * retiring the last multimodal stub. JPEG is lossy in general, but
+    * the fixture frames are solid grayscale at quality 1.0, which
+    * round-trips EXACTLY (all-ones quant tables, DC-only blocks, no
+    * color transform — see [[graft.pipeline.ImageCodec.encodeJpeg]]), so
+    * the oracle replays per-frame luma as exact integers from the same
+    * id formulas: frame f of id is gray (id*37 + f*11) % 256 at
+    * 16 × (8 + id%3 · 8). Same de-normalized outputs as q78 (luma sum ×
+    * 1000, histogram-bucket counts), same shared-frame-count coupling.
+    */
+  def q140MjpegFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.{ImageCodec, VideoCodec}
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 31 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val w = 16
+      val h = (8 + (id % 3) * 8).toInt
+      val n = (2 + id % 4).toInt
+      val jpegs = (0 until n).map { f =>
+        val g = ((id * 37 + f * 11) % 256).toInt
+        ImageCodec.encodeJpeg(ImageCodec.grayImage(w, h, g), 1.0f)
+      }
+      MediaRecord(id, "video", w, h, n * 33,
+        VideoCodec.encodeAviMjpeg(jpegs, w, h, usPerFrame = 33000))
+    }.toDF()
+    val px = (col("n_frames") * lit(16) *
+      (lit(8) + (col("media_id") % 3) * 8)).cast("bigint")
+    val counts = (0 until 8).map(i =>
+      round(element_at(col("feature"), i + 1).cast("double") * px)
+        .cast("bigint").as(s"c$i"))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(Seq(
+        col("media_id"),
+        col("n_frames").cast("bigint").as("n_frames"),
+        round(col("byte_mean") * px * 1000).cast("bigint").as("luma_sum"))
+        ++ counts: _*)
+      .orderBy("media_id")
+  }
+
+  val q140Oracle: String = {
+    val buckets = (0 until 8).map(k =>
+      s"CAST(sum(CASE WHEN least(7, (1000 * g) // 32000) = $k " +
+        s"THEN w * h ELSE 0 END) AS BIGINT) AS c$k").mkString(",\n|       ")
+    s"""WITH p AS (
+       |  SELECT doc_id, 16 AS w, 8 + (doc_id % 3) * 8 AS h,
+       |         2 + (doc_id % 4) AS n
+       |  FROM documents WHERE doc_id % 31 = 0
+       |),
+       |f AS (
+       |  SELECT p.doc_id, p.w, p.h, p.n,
+       |         ((p.doc_id * 37 + fi.i * 11) % 256) AS g
+       |  FROM p, generate_series(0, 4) AS fi(i)
+       |  WHERE fi.i < p.n
+       |)
+       |SELECT doc_id AS media_id,
+       |       CAST(n AS BIGINT) AS n_frames,
+       |       CAST(sum(1000 * g * w * h) AS BIGINT) AS luma_sum,
+       |       $buckets
+       |FROM f GROUP BY doc_id, w, h, n
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Semantic decontamination: every 23rd vector plays the benchmark
     * set; corpus vectors whose max cosine against it reaches 0.25 are
     * reported with their best-matching benchmark id. The oracle replays
@@ -964,6 +1030,7 @@ object SimilarityQueries {
     "q88_mp3_metadata" -> (q88Mp3Metadata _),
     "q93_hard_negatives" -> (q93HardNegatives _),
     "q78_avi_features" -> (q78AviFeatures _),
+    "q140_mjpeg_features" -> (q140MjpegFeatures _),
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
     "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _),
@@ -986,6 +1053,7 @@ object SimilarityQueries {
     "q88_mp3_metadata" -> q88Oracle,
     "q93_hard_negatives" -> q93Oracle,
     "q78_avi_features" -> q78Oracle,
+    "q140_mjpeg_features" -> q140Oracle,
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
     "q69_ann_ivf_kmeans" -> q69Oracle,

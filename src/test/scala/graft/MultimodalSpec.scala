@@ -215,6 +215,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(meanLuma - 125000.0) < 6000.0, meanLuma.toString)
   }
 
+  test("MJPEG AVI with uniform gray frames decodes to EXACT integer luma") {
+    import graft.pipeline.{ImageCodec, VideoCodec}
+    // every gray level round-trips exactly through the JDK JPEG codec at
+    // quality 1.0 (DC-only blocks, unit quant tables, no color
+    // transform) — the invariant the q140 oracle stands on
+    for (g <- 0 until 256) {
+      val jpeg = ImageCodec.encodeJpeg(ImageCodec.grayImage(16, 8, g), 1.0f)
+      val bi = ImageCodec.readImage(jpeg).get
+      assert(bi.getColorModel.getNumComponents == 1, s"g=$g not grayscale")
+      for (y <- 0 until 8; x <- 0 until 16)
+        assert(bi.getRaster.getSample(x, y, 0) == g, s"g=$g at ($x,$y)")
+    }
+    // full path: MJPEG container decode, multiple frames + dims,
+    // lumaSum/hist exactly as the formula predicts
+    val (w, h) = (16, 24)
+    val grays = Seq(0, 31, 32, 200, 255)
+    val jpegs = grays.map(g =>
+      ImageCodec.encodeJpeg(ImageCodec.grayImage(w, h, g), 1.0f))
+    val d = VideoCodec.decodeAvi(
+      VideoCodec.encodeAviMjpeg(jpegs, w, h, usPerFrame = 33000)).get
+    assert(d.nFrames == grays.size && d.handler == "MJPG")
+    assert(d.lumaSum1000 == grays.map(g => 1000L * g * w * h).sum)
+    val expHist = new Array[Long](8)
+    grays.foreach(g => expHist(math.min(7, 1000 * g / 32000)) += w.toLong * h)
+    assert(d.lumaHist.sameElements(expHist),
+      s"${d.lumaHist.toSeq} vs ${expHist.toSeq}")
+  }
+
   test("MP3 encode→probe roundtrip: frame walk, ID3 skip, padding, VBR") {
     import graft.pipeline.AudioCodec
     // CBR, no tag: 5 frames at 128 kbps / 44100 Hz, alternating padding
