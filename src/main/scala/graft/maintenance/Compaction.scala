@@ -47,6 +47,8 @@ object Compaction {
       spark: SparkSession, path: String,
       maxRecordsPerFile: Long = 5000000L): Long = {
     import org.apache.spark.sql.functions.{max, min, unix_micros}
+    if (graft.store.StoreMeta.listDataFiles(spark, path)
+        .getOrElse(Nil).isEmpty) return 0L // empty store: no-op (see rewrite)
     val bounds = spark.read.parquet(path)
       .agg(min(unix_micros(col("backup_finish_date"))),
         max(unix_micros(col("backup_finish_date")))).head()
@@ -69,6 +71,10 @@ object Compaction {
   private def rewrite(
       spark: SparkSession, path: String, maxRecordsPerFile: Long)(
       layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+    // a fully-deleted store has nothing to lay out (and no schema to
+    // infer from the directory) — compaction is a no-op, not a crash
+    if (graft.store.StoreMeta.listDataFiles(spark, path)
+        .getOrElse(Nil).isEmpty) return 0L
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path + "__compacting")
