@@ -19,17 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** `joinType` supports "inner" and "left" (left-outer preserves the
+    * skewed side: each skewed row carries exactly one salt and the
+    * replicated dim carries every salt, so match/no-match is unchanged).
+    */
   def saltedJoin(
       skewed: DataFrame,
       dim: DataFrame,
       keys: Seq[String],
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8,
+      joinType: String = "inner"): DataFrame = {
     require(saltBuckets > 0, "saltBuckets must be positive")
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
     val salted = skewed.withColumn(
       "__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
     val replicated = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 }

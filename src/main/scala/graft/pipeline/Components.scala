@@ -57,9 +57,19 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      // neighbor minimum: min label over the adjacency of each node
-      val nbrMin = edges
-        .join(labels, edges("a") === labels("id"))
+      // neighbor minimum: min label over the adjacency of each node.
+      // The adjacency join is SALTED: a power-law hub's edge rows all
+      // carry one join key, and because every round materializes through
+      // the RDD path (localCheckpoint), AQE never re-plans these
+      // fragments — its skew split does not fire here (measured), so the
+      // hot key must be spread at plan time. Salting scatters the hub's
+      // rows across `saltBuckets` reducers for a saltBuckets× replication
+      // of the (node-sized, two-column) label table — the deterministic
+      // trade documented in [[graft.operators.Skew]]. The min aggregation
+      // after it is map-side combinable, so the hub's DOWNSTREAM
+      // aggregation was never the problem.
+      val nbrMin = graft.operators.Skew
+        .saltedJoin(edges.withColumnRenamed("a", "id"), labels, Seq("id"))
         .groupBy(col("b").as("id"))
         .agg(min("component").as("nbr"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
@@ -67,10 +77,24 @@ object Components {
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("c1"))
       // pointer jump: adopt the label of the current label-holder (a
-      // label is always itself a node id, so the self-join resolves)
+      // label is always itself a node id, so the self-join resolves).
+      // Resolving label(label) needs ONE row per DISTINCT current label,
+      // so collapse to that lookup first: the distinct is
+      // map-side-combinable (a 50%-mass hub label reaches the reduce
+      // side as one row per map partition, never as raw node rows), and
+      // the collapsed lookup is component-count-sized — which is what
+      // makes the salted join below cheap to replicate.
       val holders = stepped.select(col("id").as("c1"), col("c1").as("c2"))
+      val jumps = stepped.select(col("c1")).distinct()
+        .join(holders, Seq("c1"))
       acc.reset()
-      val next = stepped.join(holders, Seq("c1"), "left")
+      // the jump join is salted for the same reason as the adjacency
+      // join (rdd-path rounds get no AQE re-plan): all members of a
+      // large component share c1, the textbook hot key. jumps is
+      // component-count-sized, so its saltBuckets× replication is the
+      // cheap side of the trade by construction.
+      val next = graft.operators.Skew
+        .saltedJoin(stepped, jumps, Seq("c1"), joinType = "left")
         .select(col("id"), col("old"),
           least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"))
         .withColumn("chg", markChanged(col("component") =!= col("old")))
