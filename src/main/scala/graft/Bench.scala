@@ -97,8 +97,12 @@ object Bench {
     // keeps only the final ~2000 chars, and the full-name map stopped
     // fitting once the suite passed ~60 queries (rounds 5-6 show
     // "parsed": null) — bench.json carries the full-name stats.
+    // 2 decimals: the compact line must stay under the driver's
+    // ~2000-char stdout tail at 137+ queries (r6's 3-decimal line
+    // overflowed and cost the judge 117 comparison rows); precision
+    // lives in bench.json / bench_history.jsonl
     val qs = results.map { case (k, _, v, _, ok) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) f"$v%.3f" else "-1") }
+      "\"" + k.takeWhile(_ != '_') + "\":" + (if (ok) f"$v%.2f" else "-1") }
       .mkString("{", ",", "}")
     // min/median/max per query: the medians-only artifact could not
     // distinguish uniformly-cold reps from warm-state flattery (the
@@ -122,6 +126,17 @@ object Bench {
     // output tail both mangle stdout); the printed line is the compact
     // driver-contract form that fits the tail.
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json)
+    // append-only per-run history (committed): the driver's BENCH_r{N}
+    // artifact only keeps a ~2000-char stdout tail, so cross-round
+    // per-query min/med/max/stages diffs read from this file instead
+    if (only.isEmpty) { // full runs only — filtered local loops stay out
+      val histLine =
+        f"""{"ts":"${java.time.Instant.now()}","reps":$reps,"cpus":"$cpus",""" + json.drop(1) + "\n"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_history.jsonl"), histLine,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()

@@ -263,6 +263,63 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream LEFT OUTER join state survives a RESTART from its checkpoint") {
+    // the subtlest state in the repo: buffered unmatched left rows whose
+    // null emission is SCHEDULED by watermark eviction. Across a
+    // checkpoint restart, the restored state must (a) match a purchase
+    // that arrives after the restart against a click buffered before it,
+    // (b) null-emit clicks whose window expires after the restart, and
+    // (c) never duplicate or drop either kind.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj-restart").toString
+    val (inL, inR, out, ckpt) = (s"$tmp/l", s"$tmp/r", s"$tmp/out", s"$tmp/ckpt")
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def rows(path: String, rs: (Long, java.sql.Timestamp, Long)*): Unit =
+      rs.toSeq.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(path)
+    // phase 1 input: cI/pI match immediately; c1, c2, cA stay buffered
+    // (global watermark 10:20 < every open window end)
+    rows(inL, (6L, ts("10:00"), 600L), (1L, ts("10:00"), 100L),
+      (2L, ts("10:05"), 200L), (4L, ts("10:30"), 400L))
+    rows(inR, (6L, ts("10:10"), 610L), (5L, ts("10:30"), 510L))
+    def schema = spark.read.parquet(inL).schema
+    def runPhase(): Unit = {
+      def side(p: String) = spark.readStream.schema(schema).parquet(p)
+      val joined = streaming.StreamingEtl.intervalJoinStream(
+        side(inL), side(inR), Seq("user_id"), "ts", "ts",
+        maxGapSeconds = 3600, joinType = "left_outer")
+      val q = joined
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPhase()
+    val phase1 = spark.read.parquet(out)
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(phase1 == Set((6L, 600L, Some(610L))),
+      s"phase 1 must emit only the matched pair: $phase1")
+    // phase 2: p1 matches the RESTORED c1; cZ/pZ push the global
+    // watermark to 13:50, expiring c2 (end 11:05) and cA (end 11:30)
+    rows(inL, (7L, ts("14:00"), 700L))
+    rows(inR, (1L, ts("10:40"), 110L), (8L, ts("14:00"), 810L))
+    runPhase()
+    val got = spark.read.parquet(out)
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val expected = Set(
+      (6L, 600L, Some(610L)), // phase-1 match
+      (1L, 100L, Some(110L)), // cross-restart match from restored state
+      (2L, 200L, None), // null emission scheduled by post-restart eviction
+      (4L, 400L, None))
+    assert(got.size == got.toSet.size, s"duplicated emissions: $got")
+    assert(got.toSet == expected,
+      s"extra=${got.toSet -- expected} missing=${expected -- got.toSet}")
+    // cZ (u7, end 15:00) is beyond the final watermark: still withheld
+    assert(!got.exists(_._1 == 7L))
+  }
+
   test("q79 live windows: emitted set is exactly the watermark-closed windows") {
     val streamed = graft.queries.StreamQueries
       .q79StreamingWindowsLive(spark, TestSpark.sf)
