@@ -33,18 +33,33 @@ final case class AccessTokenAuth(token: String) extends SqlServerAuth {
   * mssql-jdbc ≥ 12.2), so no token ever crosses the app.
   * `certPassword`/`certKey` are optional (PFX password / separate key
   * file); a secret-based principal uses [[ServicePrincipalSecretAuth]].
+  *
+  * Password-property caveat (wire-untestable in this sandbox): the
+  * driver documents `clientKeyPassword` as the PRIVATE-KEY password,
+  * while some driver versions read a PFX container password from the
+  * plain `password` property instead. For a PFX/PKCS#12 `certPath` we
+  * therefore emit `certPassword` under BOTH properties — the driver
+  * ignores whichever it doesn't use for this authentication mode — so a
+  * PFX-with-password deployment works regardless of which reading the
+  * installed driver implements. PEM-style paths keep the documented
+  * `clientKeyPassword`-only mapping.
   */
 final case class ServicePrincipalCertAuth(
     clientId: String,
     certPath: String,
     certPassword: Option[String] = None,
     certKey: Option[String] = None) extends SqlServerAuth {
+  private def isPfx: Boolean = {
+    val p = certPath.toLowerCase
+    p.endsWith(".pfx") || p.endsWith(".p12")
+  }
   def properties: Map[String, String] =
     Map(
       "authentication" -> "ActiveDirectoryServicePrincipalCertificate",
       "user" -> clientId,
       "clientCertificate" -> certPath
     ) ++ certPassword.map("clientKeyPassword" -> _) ++
+      (if (isPfx) certPassword.map("password" -> _) else None) ++
       certKey.map("clientKey" -> _)
 }
 

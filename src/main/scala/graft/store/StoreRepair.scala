@@ -35,11 +35,23 @@ import org.apache.spark.sql.SparkSession
   *   3. rewrite the sidecar from the surviving live files' recorded
   *      stats, rescanning only files the sidecar doesn't know.
   *
+  * [[graft.maintenance.Compaction]] crashes need a separate pre-pass:
+  * its rewrite swaps WHOLE ROOTS via sibling dirs (`root__compacting` =
+  * staged rewrite, `root__precompact` = displaced original), so a crash
+  * there can leave the root absent, or present-but-logless, with the
+  * truth sitting next door where the in-root reconciliation above can't
+  * see it. [[repair]] reconciles those windows first (also rolling
+  * BACKWARD — an interrupted rewrite is discarded, an original is
+  * restored), then runs the log reconciliation; a compaction that had
+  * already carried its log and committed is rolled forward by the same
+  * machinery (its leftover backup dir is simply dropped).
+  *
   * O(history-dirs + |live set| + orphans) driver-side metadata work plus
   * a stats rescan of at most the orphan-healed files — never a table
   * scan. Run it on open when a previous writer may have died; a clean
   * store is a no-op. Stores without a commit log have no reconciliation
-  * baseline and are returned untouched.
+  * baseline beyond the compaction pre-pass and are otherwise returned
+  * untouched.
   */
 object StoreRepair {
 
@@ -48,10 +60,19 @@ object StoreRepair {
   }
 
   def repair(spark: SparkSession, root: String): RepairStats = {
-    val current = StoreLog.currentVersion(spark, root)
-    if (current == 0) return RepairStats(0L, 0L) // no log — no baseline
     val rootQ = StoreMeta.qualifiedPath(spark, root)
     val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+    val preRestored = reconcileCompaction(spark, root, fs)
+
+    val current = StoreLog.currentVersion(spark, root)
+    if (current == 0) { // no log — no reconciliation baseline beyond the
+      // compaction pre-pass; if that moved anything, re-seed the sidecar
+      if (preRestored > 0L)
+        StoreMeta.listDataFiles(spark, root).foreach { files =>
+          StoreMeta.save(spark, root, StoreMeta.scanStats(spark, root, files))
+        }
+      return RepairStats(preRestored, 0L)
+    }
 
     // 1. unfinished archive: history dirs beyond the last commit hold
     // files the log still lists as live — move them back
@@ -88,17 +109,82 @@ object StoreRepair {
     }
     val onDisk = StoreMeta.listDataFiles(spark, root).getOrElse(Nil)
     val orphans = onDisk.filterNot(live)
-    orphans.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+    // an orphan that survives a failed delete must NOT be dropped from
+    // the sidecar (a later heal would resurrect it as live) — fail loudly
+    orphans.foreach { f =>
+      require(fs.delete(new Path(s"$root/$f"), false),
+        s"repair: orphan delete failed $root/$f")
+    }
 
     // 3. sidecar: keep recorded stats for surviving live files, rescan
     // only files the sidecar never saw (e.g. restored before any load)
-    if (restored > 0L || orphans.nonEmpty) {
+    if (restored > 0L || preRestored > 0L || orphans.nonEmpty) {
       val known = StoreMeta.load(spark, root)
         .map(_.files).getOrElse(Nil).filter(f => live(f.file))
       val missing = live.toSeq.filterNot(known.map(_.file).toSet)
       StoreMeta.save(spark, root,
         known ++ StoreMeta.scanStats(spark, root, missing))
     }
-    RepairStats(restored, orphans.size.toLong)
+    RepairStats(restored + preRestored, orphans.size.toLong)
+  }
+
+  /** Reconcile a crash inside [[graft.maintenance.Compaction]]'s
+    * whole-root swap (root → `__precompact`, `__compacting` → root).
+    * Returns the number of files/dirs moved back into place. The windows,
+    * in swap order:
+    *
+    *   - `__compacting` present, root present, `__precompact` absent:
+    *     crash before the first rename — the staged rewrite never became
+    *     visible; drop it.
+    *   - `__precompact` present, root ABSENT: crash between the two
+    *     renames — the original store is intact next door; rename it back.
+    *   - `__precompact` present WITH a `_graft_log` inside, root present:
+    *     the rewrite swapped in but the log was never carried — the
+    *     rewrite is not durable (no commit records it); discard the
+    *     logless root and restore the original wholesale.
+    *   - `__precompact` present WITHOUT a log, root present with a log:
+    *     log already carried; data files still sitting in the backup were
+    *     awaiting archive when the writer died — move them home so the
+    *     log reconciliation (which can only restore from history dirs and
+    *     delete orphans, never conjure missing live files) sees every
+    *     live file on disk. If the compaction had already committed, the
+    *     moved-back files are immediately re-orphaned and dropped by step
+    *     2 — wasteful but correct.
+    *   - `__precompact` present WITHOUT a log, root present without one:
+    *     a logless store's rewrite completed (its content swap is the
+    *     whole operation); the backup is stale — drop it.
+    */
+  private def reconcileCompaction(
+      spark: SparkSession, root: String,
+      fs: org.apache.hadoop.fs.FileSystem): Long = {
+    val dst = StoreMeta.qualifiedPath(spark, root)
+    val bak = new Path(root + "__precompact")
+    val tmp = new Path(root + "__compacting")
+    var moved = 0L
+    if (fs.exists(bak)) {
+      if (!fs.exists(dst)) {
+        require(fs.rename(bak, dst), s"repair: swap restore failed $bak -> $dst")
+        moved += 1L
+      } else if (fs.exists(new Path(bak, StoreLog.dirName))) {
+        require(fs.delete(dst, true), s"repair: logless-rewrite drop failed $dst")
+        require(fs.rename(bak, dst), s"repair: swap restore failed $bak -> $dst")
+        moved += 1L
+      } else if (fs.exists(new Path(dst, StoreLog.dirName))) {
+        val bakQ = fs.makeQualified(bak)
+        StoreMeta.listDataFiles(spark, bak.toString).getOrElse(Nil).foreach { rel =>
+          val from = new Path(bakQ, rel)
+          val to = new Path(s"$root/$rel")
+          fs.mkdirs(to.getParent)
+          require(fs.rename(from, to), s"repair: archive restore failed $from -> $to")
+          moved += 1L
+        }
+        require(fs.delete(bak, true), s"repair: backup drop failed $bak")
+      } else {
+        require(fs.delete(bak, true), s"repair: stale backup drop failed $bak")
+      }
+    }
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"repair: staged rewrite drop failed $tmp")
+    moved
   }
 }

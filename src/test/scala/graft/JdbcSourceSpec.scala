@@ -37,7 +37,19 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(spc("user") == "11111111-2222-3333-4444-555555555555")
     assert(spc("clientCertificate") == "/etc/certs/etl.pfx")
     assert(spc("clientKeyPassword") == "pfxpass")
+    // PFX container path: the password rides BOTH properties because
+    // driver versions disagree on which one carries a PFX password
+    assert(spc("password") == "pfxpass")
     assert(!spc.contains("accessToken") && !spc.contains("clientKey"))
+
+    // PEM-style path: documented clientKeyPassword-only mapping
+    val pem = JdbcBackupSource.readerOptions(
+      base.copy(auth = ServicePrincipalCertAuth(
+        "app-id", "/etc/certs/etl.pem", certPassword = Some("keypass"),
+        certKey = Some("/etc/certs/etl.key"))), "sys.databases")
+    assert(pem("clientKeyPassword") == "keypass")
+    assert(!pem.contains("password"))
+    assert(pem("clientKey") == "/etc/certs/etl.key")
 
     val sps = JdbcBackupSource.readerOptions(
       base.copy(auth = ServicePrincipalSecretAuth("app-id", "app-secret")),

@@ -104,4 +104,59 @@ class StoreRepairSpec extends AnyFunSuite {
     val m = StoreMerge.merge(spark, path, upd)
     assert(m.updated == upd.count() && m.inserted == 0L)
   }
+
+  // --- compaction whole-root swap windows (root__precompact / __compacting)
+
+  test("compaction crash between the swap renames: displaced root restored") {
+    val path = build()
+    val expected = ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq
+    // the first rename succeeded (root -> __precompact), the second never
+    // ran: the staged rewrite is still sitting in __compacting
+    Files.move(Paths.get(path), Paths.get(path + "__precompact"))
+    Files.createDirectories(Paths.get(path + "__compacting"))
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.restored == 1L && stats.orphansDropped == 0L, stats.toString)
+    assert(!Files.exists(Paths.get(path + "__precompact")))
+    assert(!Files.exists(Paths.get(path + "__compacting")))
+    assert(ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq == expected)
+  }
+
+  test("compaction crash after swap, before log carry: logless rewrite discarded") {
+    val path = build()
+    val expected = ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq
+    // root swapped out whole (log and all), rewrite swapped in without it
+    Files.move(Paths.get(path), Paths.get(path + "__precompact"))
+    spark.read.parquet(path + "__precompact").write.parquet(path)
+    assert(!Files.exists(Paths.get(s"$path/${StoreLog.dirName}")),
+      "fixture: the swapped-in rewrite must be logless")
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.restored == 1L && stats.orphansDropped == 0L, stats.toString)
+    assert(Files.exists(Paths.get(s"$path/${StoreLog.dirName}")))
+    assert(ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq == expected)
+    // the restored store keeps working: an append lands a new commit
+    val v = StoreLog.currentVersion(spark, path)
+    ConsolidatedStore.append(spark, path,
+      bh.filter(col("database_name") === "db1")
+        .withColumn("physical_device_name", concat(col("physical_device_name"), lit(".rerun"))))
+    assert(StoreLog.currentVersion(spark, path) == v + 1)
+  }
+
+  test("compaction crash before backup delete on a logless store: stale backup dropped") {
+    val path = tmp()
+    bh.write.parquet(path) // no commit log: plain parquet dir
+    val rows = spark.read.parquet(path).count()
+    // rewrite completed and swapped in; only the backup delete was missed
+    val bak = Paths.get(path + "__precompact")
+    Files.createDirectories(bak)
+    Files.copy(Paths.get(path).resolve(parquets(path).head),
+      bak.resolve(parquets(path).head))
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.clean, s"roll-forward must not count as a repair: $stats")
+    assert(!Files.exists(bak), "stale backup must be gone")
+    assert(spark.read.parquet(path).count() == rows)
+  }
 }
