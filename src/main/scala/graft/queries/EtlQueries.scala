@@ -461,6 +461,19 @@ object EtlQueries {
         bh.filter(col("backup_start_date") >= lit(t0)))
     }
 
+  /** One append PER DATABASE → per-db file envelopes: the layout under
+    * which a scalar restore lookup's sidecar pruning opens exactly one
+    * file (gated in StoreReadSpec; exercised by q142).
+    */
+  private def dbEachBase(spark: SparkSession, dir: String): String =
+    StoreScaffold.base(spark, dir, "dbeach") { p =>
+      val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+      val dbs = bh.select("database_name").distinct()
+        .collect().map(_.getString(0)).sorted
+      dbs.foreach(d => ConsolidatedStore.append(
+        spark, p, bh.filter(col("database_name") === d)))
+    }
+
   private def deviceSplitBase(spark: SparkSession, dir: String): String =
     StoreScaffold.base(spark, dir, "devsplit") { p =>
       val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
@@ -992,7 +1005,92 @@ object EtlQueries {
       |FROM ids WHERE NOT forget
       |ORDER BY phase""".stripMargin)
 
+  /** The scalar restore-chain procs bound to the consolidated STORE
+    * through [[graft.restore.RestoreStore]]: every phase reads via
+    * `readWhere`, so the sidecar's (database_name, last_lsn) envelopes
+    * prune the scan to db1's one file out of the per-db layout before
+    * any data is read (file-count gate in StoreReadSpec) — the
+    * reference's covering-index access path (sql:35-39) on immutable
+    * parquet. The oracle replays the same chain algebra (W1 dense_rank
+    * stripes, P5 LSN range, P8 blocking-full truncation) over the shared
+    * derivation, proving the pruned read loses no rows.
+    */
+  def q142StoreRestorePruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.restore.RestoreStore
+    // probes are read-only: the memoized base is used directly, no clone
+    val store = dbEachBase(spark, dir)
+    val full = RestoreStore.latestFullBackupFor(spark, store, "db1", "srv1")
+    // scalar proc contract (reference sql:150): the chosen full's LSN is
+    // a driver-side scalar feeding the log/diff lookups
+    val lsn = BigDecimal(full.agg(max("last_lsn")).head().getDecimal(0))
+    val logs = RestoreStore.remainingLogBackupsFor(spark, store, "db1", "srv1", lsn)
+    val diff = RestoreStore.lastDiffBackupFor(spark, store, "db1", "srv1", lsn)
+    def phase(label: String, df: DataFrame) =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("physical_device_name")).as("n_dev"),
+        min(col("last_lsn")).cast("long").as("lsn_lo"),
+        max(col("last_lsn")).cast("long").as("lsn_hi"))
+        .select(lit(label).as("phase"), col("n_rows"), col("n_dev"),
+          col("lsn_lo"), col("lsn_hi"))
+    phase("1_latest_full", full)
+      .unionByName(phase("2_remaining_logs", logs))
+      .unionByName(phase("3_last_diff", diff))
+      .orderBy("phase")
+  }
+
+  val q142Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |fulls AS (
+      |  SELECT *, dense_rank() OVER (ORDER BY last_lsn DESC) AS rk
+      |  FROM backup_history
+      |  WHERE database_name = 'db1' AND server_name = 'srv1'
+      |        AND backup_type = 'Full' AND device_type IN (2, 9)
+      |),
+      |chosen AS (SELECT * FROM fulls WHERE rk = 1),
+      |base AS (SELECT max(last_lsn) AS lsn FROM chosen),
+      |logs AS (
+      |  SELECT b.* FROM backup_history b, base
+      |  WHERE b.database_name = 'db1' AND b.server_name = 'srv1'
+      |        AND b.backup_type = 'Log' AND b.last_lsn > base.lsn
+      |),
+      |cand AS (
+      |  SELECT b.* FROM backup_history b, base
+      |  WHERE b.database_name = 'db1' AND b.server_name = 'srv1'
+      |        AND b.backup_type IN ('Diff', 'Full') AND b.last_lsn > base.lsn
+      |),
+      |blocking AS (
+      |  SELECT min(last_lsn) AS block_lsn FROM cand
+      |  WHERE backup_type = 'Full' AND NOT coalesce(is_copy_only, false)
+      |),
+      |kept AS (
+      |  SELECT c.* FROM cand c, blocking
+      |  WHERE (blocking.block_lsn IS NULL OR c.last_lsn < blocking.block_lsn)
+      |        AND c.backup_type = 'Diff'
+      |),
+      |diffs AS (
+      |  SELECT *, dense_rank() OVER (ORDER BY last_lsn DESC) AS rk FROM kept
+      |),
+      |diff AS (SELECT * FROM diffs WHERE rk = 1)
+      |SELECT '1_latest_full' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(DISTINCT physical_device_name) AS BIGINT) AS n_dev,
+      |       CAST(min(last_lsn) AS BIGINT) AS lsn_lo,
+      |       CAST(max(last_lsn) AS BIGINT) AS lsn_hi
+      |FROM chosen
+      |UNION ALL
+      |SELECT '2_remaining_logs', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT physical_device_name) AS BIGINT),
+      |       CAST(min(last_lsn) AS BIGINT), CAST(max(last_lsn) AS BIGINT)
+      |FROM logs
+      |UNION ALL
+      |SELECT '3_last_diff', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT physical_device_name) AS BIGINT),
+      |       CAST(min(last_lsn) AS BIGINT), CAST(max(last_lsn) AS BIGINT)
+      |FROM diff
+      |ORDER BY phase""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q122_device_lookup" -> (q122DeviceLookup _),
@@ -1013,6 +1111,7 @@ object EtlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q142_store_restore_pruned" -> q142Oracle,
     "q101_store_time_travel" -> q101Oracle,
     "q114_store_merge" -> q114Oracle,
     "q115_store_purge" -> q115Oracle,

@@ -175,6 +175,38 @@ object ConsolidatedStore {
             if (hashes.size > StoreMeta.DevHashSetCap) null else hashes)
       }
 
+  /** Zone-map-pruned read: open ONLY the files whose sidecar envelope
+    * can hold a row satisfying `bounds`, then apply the exact row-level
+    * residual — semantically identical to `read(...).filter(residual)`,
+    * physically the reference's covering-index access path (sql:35-39):
+    * a restore-chain lookup for one database on a 100 TB store opens the
+    * handful of files whose (database_name, last_lsn) envelope
+    * intersects the predicate instead of scanning every file's footer.
+    * Falls back to a plain filtered scan for foreign layouts or stores
+    * without a sidecar. The sidecar stays a pure cache: [[StoreMeta.load]]
+    * reconciles it against the directory first, so a stale or missing
+    * sidecar degrades to one heal scan, never to wrong answers.
+    */
+  def readWhere(spark: SparkSession, path: String,
+      bounds: StoreMeta.ReadBounds): DataFrame = {
+    val residual = StoreMeta.residual(bounds)
+    if (bounds.unconstrained) return read(spark, path)
+    StoreMeta.load(spark, path) match {
+      case None => read(spark, path).filter(residual)
+      case Some(loaded) =>
+        // reads never write: a dirty sidecar heals on the next append
+        val files = loaded.files.filter(f => StoreMeta.mayContain(f, bounds))
+        if (files.isEmpty)
+          spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](),
+            Schemas.consolidated)
+        else spark.read
+          .option("basePath", path).schema(Schemas.consolidated)
+          .parquet(files.map(f => s"$path/${f.file}"): _*)
+          .filter(residual)
+    }
+  }
+
   /** Device point lookup ("which backups landed on this device" — the
     * fleet-ops question behind the reference's media-recovery paths):
     * reads ONLY files whose sidecar device-hash set contains the probe

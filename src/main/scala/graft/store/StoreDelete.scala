@@ -36,10 +36,22 @@ object StoreDelete {
   /** Delete rows matching `predicate`. `partitionBy`/`sortWithin` must
     * match the store's appends (same contract as
     * [[ConsolidatedStore.append]]).
+    *
+    * @param fileVerdict optional sidecar-stats pre-classification of each
+    *   file against the predicate: `Some(true)` = EVERY row matches
+    *   (drop whole — no data scan, row count comes from parquet footers),
+    *   `Some(false)` = NO row matches (untouched — no scan at all),
+    *   `None` = unknown (pay the column-pruned counting scan). The
+    *   caller owns soundness: a wrong verdict deletes or keeps wrong
+    *   rows. [[purgeExpired]] derives it from the sidecar's
+    *   backup_start_date envelopes, which is what turns a 100 TB
+    *   retention purge into a metadata operation on all but the one
+    *   boundary file.
     */
   def delete(spark: SparkSession, path: String, predicate: Column,
       partitionBy: Seq[String] = Nil,
-      sortWithin: Seq[String] = Seq("database_name", "last_lsn")): DeleteStats = {
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      fileVerdict: FileStats => Option[Boolean] = _ => None): DeleteStats = {
     val loaded = StoreMeta.load(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"delete needs a graft-managed layout (foreign subdirs found): $path"))
@@ -47,19 +59,36 @@ object StoreDelete {
     val rootQ = StoreMeta.qualifiedPath(spark, path)
     val hit = coalesce(predicate, lit(false))
 
-    val perFile = spark.read
-      .option("basePath", path).schema(Schemas.consolidated)
-      .parquet(loaded.files.map(f => s"$path/${f.file}"): _*)
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(hit, 1L).otherwise(0L)).as("n_del"))
-      .collect().toSeq
-      .map(r => (StoreMeta.relativize(rootQ, r.getString(0)),
-        r.getLong(1), r.getLong(2)))
+    // sidecar-healed files carry fresh stats, so verdicts are current
+    val verdicts = loaded.files.map(f => f.file -> fileVerdict(f))
+    val wholeFiles = verdicts.collect { case (f, Some(true)) => f }.sorted
+    val unknown = verdicts.collect { case (f, None) => f }
 
-    val deleted = perFile.map(_._3).sum
+    val perFile =
+      if (unknown.isEmpty) Nil
+      else spark.read
+        .option("basePath", path).schema(Schemas.consolidated)
+        .parquet(unknown.map(f => s"$path/$f"): _*)
+        .groupBy(input_file_name().as("__file"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_del"))
+        .collect().toSeq
+        .map(r => (StoreMeta.relativize(rootQ, r.getString(0)),
+          r.getLong(1), r.getLong(2)))
+
+    // all-match files: row count from parquet footers only (count(*)
+    // aggregate pushdown — no column data is read)
+    val wholeRows =
+      if (wholeFiles.isEmpty) 0L
+      else spark.read
+        .option("basePath", path).schema(Schemas.consolidated)
+        .parquet(wholeFiles.map(f => s"$path/$f"): _*)
+        .count()
+
+    val deleted = perFile.map(_._3).sum + wholeRows
     if (deleted == 0L) return DeleteStats(0L, 0L, 0L)
-    val dropped = perFile.collect { case (f, n, d) if d == n => f }.sorted
+    val dropped =
+      (wholeFiles ++ perFile.collect { case (f, n, d) if d == n => f }).sorted
     val partial = perFile.collect { case (f, n, d) if d > 0 && d < n => f }.sorted
 
     val before = loaded.files.map(_.file).toSet
@@ -102,19 +131,67 @@ object StoreDelete {
 
   /** The reference retention proc against the store: compute the cutoff
     * (newest start date older than `now - retentionDays` — the cutoff
-    * row itself survives, sql:404-408) from a column-pruned scan, then
-    * [[delete]] everything strictly below it.
+    * row itself survives, sql:404-408), then [[delete]] everything
+    * strictly below it.
+    *
+    * Both phases run off the sidecar's backup_start_date envelopes when
+    * available:
+    *
+    *   - the CUTOFF (max start date below the threshold) folds the
+    *     per-file maxima that sit entirely below the threshold on the
+    *     driver and scans only the files whose envelope STRADDLES it —
+    *     under a time-correlated layout that is one boundary file;
+    *   - the DELETE classifies each file by envelope: entirely below the
+    *     cutoff → dropped whole (footer-count only), entirely at/above →
+    *     untouched (no scan), straddling → counting scan + survivor
+    *     rewrite. Sound because `backup_start_date` is non-null in the
+    *     consolidated schema, so min/max cover every row.
+    *
+    * Stores without a usable sidecar (foreign layouts) fall back to the
+    * full column-pruned scan for the cutoff and per-file counting for
+    * the delete.
     */
   def purgeExpired(spark: SparkSession, path: String, retentionDays: Int,
       now: java.sql.Timestamp,
       partitionBy: Seq[String] = Nil): DeleteStats = {
-    val cutoff = graft.maintenance.Retention.cleanupCutoff(
-      ConsolidatedStore.read(spark, path).select("backup_start_date"),
-      retentionDays, now)
-    cutoff match {
+    val loaded = StoreMeta.load(spark, path)
+    val threshold = new java.sql.Timestamp(
+      now.getTime - retentionDays * 86400000L)
+    val thresholdUs = StoreMeta.micros(threshold)
+
+    val cutoffUs: Option[Long] = loaded match {
+      case Some(l) if l.files.nonEmpty && l.files.forall(_.startMaxUs != null) =>
+        val belowMeta = l.files
+          .filter(f => f.startMaxUs < thresholdUs && f.startMaxUs != Long.MinValue)
+          .map(_.startMaxUs.longValue)
+        val straddling = l.files
+          .filter(f => f.startMinUs < thresholdUs && f.startMaxUs >= thresholdUs)
+        val scanned: Option[Long] =
+          if (straddling.isEmpty) None
+          else Option(spark.read
+            .option("basePath", path).schema(Schemas.consolidated)
+            .parquet(straddling.map(f => s"$path/${f.file}"): _*)
+            .filter(col("backup_start_date") < lit(threshold))
+            .agg(max(unix_micros(col("backup_start_date")))).head().get(0))
+            .map(_.asInstanceOf[Long])
+        (belowMeta ++ scanned).reduceOption(_ max _)
+      case _ =>
+        graft.maintenance.Retention.cleanupCutoff(
+          ConsolidatedStore.read(spark, path).select("backup_start_date"),
+          retentionDays, now).map(StoreMeta.micros)
+    }
+
+    cutoffUs match {
       case None => DeleteStats(0L, 0L, 0L)
-      case Some(c) =>
-        delete(spark, path, col("backup_start_date") < lit(c), partitionBy)
+      case Some(cUs) =>
+        val c = new java.sql.Timestamp(Math.floorDiv(cUs, 1000L))
+        c.setNanos((Math.floorMod(cUs, 1000000L) * 1000L).toInt)
+        delete(spark, path, col("backup_start_date") < lit(c), partitionBy,
+          fileVerdict = f =>
+            if (f.startMinUs == null || f.startMaxUs == null) None
+            else if (f.startMaxUs < cUs) Some(true) // every row expired
+            else if (f.startMinUs >= cUs) Some(false) // every row survives
+            else None)
     }
   }
 }

@@ -38,7 +38,16 @@ final case class FileStats(
     devMin: String,
     devMax: String,
     devNullCount: Long,
-    devHashes: Seq[Long] = null)
+    devHashes: Seq[Long] = null,
+    // backup_start_date envelope in unix micros (the column is non-null
+    // in the consolidated schema, so min/max cover every row). Boxed and
+    // null = unrecorded (pre-migration sidecar row) — readers and the
+    // retention fast path treat null as "consult the file". Serves the
+    // reference's date-keyed access paths: the retention proc's
+    // `backup_start_date < @CleanupToDate` (sql:404-408) and the
+    // point-in-time restore bound (sql:131).
+    startMinUs: java.lang.Long = null,
+    startMaxUs: java.lang.Long = null)
 
 /** Min/max of the dedup-key columns over one incoming (deduped) batch —
   * or over one `database_name` group of it: the append path computes one
@@ -123,7 +132,11 @@ object StoreMeta {
     // per (set, stripe), so min/max ranges of neighboring files overlap
     // almost always while their actual device SETS almost never do.
     StructField("dev_hashes", ArrayType(LongType, containsNull = false),
-      nullable = true)))
+      nullable = true),
+    // backup_start_date min/max in unix micros; nullable for migration
+    // (pre-r9 segments read as null = unrecorded, conservative consult)
+    StructField("start_min_us", LongType, nullable = true),
+    StructField("start_max_us", LongType, nullable = true)))
 
   /** Result of [[load]]: reconciled per-file stats, whether the sidecar
     * on disk drifted from the listing (caller should fold a full rewrite
@@ -226,15 +239,20 @@ object StoreMeta {
         sum(when(col("physical_device_name").isNull, 1L).otherwise(0L))
           .as("dev_null_count"),
         sort_array(collect_set(when(col("physical_device_name").isNotNull,
-          xxhash64(col("physical_device_name"))))).as("dev_hashes"))
+          xxhash64(col("physical_device_name"))))).as("dev_hashes"),
+        min(unix_micros(col("backup_start_date"))).as("start_min_us"),
+        max(unix_micros(col("backup_start_date"))).as("start_max_us"))
       .collect().toSeq
     // input_file_name() may return a zero-row file's name never (no rows
     // → no group): emit a sentinel so load() does not re-mark such a
-    // file unknown-and-dirty on every subsequent append
+    // file unknown-and-dirty on every subsequent append. Its date range
+    // is the EMPTY interval (min > max) so date-bounded reads prune it.
     val seen = grouped.map(r => relativize(rootPath, r.getString(0))).toSet
     val sentinels = files.filterNot(seen).map { f =>
       FileStats(f, 0L, null, null, null, null, null, null, null, null, 0L,
-        devHashes = Seq.empty)
+        devHashes = Seq.empty,
+        startMinUs = java.lang.Long.MAX_VALUE,
+        startMaxUs = java.lang.Long.MIN_VALUE)
     }
     grouped.map { r =>
       val hashes = r.getSeq[Long](11)
@@ -246,7 +264,9 @@ object StoreMeta {
         if (r.isNullAt(8)) null else r.getString(8),
         if (r.isNullAt(9)) null else r.getString(9),
         r.getLong(10),
-        devHashes = if (hashes.size > DevHashSetCap) null else hashes)
+        devHashes = if (hashes.size > DevHashSetCap) null else hashes,
+        startMinUs = r.getLong(12),
+        startMaxUs = r.getLong(13))
     } ++ sentinels
   }
 
@@ -288,12 +308,76 @@ object StoreMeta {
       rows.add(Row(
         f.file, f.logIdMax,
         f.lastLsnMin, f.lastLsnMax, f.firstLsnMin, f.firstLsnMax,
-        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount, f.devHashes))
+        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount, f.devHashes,
+        f.startMinUs, f.startMaxUs))
     }
     spark.createDataFrame(rows, metaSchema)
       .coalesce(1)
       .write.mode(if (overwrite) "overwrite" else "append")
       .parquet(s"$root/$dirName")
+  }
+
+  /** Conjunctive read-predicate bounds on the columns the sidecar keeps
+    * envelopes for — the read-side twin of [[KeyRanges]]. Each component
+    * is optional; an unset component constrains nothing. This is the
+    * file-level form of the restore surface's sargable predicates
+    * (SURVEY §2.2 P4/P5/P6: database equality, LSN range, point-in-time)
+    * and the retention proc's date cutoff — i.e. the reference's
+    * covering-index access paths (sql:35-39) as zone-map file skipping.
+    */
+  final case class ReadBounds(
+      databases: Option[Set[String]] = None, // database_name ∈ set
+      lastLsnGt: Option[JBigDecimal] = None, // last_lsn >  x (chain scans)
+      lastLsnLte: Option[JBigDecimal] = None, // last_lsn <= x
+      startBefore: Option[java.sql.Timestamp] = None, // backup_start_date <  t
+      startAtLeast: Option[java.sql.Timestamp] = None) { // backup_start_date >= t
+    def unconstrained: Boolean =
+      databases.isEmpty && lastLsnGt.isEmpty && lastLsnLte.isEmpty &&
+        startBefore.isEmpty && startAtLeast.isEmpty
+  }
+
+  /** unix micros of a Timestamp (getTime already carries the millis;
+    * only the sub-milli part of getNanos is added on top).
+    */
+  private[graft] def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L
+
+  /** Whether a file's envelope can hold a row satisfying `b`. Unknown
+    * (null) stats are conservative — the file is consulted. Exact
+    * row-level filtering still happens after the read; this only skips
+    * files that provably contain no match.
+    */
+  def mayContain(f: FileStats, b: ReadBounds): Boolean = {
+    val dbOk = b.databases match {
+      case Some(dbs) =>
+        f.dbMin == null || f.dbMax == null ||
+          dbs.exists(d => cmpUtf8(f.dbMin, d) <= 0 && cmpUtf8(d, f.dbMax) <= 0)
+      case None => true
+    }
+    def lsnGtOk = b.lastLsnGt.forall(x =>
+      f.lastLsnMax == null || f.lastLsnMax.compareTo(x) > 0)
+    def lsnLteOk = b.lastLsnLte.forall(x =>
+      f.lastLsnMin == null || f.lastLsnMin.compareTo(x) <= 0)
+    def startBeforeOk = b.startBefore.forall(t =>
+      f.startMinUs == null || f.startMinUs < micros(t))
+    def startAtLeastOk = b.startAtLeast.forall(t =>
+      f.startMaxUs == null || f.startMaxUs >= micros(t))
+    dbOk && lsnGtOk && lsnLteOk && startBeforeOk && startAtLeastOk
+  }
+
+  /** Row-level residual of [[ReadBounds]] — applied after the pruned
+    * read so `readWhere(bounds)` ≡ `read().filter(residual)` exactly.
+    */
+  def residual(b: ReadBounds): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val preds = Seq(
+      b.databases.map(dbs =>
+        col("database_name").isin(dbs.toSeq.sorted.map(x => x: Any): _*)),
+      b.lastLsnGt.map(x => col("last_lsn") > lit(x)),
+      b.lastLsnLte.map(x => col("last_lsn") <= lit(x)),
+      b.startBefore.map(t => col("backup_start_date") < lit(t)),
+      b.startAtLeast.map(t => col("backup_start_date") >= lit(t))).flatten
+    if (preds.isEmpty) lit(true) else preds.reduce(_ && _)
   }
 
   /** Files whose key ranges can contain a key from the batch envelope —
@@ -320,7 +404,9 @@ object StoreMeta {
     if (r.isNullAt(8)) null else r.getString(8),
     if (r.isNullAt(9)) null else r.getString(9),
     if (r.isNullAt(10)) -1L else r.getLong(10), // -1 = pre-migration row
-    devHashes = if (r.isNullAt(11)) null else r.getSeq[Long](11))
+    devHashes = if (r.isNullAt(11)) null else r.getSeq[Long](11),
+    startMinUs = if (r.isNullAt(12)) null else java.lang.Long.valueOf(r.getLong(12)),
+    startMaxUs = if (r.isNullAt(13)) null else java.lang.Long.valueOf(r.getLong(13)))
 
   private def decOverlap(
       fMin: JBigDecimal, fMax: JBigDecimal,
