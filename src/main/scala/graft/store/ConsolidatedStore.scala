@@ -312,6 +312,122 @@ object ConsolidatedStore {
     } finally deduped.unpersist()
   }
 
+  /** Multi-writer idempotent append under OPTIMISTIC CONCURRENCY — the
+    * entry point for two simultaneous appenders sharing one store (the
+    * serialized-writer [[append]] stays the ETL runner's path).
+    *
+    * Protocol, per attempt:
+    *
+    *   1. read the COMMITTED state: live files from the log replay at
+    *      the observed version v0 (a racing writer's uncommitted files
+    *      are invisible — dedup and LogID assignment never consume
+    *      phantoms), stats from the sidecar;
+    *   2. anti-join the batch against the envelope-overlapping live
+    *      files, assign LogIDs from the committed max;
+    *   3. write the batch files into a `_graft_staging/<uuid>` dir
+    *      (invisible to scans), move them into the root — exact
+    *      ownership of the new file names, no listing diffs;
+    *   4. claim version v0+1 via [[StoreLog.tryCommit]]'s atomic
+    *      create-no-overwrite. Win → one sidecar delta segment, done.
+    *      Loss → delete own files and REDO from step 1 against the new
+    *      state (appends are commutative but not blind: the redo re-runs
+    *      the dedup and re-bases the LogIDs, which is what keeps "no
+    *      lost rows + unique LogIDs" under interleaving; O(batch) per
+    *      retry).
+    *
+    * Readers that list the directory can observe a writer's files during
+    * its step-3→4 window — the same window the serialized path has; a
+    * crash there leaves uncommitted orphans that [[StoreRepair.repair]]
+    * reconciles. Bootstrap (very first commit) of a store that already
+    * holds UNLOGGED data is single-writer: take one serialized [[append]]
+    * first; concurrent bootstrap of an EMPTY store is safe (the v1 claim
+    * is the arbiter).
+    */
+  def appendConcurrent(spark: SparkSession, path: String, incoming: DataFrame,
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      maxAttempts: Int = 8): Long =
+    appendConcurrentHooked(spark, path, incoming, sortWithin, maxAttempts)(
+      (_, _) => ())
+
+  /** [[appendConcurrent]] with a test seam: `beforeCommit(attempt, v0)`
+    * runs after the batch files are published but before the version
+    * claim — exactly the window a racing writer can win in. The
+    * concurrency spec injects a competing commit there to drive the
+    * redo path deterministically.
+    */
+  private[graft] def appendConcurrentHooked(
+      spark: SparkSession, path: String, incoming: DataFrame,
+      sortWithin: Seq[String], maxAttempts: Int)(
+      beforeCommit: (Int, Int) => Unit): Long = {
+    import org.apache.hadoop.fs.Path
+    val deduped = incoming.dropDuplicates(dedupKey).cache()
+    try {
+      val envelopes = batchEnvelopes(deduped)
+      if (envelopes.isEmpty) return 0L
+      val rootQ = StoreMeta.qualifiedPath(spark, path)
+      val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        if (attempt > maxAttempts)
+          throw new StoreLog.ConcurrentCommitException(
+            s"append on $path lost $maxAttempts version races; reduce " +
+              "writer contention or raise maxAttempts")
+        val v0 = StoreLog.currentVersion(spark, path)
+        if (v0 == 0) require(
+          StoreMeta.listDataFiles(spark, path).getOrElse(Nil).isEmpty,
+          s"appendConcurrent bootstrap on unlogged non-empty store $path: " +
+            "take one serialized append first to baseline the log")
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
+          .foreach { c => live ++= c.adds; live --= c.removes }
+        val liveStats = StoreMeta.load(spark, path)
+          .map(_.files.filter(f => live(f.file))).getOrElse(Nil)
+        val overlapping = liveStats
+          .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+        val fresh =
+          if (overlapping.isEmpty) deduped
+          else deduped.alias("in")
+            .join(spark.read
+              .option("basePath", path).schema(Schemas.consolidated)
+              .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+              .select(dedupKey.map(col): _*).alias("ex"),
+              keyCondition("in", "ex"), "left_anti")
+            .cache()
+        try {
+          val n = fresh.count()
+          if (n == 0L) return 0L
+          val base = liveStats.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
+          val assigned = withLogIdsFrom(base, fresh, batchRows = n)
+          val laidOut =
+            if (sortWithin.isEmpty) assigned
+            else assigned.sortWithinPartitions(sortWithin.map(col): _*)
+          val stage = s"$path/_graft_staging/${java.util.UUID.randomUUID()}"
+          laidOut.write.parquet(stage)
+          val mine = StoreMeta.listDataFiles(spark, stage).getOrElse(Nil)
+          mine.foreach { f =>
+            val dst = new Path(s"$path/$f")
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(new Path(s"$stage/$f"), dst),
+              s"appendConcurrent: stage move failed $stage/$f")
+          }
+          fs.delete(new Path(stage), true)
+          beforeCommit(attempt, v0)
+          if (StoreLog.tryCommit(spark, path, v0 + 1, "append",
+              adds = mine, removes = Nil)) {
+            StoreMeta.saveDelta(spark, path,
+              StoreMeta.scanStats(spark, path, mine))
+            return n
+          }
+          // lost the claim: un-publish our files and redo against the
+          // winner's state (they may hold our keys or our LogID range)
+          mine.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+        } finally if (fresh ne deduped) fresh.unpersist()
+      }
+      0L // unreachable
+    } finally deduped.unpersist()
+  }
+
   /** The pre-sidecar shape — whole-table key scan + whole-table max —
     * kept for foreign (non-hive) layouts where per-file zone maps cannot
     * be reconstructed.

@@ -112,15 +112,18 @@ object StoreDelete {
     if (first) {
       val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
       removed.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+      StoreLog.commit(spark, path, "delete",
+        adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
+        removes = Nil)
     } else {
       val v = StoreLog.currentVersion(spark, path) + 1
       StoreLog.archive(spark, path, v,
         removed.map(f => (new Path(s"$path/$f"), f)))
+      // optimistic claim (see StoreLog.commitReplacing): disjoint racers
+      // rebase, overlapping rewrites roll back and abort
+      StoreLog.commitReplacing(spark, path, "delete",
+        adds = newFiles, removes = removed, archivedAt = v)
     }
-    StoreLog.commit(spark, path, "delete",
-      adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
-             else newFiles,
-      removes = if (first) Nil else removed)
 
     val removedSet = removed.toSet
     StoreMeta.save(spark, path,

@@ -119,20 +119,117 @@ object StoreLog {
         ("adds" -> c.adds) ~ ("removes" -> c.removes) ~ ("txn" -> c.txn)))
   }
 
+  /** Two writers raced for the same commit version and this one must
+    * abort: the store state it based its work on no longer exists. The
+    * store itself stays consistent — the winner's commit is intact, and
+    * the loser's in-flight files are uncommitted orphans that
+    * [[StoreRepair.repair]] (run by the abort paths below) removes.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Atomically claim version `expected` with create-no-overwrite — the
+    * multi-writer arbiter: exactly one writer's create succeeds for a
+    * given version; every other returns false and must rebase or abort.
+    * The commit file is rendered to bytes BEFORE the create so a claimed
+    * version is never left empty by a render error.
+    */
+  def tryCommit(spark: SparkSession, root: String, expected: Int, op: String,
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[String] = None): Boolean = {
+    val p = commitPath(root, expected)
+    val bytes = render(Commit(expected, op, adds.sorted, removes.sorted, txn))
+      .getBytes(StandardCharsets.UTF_8)
+    val f = fs(spark, p)
+    if (f.exists(p)) return false // cheap pre-check; create is the arbiter
+    val out =
+      try f.create(p, false)
+      catch { case _: java.io.IOException => return false } // lost the race
+    try out.write(bytes) finally out.close()
+    true
+  }
+
   /** Write the next commit; returns its version. Appends to one store
-    * are serialized (the [[ConsolidatedStore.append]] contract), so the
-    * next version is simply max + 1.
+    * through THIS entry point are serialized (the
+    * [[ConsolidatedStore.append]] contract); a race here is a contract
+    * violation and aborts loudly rather than clobbering. Multi-writer
+    * callers use [[tryCommit]] ([[ConsolidatedStore.appendConcurrent]])
+    * or [[commitReplacing]] (merge/delete).
     */
   def commit(spark: SparkSession, root: String, op: String,
       adds: Seq[String], removes: Seq[String],
       txn: Option[String] = None): Int = {
     val v = currentVersion(spark, root) + 1
-    val p = commitPath(root, v)
-    val out = fs(spark, p).create(p, false) // fail, don't clobber, on a race
-    try out.write(render(Commit(v, op, adds.sorted, removes.sorted, txn))
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    if (!tryCommit(spark, root, v, op, adds, removes, txn))
+      throw new ConcurrentCommitException(
+        s"commit v$v of $op on $root lost a race on a serialized-writer " +
+          "path; run StoreRepair.repair and re-run the operation")
     v
+  }
+
+  /** Commit a file-REPLACING operation (merge/delete) whose displaced
+    * originals were already archived under `archivedAt`'s history dir,
+    * under optimistic concurrency:
+    *
+    *   - version claim lost, intervening commits DISJOINT from this
+    *     op's read/write set → rebase: re-home the archive dir to the
+    *     next version and claim it (pure appends racing a merge commute
+    *     at the file level — the merge never saw or touched their
+    *     files);
+    *   - intervening commit OVERLAPS (added or removed any file this op
+    *     adds or removes) → abort: roll the store back to the last
+    *     committed state via [[StoreRepair.repair]] (restores the
+    *     archived originals, drops this op's uncommitted rewrites) and
+    *     throw [[ConcurrentCommitException]] — the caller re-runs
+    *     against the new state. Overlapping rewrites CANNOT be merged
+    *     after the fact: both writers rewrote from the same originals,
+    *     so one of the two survivor sets is stale.
+    */
+  def commitReplacing(spark: SparkSession, root: String, op: String,
+      adds: Seq[String], removes: Seq[String], archivedAt: Int,
+      txn: Option[String] = None): Int = {
+    val mine = (adds ++ removes).toSet
+    var myV = archivedAt
+    while (!tryCommit(spark, root, myV, op, adds, removes, txn)) {
+      val cur = currentVersion(spark, root)
+      val intervening = readCommits(spark, root)
+        .filter(c => c.version >= myV && c.version <= cur)
+      if (intervening.exists(c =>
+          c.adds.exists(mine) || c.removes.exists(mine))) {
+        // roll back: our version number was claimed by the winner, so the
+        // archive dir sits at a COMMITTED version where repair would not
+        // look — re-home it above the current version first, then let
+        // repair restore the originals and drop our uncommitted rewrites
+        rehomeArchive(spark, root, myV, cur + 1)
+        StoreRepair.repair(spark, root)
+        throw new ConcurrentCommitException(
+          s"$op on $root conflicts with concurrent commits " +
+            s"${intervening.map(_.version).mkString(",")} touching shared " +
+            "files; rolled back — re-run against the current state")
+      }
+      myV = rehomeArchive(spark, root, myV, cur + 1)
+    }
+    myV
+  }
+
+  /** Move the history dir of `from` to the first free version >= `atLeast`
+    * (free = no commit file and no history dir). Returns the version the
+    * archive now sits at (or `atLeast` if there was nothing to move).
+    */
+  private def rehomeArchive(
+      spark: SparkSession, root: String, from: Int, atLeast: Int): Int = {
+    val oldDir = new Path(s"$root/$historyDirName/${f"v$from%09d"}")
+    val f = fs(spark, oldDir)
+    var nv = atLeast
+    if (!f.exists(oldDir)) return nv
+    var newDir = new Path(s"$root/$historyDirName/${f"v$nv%09d"}")
+    while (f.exists(newDir) || f.exists(commitPath(root, nv))) {
+      nv += 1
+      newDir = new Path(s"$root/$historyDirName/${f"v$nv%09d"}")
+    }
+    require(f.rename(oldDir, newDir),
+      s"commitReplacing: archive re-home failed $oldDir -> $newDir")
+    nv
   }
 
   /** Whether an idempotence token was already committed — the replay

@@ -65,7 +65,18 @@ object StoreMerge {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       partitionBy: Seq[String] = Nil,
       sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
-      txnId: Option[String] = None): MergeStats = {
+      txnId: Option[String] = None): MergeStats =
+    mergeHooked(spark, path, updates, partitionBy, sortWithin, txnId)(() => ())
+
+  /** [[merge]] with a test seam: `beforeCommit` runs after the rewrite is
+    * published but before the version claim — the window a racing writer
+    * can win in (see [[StoreLog.commitReplacing]]). The concurrency spec
+    * injects an overlapping commit there to drive the abort path.
+    */
+  private[graft] def mergeHooked(
+      spark: SparkSession, path: String, updates: DataFrame,
+      partitionBy: Seq[String], sortWithin: Seq[String],
+      txnId: Option[String])(beforeCommit: () => Unit): MergeStats = {
     // exactly-once replay guard: a redelivered micro-batch whose token
     // already committed is a NO-OP (the transactional-writer contract a
     // restarted streaming foreachBatch sink relies on)
@@ -153,21 +164,25 @@ object StoreMerge {
         // A store whose very first logged operation is this merge
         // baselines instead: adds = the full post-merge live set.
         val first = StoreLog.currentVersion(spark, path) == 0
-        if (touched.nonEmpty) {
-          if (first) {
+        if (first) {
+          if (touched.nonEmpty) {
             val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
             touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
-          } else {
-            val v = StoreLog.currentVersion(spark, path) + 1
+          }
+          StoreLog.commit(spark, path, "merge",
+            adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
+            removes = Nil, txn = txnId)
+        } else {
+          val v = StoreLog.currentVersion(spark, path) + 1
+          if (touched.nonEmpty)
             StoreLog.archive(spark, path, v,
               touched.map(f => (new Path(s"$path/$f"), f)))
-          }
+          beforeCommit()
+          // optimistic claim: racing disjoint commits rebase the archive
+          // to the next version; an overlapping rewrite rolls back + throws
+          StoreLog.commitReplacing(spark, path, "merge",
+            adds = newFiles, removes = touched, archivedAt = v, txn = txnId)
         }
-        StoreLog.commit(spark, path, "merge",
-          adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
-                 else newFiles,
-          removes = if (first) Nil else touched,
-          txn = txnId)
 
         val touchedSet = touched.toSet
         StoreMeta.save(spark, path,

@@ -63,6 +63,11 @@ object StoreRepair {
     val rootQ = StoreMeta.qualifiedPath(spark, root)
     val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
     val preRestored = reconcileCompaction(spark, root, fs)
+    // crashed concurrent appenders leave inert batch files under the
+    // (scan-invisible) staging dir — drop them wholesale
+    val staging = new Path(s"$root/_graft_staging")
+    if (fs.exists(staging))
+      require(fs.delete(staging, true), s"repair: staging drop failed $staging")
 
     val current = StoreLog.currentVersion(spark, root)
     if (current == 0) { // no log — no reconciliation baseline beyond the

@@ -1,0 +1,218 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{ConsolidatedStore, StoreDelete, StoreLog, StoreMerge,
+  StoreMeta, StoreRepair}
+
+/** Multi-writer commit protocol: the atomic create-no-overwrite version
+  * claim arbitrates, commutative appends rebase-and-redo, overlapping
+  * file rewrites roll back and abort. Deterministic tests drive each
+  * branch through the `beforeCommit` seam / hand-planted racing commits;
+  * one thread-based test shakes real interleavings.
+  */
+class StoreConcurrencySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-conc").toString + "/t"
+
+  private def bh = graft.etl.BackupHistoryDerivation
+    .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+
+  test("tryCommit: exactly one writer claims a version") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.limit(50))
+    val v = StoreLog.currentVersion(spark, path) + 1
+    assert(StoreLog.tryCommit(spark, path, v, "append", Seq("x.parquet"), Nil))
+    assert(!StoreLog.tryCommit(spark, path, v, "append", Seq("y.parquet"), Nil),
+      "second claim of the same version must lose")
+    val c = StoreLog.readCommits(spark, path).last
+    assert(c.version == v && c.adds == Seq("x.parquet"),
+      "the loser must not clobber the winner's commit")
+  }
+
+  test("appendConcurrent: lost claim redoes the dedup and rebases LogIDs") {
+    val path = tmp()
+    val h = bh.cache()
+    val total = h.count()
+    // committed base: first 100 keys (deterministic order)
+    val base = h.orderBy("backup_finish_date", "database_name", "last_lsn",
+      "physical_device_name").limit(100)
+    ConsolidatedStore.append(spark, path, base)
+
+    // writer A appends everything; on its FIRST attempt a racer commits
+    // an overlapping batch (the same base plus 50 more) in A's
+    // publish→claim window, so A must lose v2, drop its files, re-dedup
+    // against the racer's state, and land at v3
+    var injected = false
+    val n = ConsolidatedStore.appendConcurrentHooked(
+      spark, path, h, Seq("database_name", "last_lsn"), 8) { (attempt, _) =>
+      if (attempt == 1 && !injected) {
+        injected = true
+        val racer = h.orderBy("backup_finish_date", "database_name",
+          "last_lsn", "physical_device_name").limit(150)
+        assert(ConsolidatedStore.appendConcurrent(spark, path, racer) == 50,
+          "racer adds the 50 keys past the base")
+      }
+    }
+    assert(injected, "the race must actually have been injected")
+    assert(n == total - 150,
+      s"loser must re-dedup against the racer's 150 committed keys, got $n")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == total, "no lost rows, no duplicates")
+    assert(stored.select("LogID").distinct().count() == total, "LogIDs unique")
+    assert(stored.agg(max("LogID")).head().getLong(0) == total, "ids contiguous")
+    assert(StoreRepair.repair(spark, path).clean,
+      "no orphans after a resolved race")
+    // the sidecar describes exactly the directory
+    val meta = StoreMeta.load(spark, path).get
+    assert(!meta.dirty, "sidecar consistent after concurrent appends")
+    h.unpersist()
+  }
+
+  test("two threaded appenders interleave without losing rows or ids") {
+    val path = tmp()
+    val h = bh.cache()
+    val total = h.count()
+    ConsolidatedStore.append(spark, path, h.limit(1)) // logged baseline
+    // overlapping halves: [0, 60%) and [40%, 100%) of the finish order
+    val ordered = h.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    val a = ordered.limit((total * 6 / 10).toInt)
+    val bCut = (total * 4 / 10).toInt
+    val b = ordered.limit(total.toInt).except(ordered.limit(bCut))
+    val fa = Future(ConsolidatedStore.appendConcurrent(spark, path, a))
+    val fb = Future(ConsolidatedStore.appendConcurrent(spark, path, b))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == total, "union of overlapping halves = all rows")
+    assert(stored.select("LogID").distinct().count() == total, "LogIDs unique")
+    assert(StoreRepair.repair(spark, path).clean)
+    assert(!StoreMeta.load(spark, path).get.dirty)
+    h.unpersist()
+  }
+
+  test("commitReplacing: disjoint racer rebases the archive to the next version") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") >= "db2"))
+    val preRows = spark.read.parquet(path).count()
+    val v0 = StoreLog.currentVersion(spark, path)
+    // a merge archived its touched file at v0+1...
+    val victim = StoreMeta.load(spark, path).get.files.head.file
+    StoreLog.archive(spark, path, v0 + 1,
+      Seq((new org.apache.hadoop.fs.Path(s"$path/$victim"), victim)))
+    // ...then a DISJOINT append claims v0+1 first
+    assert(StoreLog.tryCommit(spark, path, v0 + 1, "append",
+      Seq("unrelated.parquet"), Nil))
+    val v = StoreLog.commitReplacing(spark, path, "merge",
+      adds = Seq("rewrite.parquet"), removes = Seq(victim),
+      archivedAt = v0 + 1)
+    assert(v == v0 + 2, s"rebase must land on the next version, got $v")
+    // the archive moved with it: the pre-merge snapshot at v0 still reads
+    assert(StoreLog.snapshot(spark, path, v0).count() == preRows)
+    val hist = new java.io.File(
+      s"$path/${StoreLog.historyDirName}/${"v%09d".format(v0 + 2)}")
+    assert(hist.exists, "archive dir re-homed under the committed version")
+  }
+
+  test("commitReplacing: overlapping racer rolls back and aborts") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") >= "db2"))
+    val preRows = spark.read.parquet(path).count()
+    val preFiles = StoreMeta.load(spark, path).get.files.map(_.file).toSet
+    val v0 = StoreLog.currentVersion(spark, path)
+    val victim = preFiles.head
+    // our delete archived the victim, wrote a survivor rewrite...
+    StoreLog.archive(spark, path, v0 + 1,
+      Seq((new org.apache.hadoop.fs.Path(s"$path/$victim"), victim)))
+    val orphan = "part-99999-loser.c000.snappy.parquet"
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$path/$orphan"),
+      Array.emptyByteArray)
+    // ...but a racer committed a rewrite REMOVING the same victim first.
+    // Its rewrite file must physically exist (repair heals live files by
+    // scanning them): stand in a byte-copy of the archived victim.
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(
+        s"$path/${StoreLog.historyDirName}/${"v%09d".format(v0 + 1)}/$victim"),
+      java.nio.file.Paths.get(s"$path/their-rewrite.parquet"))
+    assert(StoreLog.tryCommit(spark, path, v0 + 1, "merge",
+      Seq("their-rewrite.parquet"), Seq(victim)))
+    val ex = intercept[StoreLog.ConcurrentCommitException] {
+      StoreLog.commitReplacing(spark, path, "delete",
+        adds = Seq(orphan), removes = Seq(victim), archivedAt = v0 + 1)
+    }
+    assert(ex.getMessage.contains("conflicts"))
+    // rollback converges the DIRECTORY to the racer's committed state:
+    // our uncommitted rewrite is dropped, no "delete" commit was
+    // appended, and the racer's commit (which removed the victim) is the
+    // log head — the loser's work leaves no trace
+    val after = StoreMeta.listDataFiles(spark, path).get.toSet
+    assert(!after.contains(orphan), "loser's rewrite dropped on abort")
+    assert(!after.contains(victim),
+      "the racer's commit removed the victim; rollback honors the log")
+    val head = StoreLog.readCommits(spark, path).last
+    assert(head.version == v0 + 1 && head.removes == Seq(victim),
+      "racer's commit stays the log head; loser appended nothing")
+    assert(StoreRepair.repair(spark, path).clean, "rollback is idempotent")
+    assert(preRows > 0L) // fixture sanity
+  }
+
+  test("merge aborted by an overlapping concurrent rewrite rolls back, then reruns cleanly") {
+    val path = tmp()
+    val h = bh.cache()
+    // db-split layout: db0/db1 in file 1, db2+ in file 2
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") >= "db2"))
+    val v0 = StoreLog.currentVersion(spark, path)
+    // the file the merge will rewrite (holds db1's keys)
+    val touched = StoreMeta.load(spark, path).get.files
+      .filter(f => StoreMeta.overlaps(f, ConsolidatedStore.batchEnvelopes(
+        h.filter(col("database_name") === "db1")
+          .dropDuplicates(ConsolidatedStore.dedupKey)).head)).map(_.file)
+    assert(touched.nonEmpty)
+    // a racer claims the next version REMOVING that same file inside the
+    // merge's publish→claim window → the merge must abort and roll back
+    // to the racer's committed state
+    val upd = h.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 7)
+    intercept[StoreLog.ConcurrentCommitException] {
+      StoreMerge.mergeHooked(spark, path, upd, Nil,
+        Seq("database_name", "last_lsn"), None) { () =>
+        // the racer's rewrite must physically exist (repair heals live
+        // files by scanning them): stand in a byte-copy of the victim,
+        // which the merge just archived under v0+1's history dir
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$path/${StoreLog.historyDirName}/" +
+            s"${"v%09d".format(v0 + 1)}/${touched.head}"),
+          java.nio.file.Paths.get(s"$path/racer.parquet"))
+        assert(StoreLog.tryCommit(spark, path, v0 + 1, "merge",
+          Seq("racer.parquet"), touched))
+      }
+    }
+    // converged on the racer's state: touched file gone, merge appended
+    // no commit, loser's rewrite files dropped
+    val files = StoreMeta.listDataFiles(spark, path).get.toSet
+    assert(touched.forall(f => !files.contains(f)))
+    assert(files.contains("racer.parquet"))
+    assert(StoreLog.readCommits(spark, path).last.version == v0 + 1)
+    // the caller's contract after an abort: re-run against the new state
+    // (the racer's stand-in rewrite still holds db1's keys → updates)
+    val m = StoreMerge.merge(spark, path, upd)
+    val nUpd = upd.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(m.updated == nUpd && m.inserted == 0L, m.toString)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == h.count(), "no rows lost across abort + rerun")
+    assert(stored.select("LogID").distinct().count() == stored.count())
+    h.unpersist()
+  }
+}
