@@ -39,4 +39,56 @@ object Skew {
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Derive the salt spread from the data instead of guessing: ONE
+    * map-side-combinable Misra–Gries pass over the skewed side's key
+    * (constant memory, no shuffle of the input) estimates the heaviest
+    * key's frequency share, and the bucket count is that share over the
+    * even-reducer target `1/numShufflePartitions`:
+    *
+    *   - a 99%-mass hub on a 32-reducer shuffle derives ~32 buckets —
+    *     its rows spread across every reducer;
+    *   - a uniform key set derives 1 — [[adaptiveSaltedJoin]] degrades
+    *     to a plain join and the dimension is never replicated.
+    *
+    * The MG counter is a lower bound with error ≤ n/probeK, so the share
+    * is taken at its UPPER confidence edge (count + n/probeK) — when in
+    * doubt, spread more; over-spreading costs one small dim replication,
+    * under-spreading costs a pinned reducer.
+    */
+  def adaptiveSaltBuckets(
+      skewed: DataFrame,
+      keys: Seq[String],
+      maxBuckets: Int = 64,
+      probeK: Int = 64): Int = {
+    val key = concat_ws("\u0000", keys.map(col): _*)
+    // function registries are per-session: register in the frame's OWN
+    // session (a fresh newSession() has not seen the default registration)
+    graft.functions.VectorFunctions.register(skewed.sparkSession)
+    val row = skewed
+      .agg(graft.functions.VectorFunctions.misraGries(key, probeK).as("mg"),
+        count(lit(1)).as("n"))
+      .head()
+    val n = row.getLong(1)
+    if (n == 0L) return 1
+    val mg = row.getMap[String, Long](0)
+    val maxLower = if (mg.isEmpty) 0L else mg.valuesIterator.max
+    val share = (maxLower + n / probeK).toDouble / n
+    val p = skewed.sparkSession.sessionState.conf.numShufflePartitions
+    math.max(1, math.min(maxBuckets, math.ceil(share * p).toInt))
+  }
+
+  /** [[saltedJoin]] at the [[adaptiveSaltBuckets]]-derived spread; a
+    * derived count of 1 (no dominant key) is a plain un-replicated join.
+    */
+  def adaptiveSaltedJoin(
+      skewed: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      joinType: String = "inner",
+      maxBuckets: Int = 64): DataFrame = {
+    val b = adaptiveSaltBuckets(skewed, keys, maxBuckets)
+    if (b <= 1) skewed.join(dim, keys, joinType)
+    else saltedJoin(skewed, dim, keys, b, joinType)
+  }
 }

@@ -51,6 +51,17 @@ object Components {
     // action instead of checkpoint + a second count() scan. Task retries
     // can only inflate the value, never zero it, and all we branch on is
     // "changed == 0" — so over-count is harmless.
+    // salt spread derived from the DATA, once (the edge list is static
+    // across rounds): a Misra–Gries probe of the adjacency key
+    // distribution sizes the scatter to the actual hub mass — a
+    // 99%-degree-mass hub spreads across every reducer, a uniform graph
+    // derives 1 and pays zero label replication (Skew.adaptiveSaltBuckets).
+    val adjSalt = graft.operators.Skew.adaptiveSaltBuckets(
+      edges.select(col("a").as("id")), Seq("id"))
+    // the jump join's hot key is the giant COMPONENT's label — unknown
+    // until convergence and always at least as concentrated as the
+    // degree distribution suggests, so keep a healthy floor there
+    val jumpSalt = math.max(8, adjSalt)
     val acc = pairs.sparkSession.sparkContext.longAccumulator("graft.cc.changed")
     val markChanged = udf { (c: Boolean) => { if (c) acc.add(1L); c } }
       .asNondeterministic() // keep the side effect from being elided/duplicated
@@ -69,7 +80,8 @@ object Components {
       // after it is map-side combinable, so the hub's DOWNSTREAM
       // aggregation was never the problem.
       val nbrMin = graft.operators.Skew
-        .saltedJoin(edges.withColumnRenamed("a", "id"), labels, Seq("id"))
+        .saltedJoin(edges.withColumnRenamed("a", "id"), labels, Seq("id"),
+          saltBuckets = adjSalt)
         .groupBy(col("b").as("id"))
         .agg(min("component").as("nbr"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
@@ -94,7 +106,8 @@ object Components {
       // component-count-sized, so its saltBuckets× replication is the
       // cheap side of the trade by construction.
       val next = graft.operators.Skew
-        .saltedJoin(stepped, jumps, Seq("c1"), joinType = "left")
+        .saltedJoin(stepped, jumps, Seq("c1"), saltBuckets = jumpSalt,
+          joinType = "left")
         .select(col("id"), col("old"),
           least(col("c1"), coalesce(col("c2"), col("c1"))).as("component"))
         .withColumn("chg", markChanged(col("component") =!= col("old")))

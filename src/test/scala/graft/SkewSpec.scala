@@ -178,4 +178,50 @@ class SkewSpec extends AnyFunSuite {
       .select("payload").as[Long].collect().sorted.toSeq
     assert(r == Seq(1L, 2L))
   }
+
+  test("adaptive salt: a 90%-mass hub derives a wide spread, uniform keys derive 1") {
+    val s = skewSession() // 32 shuffle partitions — the derivation target
+    import s.implicits._
+    val n = 20000
+    // 90% of the mass on key 0, the rest uniform over 1..999
+    val hub = s.range(n).select(
+      when(col("id") < n * 9 / 10, 0L).otherwise(col("id") % 999 + 1).as("k"),
+      col("id").as("payload"))
+    val bHub = Skew.adaptiveSaltBuckets(hub, Seq("k"))
+    // share ~0.9 over a 1/32 target → ~29 buckets (±MG error margin)
+    assert(bHub >= 24 && bHub <= 32, s"90% hub on 32 reducers: got $bHub")
+
+    val uniform = s.range(n).select((col("id") % 5000).as("k"),
+      col("id").as("payload"))
+    assert(Skew.adaptiveSaltBuckets(uniform, Seq("k")) == 1,
+      "uniform keys must pay zero replication")
+
+    // bounded per-task input at the derived count: join the hub side
+    // against a small dim and gate the max task's shuffle-read records
+    val dim = s.range(1000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("attr"))
+    val hubDegree = n * 9 / 10
+    var rows = 0L
+    val maxRead = maxTaskShuffleRead(s) {
+      rows = Skew.adaptiveSaltedJoin(hub, dim, Seq("k")).count()
+    }
+    assert(rows == n, "inner join against a complete dim keeps every row")
+    assert(maxRead > 0L, "listener must observe the gated stages")
+    // AQE coalesces the salted partitions by BYTES (several salt buckets
+    // per task is fine — no single KEY pins a reducer anymore), so the
+    // gate is "well below the un-salted hub degree", not the ideal
+    // degree/buckets
+    assert(maxRead < hubDegree / 2,
+      s"derived spread must bound per-task input well below the hub " +
+        s"degree: max task read $maxRead rows, hub $hubDegree")
+
+    // and the adaptive join is result-identical to the plain one
+    val plain = hub.join(dim, Seq("k"))
+      .select("k", "payload", "attr").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val adaptive = Skew.adaptiveSaltedJoin(hub, dim, Seq("k"))
+      .select("k", "payload", "attr").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(adaptive == plain)
+  }
 }
