@@ -814,7 +814,69 @@ object StreamQueries {
       |      > 1.5
       |ORDER BY event_type, window_start_epoch""".stripMargin
 
+  /** Checkpoint-RESTART dedup cycle under the driver's correctness gate:
+    * three separate streaming runs share one checkpoint — initial
+    * delivery, a full REDELIVERY (the at-least-once failure mode: every
+    * row suppressed, the in-watermark-horizon ones specifically by the
+    * RESTORED `dropDuplicatesWithinWatermark` state, the older ones by
+    * the restored watermark's late-row filter), then genuinely fresh
+    * events (time-shifted past the restored watermark — all pass). The
+    * oracle is pure distinct algebra: n, n, 2n, n. A state-restore bug
+    * (duplicates leak on redelivery) or a watermark-restore bug (fresh
+    * rows dropped as late) breaks a phase count. Complements the
+    * StreamingSpec restart tests by running under CORRECTNESS_r{N}.
+    */
+  def q141StreamingRestartDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q141-").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val ev = Tables.events(spark, dir)
+      .select("event_id", "user_id", "ts", "event_type")
+    val n = ev.count()
+    val schema = ev.schema
+    def runPhase(): Long = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    ev.coalesce(1).write.mode("append").parquet(in)
+    val n1 = runPhase()
+    ev.coalesce(1).write.mode("append").parquet(in) // full redelivery
+    val n2 = runPhase()
+    val span = ev
+      .agg(max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+      .head().getLong(0)
+    ev.withColumn("event_id", col("event_id") + 1000000000L)
+      .withColumn("ts",
+        timestamp_micros(unix_micros(col("ts")) + span + 3600000000L))
+      .coalesce(1).write.mode("append").parquet(in)
+    val n3 = runPhase()
+    Seq(
+      ("1_initial", n1),
+      ("2_redelivered", n2),
+      ("3_fresh", n3),
+      ("4_suppressed", 3 * n - n3))
+      .toDF("phase", "n_rows")
+      .orderBy("phase")
+  }
+
+  val q141Oracle: String =
+    """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+      |SELECT '1_initial' AS phase, n AS n_rows FROM c
+      |UNION ALL SELECT '2_redelivered', n FROM c
+      |UNION ALL SELECT '3_fresh', 2 * n FROM c
+      |UNION ALL SELECT '4_suppressed', n FROM c
+      |ORDER BY phase""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_streaming_restart_dedup" -> (q141StreamingRestartDedup _),
     "q132_anomaly_windows" -> (q132AnomalyWindows _),
     "q124_session_funnel" -> (q124SessionFunnel _),
     "q125_retention_cohorts" -> (q125RetentionCohorts _),
@@ -836,6 +898,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q141_streaming_restart_dedup" -> q141Oracle,
     "q132_anomaly_windows" -> q132Oracle,
     "q124_session_funnel" -> q124Oracle,
     "q125_retention_cohorts" -> q125Oracle,

@@ -320,6 +320,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 7L))
   }
 
+  test("session_window MergingSessions state survives a RESTART from its checkpoint") {
+    // the adversarial case: a pre-restart event and a post-restart event
+    // must fuse into ONE session iff the late event lands strictly
+    // inside the restored session's window end (builtin semantics:
+    // window = [first_ts, last_ts + gap); merge iff ts < end)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sw-restart").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def rows(rs: (Long, java.sql.Timestamp)*): Unit =
+      rs.toSeq.toDF("user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    // phase 1: u1 opens [10:00, 10:50) (two events, 20 min apart — one
+    // merged session); u2 opens [10:00, 10:30); u9's 10:30 drives the
+    // watermark to 10:20 — every open end is beyond it, so NOTHING emits
+    rows((1L, ts("10:00")), (1L, ts("10:20")), (2L, ts("10:00")),
+      (9L, ts("10:30")))
+    def schema = spark.read.parquet(in).schema
+    def runPhase(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"), col("n"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runPhase()
+    def read() = spark.read.parquet(out)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(read().isEmpty, s"phase 1 must withhold every open session: ${read()}")
+    // phase 2: u1's 10:45 is STRICTLY inside its restored end (10:50) →
+    // merges, extending to [10:00, 11:15); u2's 10:35 is AT/after its
+    // end (10:30) → a NEW session [10:35, 11:05); u9's 13:00 drives the
+    // final watermark to 12:50, closing everything that ends before it
+    rows((1L, ts("10:45")), (2L, ts("10:35")), (9L, ts("13:00")))
+    runPhase()
+    def us(hhmm: String) = ts(hhmm).getTime * 1000L
+    val expected = Set(
+      (1L, us("10:00"), us("11:15"), 3L), // fused ACROSS the restart
+      (2L, us("10:00"), us("10:30"), 1L), // pre-restart session, intact
+      (2L, us("10:35"), us("11:05"), 1L), // at-the-boundary: NOT fused
+      (9L, us("10:30"), us("11:00"), 1L))
+    val got = read()
+    // u9's 13:00 session (end 13:30) is beyond the final watermark
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("q79 live windows: emitted set is exactly the watermark-closed windows") {
     val streamed = graft.queries.StreamQueries
       .q79StreamingWindowsLive(spark, TestSpark.sf)
