@@ -239,7 +239,33 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame = {
+      nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k, nCentroids, nProbe,
+      refineIters, broadcastQueries = true)
+
+  /** [[ivfTopK]] for query sets too big to broadcast — the all-pairs
+    * regime (global embedding dedup, corpus-vs-corpus retrieval) where
+    * the "query" side IS a corpus. Identical routing algebra, identical
+    * results; only the physical shape differs: the probe set flows
+    * through a SHUFFLE equi-join on the list id (hinted `merge`, so no
+    * size-estimate can silently broadcast a 100 TB side), and each
+    * probed list meets each query exactly once — never all-pairs.
+    * Uneven list sizes are AQE skew-split territory (sort-merge joins
+    * re-plan at runtime); the centroid table is the only broadcast
+    * (nCentroids rows — driver-small by construction).
+    */
+  def ivfTopKBig(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int, refineIters: Int = 0): DataFrame =
+    ivfTopKImpl(corpus, queries, idCol, vecCol, k, nCentroids, nProbe,
+      refineIters, broadcastQueries = false)
+
+  private def ivfTopKImpl(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int, refineIters: Int,
+      broadcastQueries: Boolean): DataFrame = {
     // the coarse quantizer: the nCentroids lowest-id vectors as-is, or —
     // with refineIters > 0 — that same seed pushed through Lloyd rounds
     // ([[lloydCentroids]]), the k-means-trained IVF of a production index
@@ -273,7 +299,9 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))))
       .filter(col("pr") <= nProbe)
       .select("query_id", "qv", "cid")
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+    val probeSide =
+      if (broadcastQueries) broadcast(probes) else probes.hint("merge")
+    val scored = assigned.join(probeSide, Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(dot(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id")

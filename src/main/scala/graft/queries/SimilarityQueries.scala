@@ -1014,7 +1014,68 @@ object SimilarityQueries {
       |FROM s GROUP BY doc_id, i // 200
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** IVF ANN with a CORPUS-SIZED query set ([[Similarity.ivfTopKBig]]):
+    * every embedding queries the index at once — the all-pairs regime
+    * (global embedding dedup) where broadcasting the query side is
+    * impossible. The probe set flows through a shuffle merge-join on the
+    * list id (PlanSpec gates that no plan broadcasts it); the oracle
+    * replays the identical routing + rank algebra with queries = the
+    * whole table, so the distributed shape is proven row-equal to the
+    * reference semantics.
+    */
+  def q143IvfCorpusQueries(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.ivfTopKBig(
+        corpus = emb, queries = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 2,
+        nCentroids = 16, nProbe = 2)
+      .withColumn("rnk", col("rank").cast("bigint")).drop("rank")
+      .orderBy("query_id", "rnk")
+  }
+
+  val q143Oracle: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+      |  FROM embeddings ORDER BY vec_id LIMIT 16
+      |),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+      |assign0 AS (
+      |  SELECT neighbor_id, cid,
+      |         row_number() OVER (PARTITION BY neighbor_id
+      |           ORDER BY round(list_dot_product(cv, centroid), 6) DESC, cid) AS rn
+      |  FROM c, cents
+      |),
+      |assigned AS (
+      |  SELECT c.neighbor_id, c.cv, a.cid
+      |  FROM c JOIN assign0 a ON a.neighbor_id = c.neighbor_id AND a.rn = 1
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      |),
+      |probes0 AS (
+      |  SELECT query_id, qv, cid,
+      |         row_number() OVER (PARTITION BY query_id
+      |           ORDER BY round(list_dot_product(qv, centroid), 6) DESC, cid) AS pr
+      |  FROM q, cents
+      |),
+      |probes AS (SELECT query_id, qv, cid FROM probes0 WHERE pr <= 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         round(list_dot_product(qv, cv), 4) AS sim
+      |  FROM assigned JOIN probes USING (cid)
+      |  WHERE query_id <> neighbor_id
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY sim DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, sim, rnk
+      |FROM ranked WHERE rnk <= 2
+      |ORDER BY query_id, rnk""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_ivf_corpus_queries" -> (q143IvfCorpusQueries _),
     "q126_image_resize" -> (q126ImageResize _),
     "q127_audio_frames" -> (q127AudioFrames _),
     "q99_image_dhash_pairs" -> (q99ImageDhashPairs _),
@@ -1038,6 +1099,7 @@ object SimilarityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q143_ivf_corpus_queries" -> q143Oracle,
     "q126_image_resize" -> q126Oracle,
     "q127_audio_frames" -> q127Oracle,
     "q99_image_dhash_pairs" -> q99Oracle,

@@ -143,6 +143,33 @@ class PlanSpec extends AnyFunSuite {
       "queries must broadcast, corpus must stream")
   }
 
+  test("corpus-sized ANN query sets shuffle on the list id, never broadcast") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val p = plan(pipeline.Similarity.ivfTopKBig(
+      emb, emb, "vec_id", "embedding", 2, nCentroids = 16, nProbe = 2))
+    // the candidate join (corpus lists x query probes on cid) must be a
+    // shuffle join: a broadcast of the probe side caps the query set at
+    // driver memory, which is exactly what this variant removes. The
+    // only broadcast allowed is the nCentroids-row centroid table
+    // feeding the routing cross joins.
+    assert(p.contains("SortMergeJoin"),
+      "candidate join must be a shuffle merge join:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+    val joins = p.linesIterator.filter(_.contains("BroadcastHashJoin")).toSeq
+    assert(joins.isEmpty,
+      s"no equi-join may broadcast the probe side: $joins")
+    // results are identical to the broadcast-shaped variant
+    val big = pipeline.Similarity.ivfTopKBig(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+      "vec_id", "embedding", 3, nCentroids = 16, nProbe = 4)
+      .collect().toSet
+    val small = pipeline.Similarity.ivfTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0),
+      "vec_id", "embedding", 3, nCentroids = 16, nProbe = 4)
+      .collect().toSet
+    assert(big == small, "big-query-set variant must be result-identical")
+  }
+
   test("bucketed candidate generation never degenerates to a cross join") {
     val docs = queries.PipelineQueries.docsAug(spark, TestSpark.sf).limit(500)
     for ((name, df) <- Seq(
