@@ -79,6 +79,47 @@ object ImageCodec {
     bi
   }
 
+  /** Solid RGB color image (TYPE_3BYTE_BGR — the shape the JPEG writer
+    * sends through its YCbCr transform; the exact-color-round-trip
+    * fixture for compressed video, see MultimodalSpec's fixed-point
+    * model).
+    */
+  def colorImage(
+      w: Int, h: Int, r: Int, g: Int, b: Int): java.awt.image.BufferedImage = {
+    require(Seq(r, g, b).forall(c => c >= 0 && c <= 255), s"rgb: $r,$g,$b")
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { bi.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    bi
+  }
+
+  /** The JPEG color round trip for a SOLID color at quality 1.0, as
+    * exact integers: libjpeg's fixed-point RGB→YCbCr (jccolor.c) and
+    * YCbCr→RGB (jdcolor.c) compose around a lossless middle (all-ones
+    * quant tables, DC-only blocks, uniform chroma — 4:2:0 subsampling
+    * of a constant plane is exact). Arithmetic >>16 on negatives =
+    * floor division, hence `Math.floorDiv`. This is the oracle model
+    * for color MJPEG (q144) and is pinned against the real JDK decoder
+    * in MultimodalSpec.
+    */
+  def jpegSolidColorRoundTrip(r: Int, g: Int, b: Int): (Int, Int, Int) = {
+    val yy = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    val cb = Math.floorDiv(-11059 * r - 21709 * g + 32768 * b
+      + 8388608 + 32767, 65536) - 128
+    val cr = Math.floorDiv(32768 * r - 27439 * g - 5329 * b
+      + 8388608 + 32767, 65536) - 128
+    def clamp(v: Int) = math.max(0, math.min(255, v))
+    (clamp(yy + Math.floorDiv(91881 * cr + 32768, 65536)),
+      clamp(yy + Math.floorDiv(-22554 * cb - 46802 * cr + 32768, 65536)),
+      clamp(yy + Math.floorDiv(116130 * cb + 32768, 65536)))
+  }
+
   /** Nearest-neighbor resize to `w`x`h`: destination (x, y) SELECTS
     * source pixel (x·srcW/w, y·srcH/h) — exact integer arithmetic, no
     * interpolation kernel, so the resized pixels are bit-replayable

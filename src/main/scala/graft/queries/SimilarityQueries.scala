@@ -709,6 +709,92 @@ object SimilarityQueries {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** q144: COLOR MJPEG pixel decode, tolerance-free — YCbCr 4:2:0 color
+    * frames through the JDK JPEG reader with an EXACT integer oracle:
+    * a solid color at quality 1.0 survives the trip as
+    * invert(forward(rgb)) in libjpeg's fixed-point arithmetic (forward
+    * jccolor.c, inverse jdcolor.c; the lossy middle is exact for
+    * DC-only blocks under unit quant tables, and 4:2:0 subsampling of a
+    * constant chroma plane is exact). The model
+    * ([[graft.pipeline.ImageCodec.jpegSolidColorRoundTrip]]) is pinned
+    * against the real decoder across a color grid in MultimodalSpec;
+    * here the oracle replays it in SQL (floor(x/65536.0) = the
+    * arithmetic >>16) over per-frame colors derived from the id.
+    */
+  def q144MjpegColorFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.{ImageCodec, VideoCodec}
+    val ids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id")).as[Long]
+    val media = ids.map { id =>
+      val w = 16
+      val h = (8 + (id % 2) * 8).toInt
+      val n = (2 + id % 3).toInt
+      val jpegs = (0 until n).map { f =>
+        ImageCodec.encodeJpeg(ImageCodec.colorImage(w, h,
+          ((id * 53 + f * 7) % 256).toInt,
+          ((id * 101 + f * 3) % 256).toInt,
+          ((id * 197 + f * 13) % 256).toInt), 1.0f)
+      }
+      MediaRecord(id, "video", w, h, n * 33,
+        VideoCodec.encodeAviMjpeg(jpegs, w, h, usPerFrame = 33000))
+    }.toDF()
+    val px = (col("n_frames") * lit(16) *
+      (lit(8) + (col("media_id") % 2) * 8)).cast("bigint")
+    val counts = (0 until 8).map(i =>
+      round(element_at(col("feature"), i + 1).cast("double") * px)
+        .cast("bigint").as(s"c$i"))
+    Multimodal.extractFeatures(spark, media).toDF()
+      .select(Seq(
+        col("media_id"),
+        col("n_frames").cast("bigint").as("n_frames"),
+        round(col("byte_mean") * px * 1000).cast("bigint").as("luma_sum"))
+        ++ counts: _*)
+      .orderBy("media_id")
+  }
+
+  val q144Oracle: String = {
+    val buckets = (0 until 8).map(k =>
+      s"CAST(sum(CASE WHEN least(7, CAST(luma // 32000 AS BIGINT)) = $k " +
+        s"THEN w * h ELSE 0 END) AS BIGINT) AS c$k").mkString(",\n|       ")
+    s"""WITH p AS (
+       |  SELECT doc_id, 16 AS w, 8 + (doc_id % 2) * 8 AS h,
+       |         2 + (doc_id % 3) AS n
+       |  FROM documents WHERE doc_id % 37 = 0
+       |),
+       |fr AS (
+       |  SELECT p.doc_id, p.w, p.h, p.n,
+       |         (p.doc_id * 53 + fi.i * 7) % 256 AS r,
+       |         (p.doc_id * 101 + fi.i * 3) % 256 AS g,
+       |         (p.doc_id * 197 + fi.i * 13) % 256 AS b
+       |  FROM p, generate_series(0, 4) AS fi(i) WHERE fi.i < p.n
+       |),
+       |ycc AS (
+       |  SELECT doc_id, w, h, n,
+       |    CAST(floor((19595*r + 38470*g + 7471*b + 32768) / 65536.0) AS BIGINT) AS yy,
+       |    CAST(floor((-11059*r - 21709*g + 32768*b + 8421375) / 65536.0) AS BIGINT) - 128 AS cb,
+       |    CAST(floor((32768*r - 27439*g - 5329*b + 8421375) / 65536.0) AS BIGINT) - 128 AS cr
+       |  FROM fr
+       |),
+       |dec AS (
+       |  SELECT doc_id, w, h, n,
+       |    greatest(0, least(255, yy + CAST(floor((91881*cr + 32768) / 65536.0) AS BIGINT))) AS r2,
+       |    greatest(0, least(255, yy + CAST(floor((-22554*cb - 46802*cr + 32768) / 65536.0) AS BIGINT))) AS g2,
+       |    greatest(0, least(255, yy + CAST(floor((116130*cb + 32768) / 65536.0) AS BIGINT))) AS b2
+       |  FROM ycc
+       |),
+       |lum AS (
+       |  SELECT doc_id, w, h, n, 299*r2 + 587*g2 + 114*b2 AS luma FROM dec
+       |)
+       |SELECT doc_id AS media_id,
+       |       CAST(n AS BIGINT) AS n_frames,
+       |       CAST(sum(luma * w * h) AS BIGINT) AS luma_sum,
+       |       $buckets
+       |FROM lum GROUP BY doc_id, w, h, n
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** Semantic decontamination: every 23rd vector plays the benchmark
     * set; corpus vectors whose max cosine against it reaches 0.25 are
     * reported with their best-matching benchmark id. The oracle replays
@@ -1076,6 +1162,7 @@ object SimilarityQueries {
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_ivf_corpus_queries" -> (q143IvfCorpusQueries _),
+    "q144_mjpeg_color_features" -> (q144MjpegColorFeatures _),
     "q126_image_resize" -> (q126ImageResize _),
     "q127_audio_frames" -> (q127AudioFrames _),
     "q99_image_dhash_pairs" -> (q99ImageDhashPairs _),
@@ -1100,6 +1187,7 @@ object SimilarityQueries {
 
   def oracles: Map[String, String] = Map(
     "q143_ivf_corpus_queries" -> q143Oracle,
+    "q144_mjpeg_color_features" -> q144Oracle,
     "q126_image_resize" -> q126Oracle,
     "q127_audio_frames" -> q127Oracle,
     "q99_image_dhash_pairs" -> q99Oracle,

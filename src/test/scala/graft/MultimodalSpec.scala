@@ -215,6 +215,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(meanLuma - 125000.0) < 6000.0, meanLuma.toString)
   }
 
+  test("MJPEG COLOR frames: solid colors decode to the exact fixed-point model") {
+    import graft.pipeline.{ImageCodec, VideoCodec}
+    // a solid color at quality 1.0 survives the YCbCr 4:2:0 trip as
+    // invert(forward(rgb)) in libjpeg's fixed-point integer arithmetic —
+    // deterministic, closed-form, SQL-replayable (the q144 oracle model).
+    // Pin the model against the REAL JDK decoder across a color grid
+    // covering primaries, grays, clamp-prone saturated mixes, and a
+    // pseudo-random sweep.
+    val grid =
+      (for (r <- Seq(0, 17, 128, 255); g <- Seq(0, 64, 200, 255);
+            b <- Seq(0, 99, 255)) yield (r, g, b)) ++
+        (0 until 64).map(i => ((i * 53) % 256, (i * 101) % 256, (i * 197) % 256))
+    for ((r, g, b) <- grid) {
+      val jpeg = ImageCodec.encodeJpeg(ImageCodec.colorImage(16, 8, r, g, b), 1.0f)
+      val bi = ImageCodec.readImage(jpeg).get
+      val (er, eg, eb) = ImageCodec.jpegSolidColorRoundTrip(r, g, b)
+      val rgb = bi.getRGB(8, 4)
+      val got = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+      assert(got == ((er, eg, eb)),
+        s"rgb=($r,$g,$b): decoder $got vs model ${(er, eg, eb)}")
+      // uniform across the frame (subsampling of a constant plane is exact)
+      assert(bi.getRGB(0, 0) == rgb && bi.getRGB(15, 7) == rgb)
+    }
+    // full container path: color MJPEG lumaSum matches the model
+    val colors = Seq((255, 0, 0), (0, 255, 0), (0, 0, 255), (200, 100, 50))
+    val (w, h) = (16, 8)
+    val jpegs = colors.map { case (r, g, b) =>
+      ImageCodec.encodeJpeg(ImageCodec.colorImage(w, h, r, g, b), 1.0f) }
+    val d = VideoCodec.decodeAvi(
+      VideoCodec.encodeAviMjpeg(jpegs, w, h, usPerFrame = 33000)).get
+    val want = colors.map { case (r, g, b) =>
+      val (er, eg, eb) = ImageCodec.jpegSolidColorRoundTrip(r, g, b)
+      (299L * er + 587L * eg + 114L * eb) * w * h
+    }.sum
+    assert(d.lumaSum1000 == want, s"${d.lumaSum1000} vs $want")
+  }
+
   test("MJPEG AVI with uniform gray frames decodes to EXACT integer luma") {
     import graft.pipeline.{ImageCodec, VideoCodec}
     // every gray level round-trips exactly through the JDK JPEG codec at
