@@ -1089,7 +1089,61 @@ object EtlQueries {
       |FROM diff
       |ORDER BY phase""".stripMargin)
 
+  /** The optimistic multi-writer append protocol under the correctness
+    * gate: a serialized base append, then a concurrent append that LOSES
+    * its version claim to a racer injected in its publish→claim window
+    * (the deterministic seam the concurrency spec uses) and must redo —
+    * re-dedup against the racer's committed keys, rebase its LogIDs,
+    * land at the next version. The oracle is closed-form distinct
+    * algebra: 100 base keys, 50 racer keys, k−150 from the loser's redo,
+    * ids contiguous 1..k (sum k(k+1)/2). A lost-row, duplicate, or
+    * id-collision bug breaks a column.
+    */
+  def q145ConcurrentAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q145-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    val ordered = bh.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    val baseN = ConsolidatedStore.append(spark, store, ordered.limit(100))
+    var racerN = 0L
+    var injected = false
+    val mainN = ConsolidatedStore.appendConcurrentHooked(
+      spark, store, bh, Seq("database_name", "last_lsn"), 8) { (attempt, _) =>
+      if (attempt == 1 && !injected) {
+        injected = true
+        racerN = ConsolidatedStore.appendConcurrent(spark, store,
+          ordered.limit(150))
+      }
+    }
+    val s = ConsolidatedStore.read(spark, store)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        max(col("LogID")).as("max_logid"),
+        sum(col("LogID")).as("sum_logid"))
+      .head()
+    Seq((baseN, racerN, mainN,
+      s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)))
+      .toDF("base_n", "racer_n", "main_n",
+        "n_rows", "n_ids", "max_logid", "sum_logid")
+  }
+
+  val q145Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+      |                              physical_device_name)) AS BIGINT) AS n
+      |  FROM backup_history
+      |)
+      |SELECT CAST(100 AS BIGINT) AS base_n, CAST(50 AS BIGINT) AS racer_n,
+      |       n - 150 AS main_n, n AS n_rows, n AS n_ids, n AS max_logid,
+      |       n * (n + 1) // 2 AS sum_logid
+      |FROM k""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_concurrent_append" -> (q145ConcurrentAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
@@ -1111,6 +1165,7 @@ object EtlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q145_concurrent_append" -> q145Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
     "q101_store_time_travel" -> q101Oracle,
     "q114_store_merge" -> q114Oracle,

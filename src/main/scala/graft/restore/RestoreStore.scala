@@ -1,6 +1,6 @@
 package graft.restore
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.store.{ConsolidatedStore, StoreMeta}
 
@@ -20,17 +20,33 @@ import graft.store.{ConsolidatedStore, StoreMeta}
 object RestoreStore {
 
   private def forDb(spark: SparkSession, store: String, db: String,
-      lastLsnGt: Option[BigDecimal] = None): DataFrame =
+      lastLsnGt: Option[BigDecimal] = None,
+      startAtMost: Option[java.sql.Timestamp] = None): DataFrame =
     ConsolidatedStore.readWhere(spark, store, StoreMeta.ReadBounds(
       databases = Some(Set(db)),
-      lastLsnGt = lastLsnGt.map(_.bigDecimal)))
+      lastLsnGt = lastLsnGt.map(_.bigDecimal),
+      // `backup_start_date <= t` as a strict bound: < t + 1µs (timestamps
+      // are µs-granular, so the two are equivalent and prune identically)
+      startBefore = startAtMost.map { t =>
+        val b = new java.sql.Timestamp(t.getTime)
+        b.setNanos(t.getNanos)
+        val us = StoreMeta.micros(b) + 1L
+        val r = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+        r.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        r
+      }))
 
-  /** Scalar `GetLatestFullBackup...` (sql:103-183) over a store. */
+  /** Scalar `GetLatestFullBackup...` (sql:103-183) over a store. The
+    * point-in-time bound (P6) prunes FILES too: a PIT restore to last
+    * Tuesday never opens files whose whole date envelope is newer.
+    */
   def latestFullBackupFor(spark: SparkSession, store: String,
       databaseName: String, key: String,
-      asOf: Option[Column] = None): DataFrame =
+      asOf: Option[java.sql.Timestamp] = None): DataFrame =
     RestoreQueries.latestFullBackupFor(
-      forDb(spark, store, databaseName), databaseName, key, asOf)
+      forDb(spark, store, databaseName, startAtMost = asOf),
+      databaseName, key,
+      asOf.map(org.apache.spark.sql.functions.lit))
 
   /** Scalar `GetRemainingLogBackups...` (sql:188-268) over a store: the
     * `last_lsn > @LastLSN` chain predicate prunes files too, not just

@@ -119,6 +119,39 @@ class StoreReadSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("point-in-time restore bound prunes files by date envelope") {
+    val path = tmp()
+    val h = bh.cache()
+    val q = h.select(unix_micros(col("backup_start_date")).as("us"))
+      .stat.approxQuantile("us", Array(0.5), 0.001)
+    val mid = new Timestamp(q(0).toLong / 1000L)
+    ConsolidatedStore.append(spark, path,
+      h.filter(col("backup_start_date") < lit(mid)))
+    ConsolidatedStore.append(spark, path,
+      h.filter(col("backup_start_date") >= lit(mid)))
+    // an as-of bound before the split must open only the older file
+    val asOf = new Timestamp(mid.getTime - 1000L)
+    val opened = prunedFiles(path, StoreMeta.ReadBounds(
+      startBefore = Some(new Timestamp(asOf.getTime + 1L))))
+    assert(opened.size == 1, s"PIT bound must prune the newer file: $opened")
+    // and the store-backed PIT chain equals the frame-backed one
+    val db = h.select("database_name").distinct()
+      .orderBy("database_name").head().getString(0)
+    val key = h.filter(col("database_name") === db)
+      .select("server_name").na.drop().head().getString(0)
+    val got = RestoreStore.latestFullBackupFor(spark, path, db, key,
+      asOf = Some(asOf))
+    val want = RestoreQueries.latestFullBackupFor(
+      ConsolidatedStore.read(spark, path), db, key, Some(lit(asOf)))
+    val cols = Seq("database_name", "physical_device_name", "last_lsn")
+    assert(
+      got.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().toSeq ==
+      want.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+        .collect().toSeq)
+    h.unpersist()
+  }
+
   test("retention purge drops aged files whole and never scans survivors") {
     val path = tmp()
     val h = bh.cache()
