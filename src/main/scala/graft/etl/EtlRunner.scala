@@ -38,16 +38,29 @@ object EtlRunner {
 
   /** @param parallelism >1 runs that many source extracts concurrently
     *   from driver threads (each pipeline is already fully distributed;
-    *   concurrency overlaps source I/O). Loads and watermark advances are
-    *   serialized — the store append is read-modify-append and the
-    *   watermark table is a whole-file rewrite.
+    *   concurrency overlaps source I/O). By default loads and watermark
+    *   advances are serialized — the store append is read-modify-append
+    *   and the watermark table is a whole-file rewrite.
+    * @param concurrentLoads overlap the LOAD phase too: each server's
+    *   append goes through [[ConsolidatedStore.appendConcurrent]] (the
+    *   optimistic commit protocol arbitrates interleavings; a lost
+    *   version claim redoes the dedup against the winner's state), and
+    *   watermark advances serialize on a driver-local lock (the
+    *   watermark table is one tiny whole-file rewrite — lock cost is
+    *   nil, and watermarks are per-server keys so order between servers
+    *   is immaterial). With a fleet of hundreds of sources this removes
+    *   the one remaining sequential stage of the driver loop. Note the
+    *   per-server appended COUNTS become schedule-dependent when sources
+    *   overlap (whoever commits first owns the shared keys); the stored
+    *   set, LogID uniqueness, and watermark advancement do not.
     */
   def runOnce(
       spark: SparkSession,
       sources: Map[String, MsdbSources],
       consolidatedPath: String,
       watermarkPath: String,
-      parallelism: Int = 1): Seq[SourceBatchResult] = {
+      parallelism: Int = 1,
+      concurrentLoads: Boolean = false): Seq[SourceBatchResult] = {
     val watermarks = WatermarkStore.read(spark, watermarkPath)
     val ordered = sources.toSeq.sortBy(_._1)
 
@@ -93,24 +106,48 @@ object EtlRunner {
         finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
       }
 
-    // phase 2 (sequential): load then advance, per server. Failures here
-    // abort the whole run (Add-BackupHistoryToTarget.ps1:104-113).
-    extracted.map {
-      case (server, Left(err)) =>
+    // phase 2: load then advance, per server. Failures here abort the
+    // whole run (Add-BackupHistoryToTarget.ps1:104-113). Serialized by
+    // default; `concurrentLoads` overlaps the appends through the
+    // optimistic commit protocol with watermark advances behind a lock.
+    val wmLock = new Object
+    def loadOne(server: String,
+        e: Either[String, (DataFrame, Long, Option[Timestamp])])
+        : SourceBatchResult = e match {
+      case Left(err) =>
         // extract failed: skip server, keep going (ps:91-95)
         SourceBatchResult(server, 0, 0, None, Some(s"extract failed: $err"))
-      case (server, Right((batch, n, wmCandidate))) =>
+      case Right((batch, n, wmCandidate)) =>
         try {
           if (n == 0) {
             // empty batch: do not advance the watermark (ps:69-71)
             SourceBatchResult(server, 0, 0, None, None)
           } else {
             val newWm = wmCandidate.get
-            val appended = ConsolidatedStore.append(spark, consolidatedPath, batch)
-            WatermarkStore.advance(spark, watermarkPath, server, newWm)
+            val appended =
+              if (concurrentLoads)
+                ConsolidatedStore.appendConcurrent(spark, consolidatedPath, batch)
+              else ConsolidatedStore.append(spark, consolidatedPath, batch)
+            if (concurrentLoads)
+              wmLock.synchronized {
+                WatermarkStore.advance(spark, watermarkPath, server, newWm)
+              }
+            else WatermarkStore.advance(spark, watermarkPath, server, newWm)
             SourceBatchResult(server, n, appended, Some(newWm), None)
           }
         } finally release(batch)
+    }
+    if (!concurrentLoads || parallelism <= 1)
+      extracted.map { case (s, e) => loadOne(s, e) }
+    else {
+      import scala.concurrent._
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+      try Await.result(
+        Future.sequence(extracted.map { case (s, e) =>
+          Future(loadOne(s, e)) }), Duration.Inf)
+      finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
     }
   }
 

@@ -86,8 +86,8 @@ object StoreLog {
   def readCommits(spark: SparkSession, root: String): Seq[Commit] =
     listVersions(spark, root).map { v =>
       val p = commitPath(root, v)
-      val in = fs(spark, p).open(p)
-      val bytes =
+      def readBytes(): Array[Byte] = {
+        val in = fs(spark, p).open(p)
         try {
           val bos = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](8192)
@@ -95,7 +95,26 @@ object StoreLog {
           while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
           bos.toByteArray
         } finally in.close()
-      parse(new String(bytes, StandardCharsets.UTF_8))
+      }
+      // a commit file appears at CLAIM time (create-no-overwrite is the
+      // multi-writer arbiter) and is filled one small write later; a
+      // concurrent reader listing in that microsecond window sees an
+      // empty/partial file. That is a claim in progress, not corruption —
+      // re-read briefly before giving up.
+      var attempt = 0
+      var out: Commit = null
+      while (out == null) {
+        try out = parse(new String(readBytes(), StandardCharsets.UTF_8))
+        catch {
+          case e: Exception =>
+            attempt += 1
+            if (attempt > 100)
+              throw new IllegalStateException(
+                s"commit file $p unreadable after ${attempt - 1} retries", e)
+            Thread.sleep(10L)
+        }
+      }
+      out
     }
 
   private def parse(json: String): Commit = {

@@ -336,6 +336,34 @@ class EtlSpec extends AnyFunSuite {
     assert(all == 3)
   }
 
+  test("concurrent loads: two servers' appends interleave through the commit protocol") {
+    val tmp0 = tmp()
+    val (store, wmPath) = (s"$tmp0/cons", s"$tmp0/wm")
+    val src = MsdbDerivation.sources(spark, TestSpark.sf)
+    val servers = Map("srvA" -> src, "srvB" -> src)
+    val res = EtlRunner.runOnce(spark, servers, store, wmPath,
+      parallelism = 2, concurrentLoads = true)
+    // both servers extracted the full history; whoever commits first owns
+    // the shared keys — the SPLIT is schedule-dependent, the set is not
+    val k = graft.etl.ExtractTransform
+      .extract(src, EtlRunner.DefaultWatermark)
+      .dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(res.map(_.appended).sum == k,
+      s"appended split ${res.map(r => r.server -> r.appended)} must sum to $k")
+    val stored = spark.read.parquet(store)
+    assert(stored.count() == k)
+    assert(stored.select("LogID").distinct().count() == k, "LogIDs unique")
+    // both watermarks advanced to the batch max
+    val wms = WatermarkStore.read(spark, wmPath)
+    assert(wms.contains("srvA") && wms.contains("srvB") && wms("srvA") == wms("srvB"))
+    // a second concurrent run is a no-op that keeps the store clean
+    val res2 = EtlRunner.runOnce(spark, servers, store, wmPath,
+      parallelism = 2, concurrentLoads = true)
+    assert(res2.forall(_.appended == 0))
+    assert(spark.read.parquet(store).count() == k)
+    assert(graft.store.StoreRepair.repair(spark, store).clean)
+  }
+
   test("watermark store roundtrip") {
     val path = tmp()
     val t1 = Timestamp.valueOf("2024-01-01 10:00:00")

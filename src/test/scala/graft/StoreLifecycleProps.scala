@@ -50,6 +50,10 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
 
   private sealed trait Op
   private case class Append(rows: List[K]) extends Op
+  // the optimistic multi-writer entry point, exercised in-sequence: its
+  // committed-state dedup and staged publish must be indistinguishable
+  // from the serialized append to every reader, snapshot, and change feed
+  private case class AppendC(rows: List[K]) extends Op
   private case class Merge(rows: List[K], bump: Int) extends Op
   private case class DeleteDb(db: String) extends Op
   private case class DeleteLsnBelow(lsn: Int) extends Op
@@ -64,7 +68,8 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
   } yield K(db, lsn, dev)
 
   private val genOp: Gen[Op] = Gen.frequency(
-    4 -> Gen.choose(3, 12).flatMap(Gen.listOfN(_, genKey)).map(Append(_)),
+    3 -> Gen.choose(3, 12).flatMap(Gen.listOfN(_, genKey)).map(Append(_)),
+    2 -> Gen.choose(3, 12).flatMap(Gen.listOfN(_, genKey)).map(AppendC(_)),
     3 -> (for {
       n <- Gen.choose(2, 8)
       rows <- Gen.listOfN(n, genKey)
@@ -130,6 +135,10 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
         op match {
           case Append(rows) =>
             ConsolidatedStore.append(spark, path, frame(rows, 0))
+            rows.foreach(k =>
+              if (!model.contains(k)) model += k -> value(k, 0))
+          case AppendC(rows) =>
+            ConsolidatedStore.appendConcurrent(spark, path, frame(rows, 0))
             rows.foreach(k =>
               if (!model.contains(k)) model += k -> value(k, 0))
           case Merge(rows, bump) =>
