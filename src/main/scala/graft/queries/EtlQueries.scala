@@ -1142,7 +1142,62 @@ object EtlQueries {
       |       n * (n + 1) // 2 AS sum_logid
       |FROM k""".stripMargin)
 
+  /** Crash repair under the correctness gate: reproduce the two durable
+    * die-inside-the-swap states on a cloned store — an uncommitted
+    * replacement file (reads every key twice) and an original archived
+    * under a never-committed version (rows missing) — then
+    * [[graft.store.StoreRepair.repair]] must return the store to its
+    * exact last commit. The oracle is closed-form: 1 restored, 1 orphan
+    * dropped, and the full distinct-key population with contiguous
+    * LogIDs (sum k(k+1)/2) — any under- or over-repair breaks a column.
+    */
+  def q146StoreRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val store = StoreScaffold.cloned(db2SplitBase(spark, dir))
+    val files = graft.store.StoreMeta.load(spark, store).get.files
+      .map(_.file).sorted
+    require(files.size >= 2, s"fixture needs 2 files, got $files")
+    val v = graft.store.StoreLog.currentVersion(spark, store)
+    // dead writer 1: uncommitted replacement (byte-copy of a live file)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$store/${files.head}"),
+      java.nio.file.Paths.get(s"$store/part-99999-deadwriter.c000.snappy.parquet"))
+    // dead writer 2: archived an original under the NEXT (uncommitted)
+    // version and died before the commit
+    val hist = java.nio.file.Paths.get(
+      s"$store/${graft.store.StoreLog.historyDirName}/${"v%09d".format(v + 1)}")
+    java.nio.file.Files.createDirectories(hist)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$store/${files(1)}"),
+      hist.resolve(files(1)))
+    val stats = graft.store.StoreRepair.repair(spark, store)
+    val s = ConsolidatedStore.read(spark, store)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        max(col("LogID")).as("max_logid"),
+        sum(col("LogID")).as("sum_logid"))
+      .head()
+    Seq((stats.restored, stats.orphansDropped,
+      s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)))
+      .toDF("n_restored", "n_orphans",
+        "n_rows", "n_ids", "max_logid", "sum_logid")
+  }
+
+  val q146Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+      |                              physical_device_name)) AS BIGINT) AS n
+      |  FROM backup_history
+      |)
+      |SELECT CAST(1 AS BIGINT) AS n_restored, CAST(1 AS BIGINT) AS n_orphans,
+      |       n AS n_rows, n AS n_ids, n AS max_logid,
+      |       n * (n + 1) // 2 AS sum_logid
+      |FROM k""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_store_repair" -> (q146StoreRepair _),
     "q145_concurrent_append" -> (q145ConcurrentAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
@@ -1165,6 +1220,7 @@ object EtlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q146_store_repair" -> q146Oracle,
     "q145_concurrent_append" -> q145Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
     "q101_store_time_travel" -> q101Oracle,
