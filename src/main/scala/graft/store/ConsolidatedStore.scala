@@ -345,9 +345,10 @@ object ConsolidatedStore {
     */
   def appendConcurrent(spark: SparkSession, path: String, incoming: DataFrame,
       sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
-      maxAttempts: Int = 8): Long =
-    appendConcurrentHooked(spark, path, incoming, sortWithin, maxAttempts)(
-      (_, _) => ())
+      maxAttempts: Int = 8,
+      partitionBy: Seq[String] = Nil): Long =
+    appendConcurrentHooked(spark, path, incoming, sortWithin, maxAttempts,
+      partitionBy)((_, _) => ())
 
   /** [[appendConcurrent]] with a test seam: `beforeCommit(attempt, v0)`
     * runs after the batch files are published but before the version
@@ -357,7 +358,8 @@ object ConsolidatedStore {
     */
   private[graft] def appendConcurrentHooked(
       spark: SparkSession, path: String, incoming: DataFrame,
-      sortWithin: Seq[String], maxAttempts: Int)(
+      sortWithin: Seq[String], maxAttempts: Int,
+      partitionBy: Seq[String] = Nil)(
       beforeCommit: (Int, Int) => Unit): Long = {
     import org.apache.hadoop.fs.Path
     val deduped = incoming.dropDuplicates(dedupKey).cache()
@@ -403,7 +405,11 @@ object ConsolidatedStore {
             if (sortWithin.isEmpty) assigned
             else assigned.sortWithinPartitions(sortWithin.map(col): _*)
           val stage = s"$path/_graft_staging/${java.util.UUID.randomUUID()}"
-          laidOut.write.parquet(stage)
+          // hive layouts stage with the same partition dirs; the staged
+          // relative paths (key=value/part-*.parquet) move home verbatim
+          val writer = laidOut.write
+          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+           else writer).parquet(stage)
           val mine = StoreMeta.listDataFiles(spark, stage).getOrElse(Nil)
           mine.foreach { f =>
             val dst = new Path(s"$path/$f")

@@ -45,6 +45,9 @@ class StoreReadSpec extends AnyFunSuite {
     val b = StoreMeta.ReadBounds(databases = Some(Set(dbs.head)))
     assert(prunedFiles(path, b).size == 1,
       s"one db must prune to its one file, got ${prunedFiles(path, b)}")
+    // and the PHYSICAL scan agrees: the pruned frame's input is one file
+    val inputs = ConsolidatedStore.readWhere(spark, path, b).inputFiles
+    assert(inputs.length == 1, s"physical scan must open 1 file: ${inputs.toSeq}")
     // compare on the plain read's columns: readWhere projects the full
     // consolidated schema (null-filling optional columns the fixture
     // frame omits), the inferred read returns only what was written
