@@ -62,6 +62,26 @@ class StoreReadSpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("readWhere prunes hive-partitioned layouts too (partition-carried db column)") {
+    val path = tmp()
+    val h = bh.cache()
+    ConsolidatedStore.append(spark, path, h,
+      partitionBy = Seq("database_name"))
+    val loaded = StoreMeta.load(spark, path).get
+    assert(loaded.files.forall(_.file.contains("database_name=")),
+      s"fixture: hive layout expected, got ${loaded.files.map(_.file).take(3)}")
+    val dbs = h.select("database_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    val b = StoreMeta.ReadBounds(databases = Some(Set(dbs.head)))
+    val opened = ConsolidatedStore.readWhere(spark, path, b).inputFiles
+    assert(opened.nonEmpty &&
+      opened.forall(_.contains(s"database_name=${dbs.head}")),
+      s"must open only the probed db's partition files: ${opened.toSeq}")
+    val got = ConsolidatedStore.readWhere(spark, path, b).count()
+    assert(got == h.filter(col("database_name") === dbs.head).count())
+    h.unpersist()
+  }
+
   test("readWhere(lsn range) skips files outside the LSN window") {
     val path = tmp()
     val h = bh.cache()
