@@ -383,7 +383,8 @@ object ConsolidatedStore {
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
         StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
           .foreach { c => live ++= c.adds; live --= c.removes }
-        val liveStats = StoreMeta.load(spark, path)
+        val loadedOpt = StoreMeta.load(spark, path)
+        val liveStats = loadedOpt
           .map(_.files.filter(f => live(f.file))).getOrElse(Nil)
         val overlapping = liveStats
           .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
@@ -421,8 +422,19 @@ object ConsolidatedStore {
           beforeCommit(attempt, v0)
           if (StoreLog.tryCommit(spark, path, v0 + 1, "append",
               adds = mine, removes = Nil)) {
-            StoreMeta.saveDelta(spark, path,
-              StoreMeta.scanStats(spark, path, mine))
+            // sidecar maintenance mirrors the serialized path: one
+            // O(batch) delta segment normally, a full fold past the
+            // segment threshold (unbounded concurrent-only trickle
+            // appends must not regrow the O(store) segment read this
+            // design removed). A racing writer's delta written during
+            // the fold's overwrite can be dropped — the sidecar is a
+            // cache, so the next load() heals those files with one
+            // rescan, never wrong answers.
+            val newStats = StoreMeta.scanStats(spark, path, mine)
+            val segs = loadedOpt.map(_.segments).getOrElse(0)
+            if (segs + 1 > StoreMeta.SegmentFoldThreshold)
+              StoreMeta.save(spark, path, liveStats ++ newStats)
+            else StoreMeta.saveDelta(spark, path, newStats)
             return n
           }
           // lost the claim: un-publish our files and redo against the
