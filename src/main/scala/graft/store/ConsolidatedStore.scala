@@ -186,6 +186,11 @@ object ConsolidatedStore {
     * without a sidecar. The sidecar stays a pure cache: [[StoreMeta.load]]
     * reconciles it against the directory first, so a stale or missing
     * sidecar degrades to one heal scan, never to wrong answers.
+    *
+    * Schema note: a BOUNDED read projects the full consolidated schema
+    * (null-filling optional columns a writer omitted), while the
+    * unconstrained fallback returns [[read]]'s inferred schema — the
+    * row SET is identical either way.
     */
   def readWhere(spark: SparkSession, path: String,
       bounds: StoreMeta.ReadBounds): DataFrame = {
