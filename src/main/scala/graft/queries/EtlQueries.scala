@@ -1196,7 +1196,62 @@ object EtlQueries {
       |       n * (n + 1) // 2 AS sum_logid
       |FROM k""".stripMargin)
 
+  /** Point-in-time restore chain over the STORE (P6 through readWhere,
+    * reference sql:131): the as-of bound joins the database equality in
+    * the file-skipping predicate — a PIT restore to mid-January never
+    * opens files whose whole date envelope is newer (StoreReadSpec gates
+    * the file count; here the oracle pins the VALUES: the chosen full is
+    * the newest at-or-before the bound, the log chain runs past it for
+    * STOPAT, exactly the reference's PIT semantics).
+    */
+  def q147PitRestorePruned(spark: SparkSession, dir: String): DataFrame = {
+    import graft.restore.RestoreStore
+    val store = dbEachBase(spark, dir)
+    val asOf = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val full = RestoreStore.latestFullBackupFor(spark, store, "db1", "srv1",
+      asOf = Some(asOf))
+    val lsn = BigDecimal(full.agg(max("last_lsn")).head().getDecimal(0))
+    val logs = RestoreStore.remainingLogBackupsFor(spark, store, "db1", "srv1", lsn)
+    def phase(label: String, df: DataFrame) =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("last_lsn")).cast("long").as("lsn_lo"),
+        max(col("last_lsn")).cast("long").as("lsn_hi"))
+        .select(lit(label).as("phase"), col("n_rows"), col("lsn_lo"),
+          col("lsn_hi"))
+    phase("1_pit_full", full)
+      .unionByName(phase("2_stopat_logs", logs))
+      .orderBy("phase")
+  }
+
+  val q147Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |fulls AS (
+      |  SELECT *, dense_rank() OVER (ORDER BY last_lsn DESC) AS rk
+      |  FROM backup_history
+      |  WHERE database_name = 'db1' AND server_name = 'srv1'
+      |        AND backup_type = 'Full' AND device_type IN (2, 9)
+      |        AND backup_start_date <= TIMESTAMP '2024-01-15 00:00:00'
+      |),
+      |chosen AS (SELECT * FROM fulls WHERE rk = 1),
+      |base AS (SELECT max(last_lsn) AS lsn FROM chosen),
+      |logs AS (
+      |  SELECT b.* FROM backup_history b, base
+      |  WHERE b.database_name = 'db1' AND b.server_name = 'srv1'
+      |        AND b.backup_type = 'Log' AND b.last_lsn > base.lsn
+      |)
+      |SELECT '1_pit_full' AS phase, CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(min(last_lsn) AS BIGINT) AS lsn_lo,
+      |       CAST(max(last_lsn) AS BIGINT) AS lsn_hi
+      |FROM chosen
+      |UNION ALL
+      |SELECT '2_stopat_logs', CAST(count(*) AS BIGINT),
+      |       CAST(min(last_lsn) AS BIGINT), CAST(max(last_lsn) AS BIGINT)
+      |FROM logs
+      |ORDER BY phase""".stripMargin)
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_pit_restore_pruned" -> (q147PitRestorePruned _),
     "q146_store_repair" -> (q146StoreRepair _),
     "q145_concurrent_append" -> (q145ConcurrentAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
@@ -1220,6 +1275,7 @@ object EtlQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q147_pit_restore_pruned" -> q147Oracle,
     "q146_store_repair" -> q146Oracle,
     "q145_concurrent_append" -> q145Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
