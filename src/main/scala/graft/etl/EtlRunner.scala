@@ -135,6 +135,17 @@ object EtlRunner {
             else WatermarkStore.advance(spark, watermarkPath, server, newWm)
             SourceBatchResult(server, n, appended, Some(newWm), None)
           }
+        } catch {
+          // overlapped loads report per-server failures instead of
+          // letting one server's exhausted version races (a transient
+          // contention signal) rethrow through Await and abort every
+          // sibling's in-flight load. The watermark was not advanced, so
+          // the next run re-extracts this batch and the idempotent
+          // dedup absorbs it. The serialized path keeps the reference's
+          // abort-the-run semantics (Add-BackupHistoryToTarget.ps1:104-113).
+          case scala.util.control.NonFatal(e) if concurrentLoads =>
+            SourceBatchResult(server, n, 0, None,
+              Some(s"load failed: ${e.getClass.getSimpleName}"))
         } finally release(batch)
     }
     if (!concurrentLoads || parallelism <= 1)

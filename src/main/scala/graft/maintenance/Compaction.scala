@@ -4,6 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
+import graft.store.{Staging, StoreLog, StoreMeta}
+
 /** Small-file compaction for the consolidated store. Incremental
   * ETL appends one file set per (source, batch); at streaming cadence a
   * year of appends is hundreds of thousands of KB-sized files, and scan
@@ -15,12 +17,22 @@ import org.apache.spark.sql.functions.col
   * `ConsolidatedStore.append` targets for a single batch, reasserted
   * table-wide).
   *
-  * The rewrite stages into a sibling directory and swaps via two
-  * filesystem renames, keeping a readable table throughout (modulo the
-  * instant between renames — callers schedule compaction like the
-  * reference schedules its retention delete, off the ingest path). On
-  * object stores without atomic rename the staging dir still bounds the
-  * exposure to the swap instant rather than the whole rewrite.
+  * On a LOGGED store the rewrite is file-level copy-on-write under
+  * optimistic concurrency, exactly the [[graft.store.StoreMerge]] /
+  * [[graft.store.StoreDelete]] shape: read the log's live set, stage the
+  * rewritten layout, publish, archive the originals, and commit through
+  * [[StoreLog.commitReplacing]] — so a compaction racing concurrent
+  * appends REBASES past them (a pure append's files are disjoint from
+  * the files the compaction read and replaced; both commits land)
+  * instead of losing every version race and starving under steady
+  * appendConcurrent traffic. Only a racing rewrite of the same files
+  * (another maintenance op — operationally serialized anyway) aborts.
+  *
+  * Logless stores keep the legacy whole-root sibling-dir swap (stage →
+  * two renames), whose crash windows [[graft.store.StoreRepair]]
+  * reconciles; a logged store's CoW crash windows are covered by the
+  * standard log reconciliation (uncommitted files drop, over-eager
+  * archives restore).
   */
 object Compaction {
 
@@ -38,7 +50,7 @@ object Compaction {
     * time-range scans (retention cutoffs, point-in-time planning) prune
     * files — one physical order serving the reference's two leading index
     * columns (sql:34-36) at once. Use instead of [[compact]] when the
-    * store is queried on both axes; same staging-rename swap and sidecar
+    * store is queried on both axes; same commit protocol and sidecar
     * re-seed.
     *
     * @return number of data files after the rewrite.
@@ -47,7 +59,7 @@ object Compaction {
       spark: SparkSession, path: String,
       maxRecordsPerFile: Long = 5000000L): Long = {
     import org.apache.spark.sql.functions.{max, min, unix_micros}
-    if (graft.store.StoreMeta.listDataFiles(spark, path)
+    if (StoreMeta.listDataFiles(spark, path)
         .getOrElse(Nil).isEmpty) return 0L // empty store: no-op (see rewrite)
     val bounds = spark.read.parquet(path)
       .agg(min(unix_micros(col("backup_finish_date"))),
@@ -65,16 +77,68 @@ object Compaction {
     }
   }
 
-  /** Staged rewrite: apply `layout`, write to a sibling dir, swap via two
-    * renames, re-seed the zone-map sidecar.
-    */
   private def rewrite(
       spark: SparkSession, path: String, maxRecordsPerFile: Long)(
       layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
     // a fully-deleted store has nothing to lay out (and no schema to
     // infer from the directory) — compaction is a no-op, not a crash
-    if (graft.store.StoreMeta.listDataFiles(spark, path)
+    if (StoreMeta.listDataFiles(spark, path)
         .getOrElse(Nil).isEmpty) return 0L
+    if (StoreLog.currentVersion(spark, path) > 0)
+      rewriteCow(spark, path, maxRecordsPerFile)(layout)
+    else rewriteBySwap(spark, path, maxRecordsPerFile)(layout)
+  }
+
+  /** Logged-store rewrite: file-level CoW committed under optimistic
+    * concurrency. Note the rewrite itself writes a FLAT layout — a hive
+    * store comes out flat (with the partition column folded back into
+    * the data), content preserved, its emptied partition dirs inert.
+    */
+  private def rewriteCow(
+      spark: SparkSession, path: String, maxRecordsPerFile: Long)(
+      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+    val v0 = StoreLog.currentVersion(spark, path)
+    // rewrite the COMMITTED live set only: a concurrent appender's
+    // published-but-unclaimed files are invisible here, so they are
+    // neither read nor removed — which is exactly what makes this
+    // commit disjoint from (and commutative with) a racing append
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
+      .foreach { c => live ++= c.adds; live --= c.removes }
+    val oldFiles = live.toSeq
+    if (oldFiles.isEmpty) return dataFileCount(spark, path)
+    // schema is INFERRED (with merging), not imposed: compaction must
+    // preserve whatever schema the store actually carries — including
+    // evolved columns beyond the consolidated baseline
+    val df = spark.read
+      .option("basePath", path)
+      .option("mergeSchema", "true")
+      .parquet(oldFiles.map(f => s"$path/$f"): _*)
+    val mine = Staging.publish(spark, path, layout(df),
+      maxRecordsPerFile = maxRecordsPerFile)
+    // archive the originals under v0+1's history dir so EVERY commit
+    // after our state read lands in commitReplacing's intervening check
+    // (pure appends rebase us; an overlapping rewrite aborts + repairs)
+    StoreLog.archive(spark, path, v0 + 1,
+      oldFiles.map(f => (new Path(s"$path/$f"), f)))
+    StoreLog.commitReplacing(spark, path, "compact",
+      adds = mine, removes = oldFiles, archivedAt = v0 + 1)
+    // re-seed the sidecar for the files just written (one extra pass
+    // over data hot from the rewrite); a racing appender's delta dropped
+    // by this fold heals on the next load() — the sidecar is a cache
+    StoreMeta.save(spark, path, StoreMeta.scanStats(spark, path, mine))
+    dataFileCount(spark, path)
+  }
+
+  /** Legacy whole-root staged rewrite for LOGLESS stores: apply
+    * `layout`, write to a sibling dir, swap via two renames, re-seed the
+    * zone-map sidecar. (A logless store has no commit protocol to
+    * arbitrate with — the swap's crash windows are reconciled by
+    * [[graft.store.StoreRepair]]'s compaction pre-pass.)
+    */
+  private def rewriteBySwap(
+      spark: SparkSession, path: String, maxRecordsPerFile: Long)(
+      layout: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path + "__compacting")
@@ -90,41 +154,32 @@ object Compaction {
 
     require(fs.rename(dst, bak), s"compaction swap failed: $dst -> $bak")
     require(fs.rename(tmp, dst), s"compaction swap failed: $tmp -> $dst")
-    // Time travel: if the store carried a commit log, carry it (and the
-    // accumulated history) into the rewritten root, archive the replaced
-    // data files under the new commit's history dir instead of deleting
-    // them, and record the rewrite as one adds/removes commit. Stores
-    // without a log keep the old delete-the-backup behavior.
-    val logInBak = new Path(bak, graft.store.StoreLog.dirName)
+    // carry an (empty) log dir if one existed pre-swap so the store's
+    // logging state survives the rewrite
+    val logInBak = new Path(bak, StoreLog.dirName)
     if (fs.exists(logInBak)) {
-      require(fs.rename(logInBak, new Path(dst, graft.store.StoreLog.dirName)),
+      require(fs.rename(logInBak, new Path(dst, StoreLog.dirName)),
         s"compaction log carry failed: $logInBak")
-      val histInBak = new Path(bak, graft.store.StoreLog.historyDirName)
+      val histInBak = new Path(bak, StoreLog.historyDirName)
       if (fs.exists(histInBak))
         require(
-          fs.rename(histInBak, new Path(dst, graft.store.StoreLog.historyDirName)),
+          fs.rename(histInBak, new Path(dst, StoreLog.historyDirName)),
           s"compaction history carry failed: $histInBak")
-      val oldFiles = graft.store.StoreMeta
-        .listDataFiles(spark, bak.toString).getOrElse(Nil)
-      val newFiles = graft.store.StoreMeta
-        .listDataFiles(spark, path).getOrElse(Nil)
-      val v = graft.store.StoreLog.currentVersion(spark, path) + 1
-      graft.store.StoreLog.archive(spark, path, v,
+      val oldFiles = StoreMeta.listDataFiles(spark, bak.toString).getOrElse(Nil)
+      val newFiles = StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
+      val v = StoreLog.currentVersion(spark, path) + 1
+      StoreLog.archive(spark, path, v,
         oldFiles.map(fl => (new Path(bak, fl), fl)))
-      graft.store.StoreLog.commit(spark, path, "compact",
+      StoreLog.commit(spark, path, "compact",
         adds = newFiles, removes = oldFiles)
     }
     fs.delete(bak, true)
     // re-seed the store's zone-map sidecar for the files just written:
     // the swap dropped the old one (it described pre-compaction files),
     // and without this the NEXT append pays a full heal scan. One extra
-    // pass over data that is already hot from the rewrite. listDataFiles
-    // walks hive-partitioned (`name=`) layouts too; note the rewrite
-    // itself writes a FLAT layout — a hive store comes out flat (with the
-    // partition column folded back into the data), content preserved.
-    graft.store.StoreMeta.listDataFiles(spark, path).foreach { files =>
-      graft.store.StoreMeta.save(
-        spark, path, graft.store.StoreMeta.scanStats(spark, path, files))
+    // pass over data that is already hot from the rewrite.
+    StoreMeta.listDataFiles(spark, path).foreach { files =>
+      StoreMeta.save(spark, path, StoreMeta.scanStats(spark, path, files))
     }
     dataFileCount(spark, path)
   }
@@ -139,25 +194,37 @@ object Compaction {
     * O(table). Replaced originals archive under the commit's history dir
     * ([[graft.store.StoreLog]]) so pre-optimize snapshots stay readable;
     * the zone-map sidecar keeps the untouched files' stats and rescans
-    * only the new files.
+    * only the new files. Commits through [[StoreLog.commitReplacing]],
+    * so concurrent appends rebase it rather than starve it.
     *
     * @return (filesRewritten, filesAfter)
     */
   def optimizeSmall(
       spark: SparkSession, path: String, minBytes: Long,
       maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
-    import graft.store.{StoreLog, StoreMeta}
     val rootFs = new Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val all = StoreMeta.listDataFiles(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"optimize needs a graft-managed layout: $path"))
-    val small = all.filter { f =>
+    val first = StoreLog.currentVersion(spark, path) == 0
+    // on a logged store, bin-pack the COMMITTED live set only — a racing
+    // appender's published-but-unclaimed files must not be absorbed into
+    // this commit's removes (they belong to the appender's commit)
+    val candidates =
+      if (first) all
+      else {
+        val live = scala.collection.mutable.LinkedHashSet.empty[String]
+        StoreLog.readCommits(spark, path).foreach { c =>
+          live ++= c.adds; live --= c.removes
+        }
+        all.filter(live)
+      }
+    val small = candidates.filter { f =>
       rootFs.getFileStatus(new Path(s"$path/$f")).getLen < minBytes
     }.sorted
     if (small.size < 2) return (0L, dataFileCount(spark, path))
 
-    val before = all.toSet
     // bin-pack: one output file per minBytes of input (the whole point —
     // without an explicit target the range partitioning would re-shard
     // the handful of rows across the session's shuffle partitions)
@@ -165,29 +232,30 @@ object Compaction {
       rootFs.getFileStatus(new Path(s"$path/$f")).getLen).sum
     val target = math.max(1L,
       (totalBytes + minBytes - 1) / minBytes).toInt
-    spark.read
+    val packed = spark.read
       .option("basePath", path)
       .schema(graft.model.Schemas.consolidated)
       .parquet(small.map(f => s"$path/$f"): _*)
       .repartitionByRange(target, col("database_name"), col("last_lsn"))
       .sortWithinPartitions("database_name", "last_lsn")
-      .write.mode("append")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .parquet(path)
-    val newFiles = StoreMeta.listDataFiles(spark, path)
-      .getOrElse(Nil).filterNot(before)
+    val mine = Staging.publish(spark, path, packed,
+      maxRecordsPerFile = maxRecordsPerFile)
 
-    val first = StoreLog.currentVersion(spark, path) == 0
-    if (first) small.foreach(f => rootFs.delete(new Path(s"$path/$f"), false))
-    else {
+    if (first) {
+      small.foreach(f => rootFs.delete(new Path(s"$path/$f"), false))
+      StoreLog.commit(spark, path, "optimize",
+        adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
+        removes = Nil)
+    } else {
       val v = StoreLog.currentVersion(spark, path) + 1
       StoreLog.archive(spark, path, v,
         small.map(f => (new Path(s"$path/$f"), f)))
+      // optimistic claim: concurrent appends are disjoint (their files
+      // are neither read nor removed here) and rebase this commit;
+      // overlapping rewrites roll back and abort
+      StoreLog.commitReplacing(spark, path, "optimize",
+        adds = mine, removes = small, archivedAt = v)
     }
-    StoreLog.commit(spark, path, "optimize",
-      adds = if (first) StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
-             else newFiles,
-      removes = if (first) Nil else small)
 
     // fold the sidecar: load() reconciles against the post-optimize
     // listing — untouched files keep their recorded stats, the new files

@@ -366,13 +366,10 @@ object ConsolidatedStore {
       sortWithin: Seq[String], maxAttempts: Int,
       partitionBy: Seq[String] = Nil)(
       beforeCommit: (Int, Int) => Unit): Long = {
-    import org.apache.hadoop.fs.Path
     val deduped = incoming.dropDuplicates(dedupKey).cache()
     try {
       val envelopes = batchEnvelopes(deduped)
       if (envelopes.isEmpty) return 0L
-      val rootQ = StoreMeta.qualifiedPath(spark, path)
-      val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
       var attempt = 0
       while (true) {
         attempt += 1
@@ -380,72 +377,86 @@ object ConsolidatedStore {
           throw new StoreLog.ConcurrentCommitException(
             s"append on $path lost $maxAttempts version races; reduce " +
               "writer contention or raise maxAttempts")
-        val v0 = StoreLog.currentVersion(spark, path)
-        if (v0 == 0) require(
-          StoreMeta.listDataFiles(spark, path).getOrElse(Nil).isEmpty,
-          s"appendConcurrent bootstrap on unlogged non-empty store $path: " +
-            "take one serialized append first to baseline the log")
+        var v0 = StoreLog.currentVersion(spark, path)
+        if (v0 == 0) {
+          // files present at version 0 are EITHER a truly unlogged store
+          // (single-writer bootstrap required — committing would orphan
+          // the pre-existing data) OR a concurrent bootstrapper inside
+          // its publish→claim window. Distinguish by waiting: a live
+          // racer claims v1 within its one small commit write; a store
+          // whose files persist unclaimed is genuinely unlogged.
+          var polls = 0
+          while (v0 == 0 && polls < 100 &&
+              StoreMeta.listDataFiles(spark, path).getOrElse(Nil).nonEmpty) {
+            Thread.sleep(20L)
+            v0 = StoreLog.currentVersion(spark, path)
+            polls += 1
+          }
+          require(v0 > 0 ||
+            StoreMeta.listDataFiles(spark, path).getOrElse(Nil).isEmpty,
+            s"appendConcurrent bootstrap on unlogged non-empty store $path: " +
+              "take one serialized append first to baseline the log " +
+              "(or run StoreRepair.repair if a bootstrapping writer died)")
+        }
         val live = scala.collection.mutable.LinkedHashSet.empty[String]
         StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
           .foreach { c => live ++= c.adds; live --= c.removes }
-        val loadedOpt = StoreMeta.load(spark, path)
-        val liveStats = loadedOpt
-          .map(_.files.filter(f => live(f.file))).getOrElse(Nil)
-        val overlapping = liveStats
-          .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
-        val fresh =
-          if (overlapping.isEmpty) deduped
-          else deduped.alias("in")
-            .join(spark.read
-              .option("basePath", path).schema(Schemas.consolidated)
-              .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
-              .select(dedupKey.map(col): _*).alias("ex"),
-              keyCondition("in", "ex"), "left_anti")
-            .cache()
         try {
-          val n = fresh.count()
-          if (n == 0L) return 0L
-          val base = liveStats.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
-          val assigned = withLogIdsFrom(base, fresh, batchRows = n)
-          val laidOut =
-            if (sortWithin.isEmpty) assigned
-            else assigned.sortWithinPartitions(sortWithin.map(col): _*)
-          val stage = s"$path/_graft_staging/${java.util.UUID.randomUUID()}"
-          // hive layouts stage with the same partition dirs; the staged
-          // relative paths (key=value/part-*.parquet) move home verbatim
-          val writer = laidOut.write
-          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-           else writer).parquet(stage)
-          val mine = StoreMeta.listDataFiles(spark, stage).getOrElse(Nil)
-          mine.foreach { f =>
-            val dst = new Path(s"$path/$f")
-            fs.mkdirs(dst.getParent)
-            require(fs.rename(new Path(s"$stage/$f"), dst),
-              s"appendConcurrent: stage move failed $stage/$f")
-          }
-          fs.delete(new Path(stage), true)
-          beforeCommit(attempt, v0)
-          if (StoreLog.tryCommit(spark, path, v0 + 1, "append",
-              adds = mine, removes = Nil)) {
-            // sidecar maintenance mirrors the serialized path: one
-            // O(batch) delta segment normally, a full fold past the
-            // segment threshold (unbounded concurrent-only trickle
-            // appends must not regrow the O(store) segment read this
-            // design removed). A racing writer's delta written during
-            // the fold's overwrite can be dropped — the sidecar is a
-            // cache, so the next load() heals those files with one
-            // rescan, never wrong answers.
-            val newStats = StoreMeta.scanStats(spark, path, mine)
-            val segs = loadedOpt.map(_.segments).getOrElse(0)
-            if (segs + 1 > StoreMeta.SegmentFoldThreshold)
-              StoreMeta.save(spark, path, liveStats ++ newStats)
-            else StoreMeta.saveDelta(spark, path, newStats)
-            return n
-          }
-          // lost the claim: un-publish our files and redo against the
-          // winner's state (they may hold our keys or our LogID range)
-          mine.foreach(f => fs.delete(new Path(s"$path/$f"), false))
-        } finally if (fresh ne deduped) fresh.unpersist()
+          val loadedOpt = StoreMeta.load(spark, path)
+          val liveStats = loadedOpt
+            .map(_.files.filter(f => live(f.file))).getOrElse(Nil)
+          val overlapping = liveStats
+            .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+          val fresh =
+            if (overlapping.isEmpty) deduped
+            else deduped.alias("in")
+              .join(spark.read
+                .option("basePath", path).schema(Schemas.consolidated)
+                .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+                .select(dedupKey.map(col): _*).alias("ex"),
+                keyCondition("in", "ex"), "left_anti")
+              .cache()
+          try {
+            val n = fresh.count()
+            if (n == 0L) return 0L
+            val base = liveStats.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
+            val assigned = withLogIdsFrom(base, fresh, batchRows = n)
+            val laidOut =
+              if (sortWithin.isEmpty) assigned
+              else assigned.sortWithinPartitions(sortWithin.map(col): _*)
+            // hive layouts stage with the same partition dirs; the staged
+            // relative paths (key=value/part-*.parquet) move home verbatim
+            val mine = Staging.publish(spark, path, laidOut, partitionBy)
+            beforeCommit(attempt, v0)
+            if (StoreLog.tryCommit(spark, path, v0 + 1, "append",
+                adds = mine, removes = Nil)) {
+              // sidecar maintenance mirrors the serialized path: one
+              // O(batch) delta segment normally, a full fold past the
+              // segment threshold (unbounded concurrent-only trickle
+              // appends must not regrow the O(store) segment read this
+              // design removed). A racing writer's delta written during
+              // the fold's overwrite can be dropped — the sidecar is a
+              // cache, so the next load() heals those files with one
+              // rescan, never wrong answers.
+              val newStats = StoreMeta.scanStats(spark, path, mine)
+              val segs = loadedOpt.map(_.segments).getOrElse(0)
+              if (segs + 1 > StoreMeta.SegmentFoldThreshold)
+                StoreMeta.save(spark, path, liveStats ++ newStats)
+              else StoreMeta.saveDelta(spark, path, newStats)
+              return n
+            }
+            // lost the claim: un-publish our files and redo against the
+            // winner's state (they may hold our keys or our LogID range)
+            Staging.retract(spark, path, mine)
+          } finally if (fresh ne deduped) fresh.unpersist()
+        } catch {
+          // a racing CoW maintenance commit (merge/delete/compaction)
+          // archived a file between our log replay and the read — the
+          // state this attempt was based on no longer exists physically.
+          // Not a failure: redo against the racer's committed state,
+          // exactly as a lost version claim does.
+          case e: Exception if StoreLog.fileVanished(e) => ()
+        }
       }
       0L // unreachable
     } finally deduped.unpersist()

@@ -1,0 +1,59 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Staged publication of new data files into a store root.
+  *
+  * Every writer that creates files for a commit (concurrent appends,
+  * merge/delete survivor rewrites, small-file optimize, CoW compaction)
+  * writes them under `<root>/_graft_staging/<uuid>` — invisible to
+  * table scans and to [[StoreMeta.listDataFiles]] — then moves them
+  * into the root by rename. The mover therefore knows the EXACT set of
+  * file names it created: commits record that set, never a
+  * before/after directory-listing diff, so a concurrent writer's
+  * in-flight files (published to the root but not yet committed) can
+  * never be absorbed into another writer's commit. A crash leaves
+  * either an inert staging dir (dropped wholesale by
+  * [[StoreRepair.repair]]) or uncommitted root files (reconciled as
+  * orphans against the log).
+  */
+private[graft] object Staging {
+
+  val dirName = "_graft_staging"
+
+  /** Write `df`'s parquet through a fresh staging dir and move the data
+    * files into `root`, preserving relative (partition) paths. Returns
+    * the root-relative paths of exactly the files this writer created.
+    */
+  def publish(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Seq[String] = {
+    val rootQ = StoreMeta.qualifiedPath(spark, root)
+    val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = s"$root/$dirName/${java.util.UUID.randomUUID()}"
+    val writer = df.write
+    if (maxRecordsPerFile > 0L)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(stage)
+    val mine = StoreMeta.listDataFiles(spark, stage).getOrElse(Nil)
+    mine.foreach { f =>
+      val dst = new Path(s"$root/$f")
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(s"$stage/$f"), dst),
+        s"staged publish: move failed $stage/$f")
+    }
+    fs.delete(new Path(stage), true)
+    mine
+  }
+
+  /** Un-publish files this writer moved into the root (lost a version
+    * race, or an abort path) — exact names only, never a listing.
+    */
+  def retract(spark: SparkSession, root: String, files: Seq[String]): Unit = {
+    val rootQ = StoreMeta.qualifiedPath(spark, root)
+    val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+    files.foreach(f => fs.delete(new Path(s"$root/$f"), false))
+  }
+}

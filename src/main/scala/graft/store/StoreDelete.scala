@@ -91,21 +91,21 @@ object StoreDelete {
       (wholeFiles ++ perFile.collect { case (f, n, d) if d == n => f }).sorted
     val partial = perFile.collect { case (f, n, d) if d > 0 && d < n => f }.sorted
 
-    val before = loaded.files.map(_.file).toSet
-    if (partial.nonEmpty) {
-      val survivors = spark.read
-        .option("basePath", path).schema(Schemas.consolidated)
-        .parquet(partial.map(f => s"$path/$f"): _*)
-        .filter(!hit)
-      val laidOut =
-        if (sortWithin.isEmpty) survivors
-        else survivors.sortWithinPartitions(sortWithin.map(col): _*)
-      val writer = laidOut.write.mode(SaveMode.Append)
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(path)
-    }
-    val after = StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
-    val newFiles = after.filterNot(before)
+    // staged publish: adds are the exact survivor files this delete
+    // created, never a directory-listing diff that could absorb a
+    // concurrent appender's in-flight files into this commit
+    val newFiles =
+      if (partial.isEmpty) Nil
+      else {
+        val survivors = spark.read
+          .option("basePath", path).schema(Schemas.consolidated)
+          .parquet(partial.map(f => s"$path/$f"): _*)
+          .filter(!hit)
+        val laidOut =
+          if (sortWithin.isEmpty) survivors
+          else survivors.sortWithinPartitions(sortWithin.map(col): _*)
+        Staging.publish(spark, path, laidOut, partitionBy)
+      }
 
     val removed = dropped ++ partial
     val first = StoreLog.currentVersion(spark, path) == 0

@@ -110,7 +110,9 @@ object StoreLog {
             attempt += 1
             if (attempt > 100)
               throw new IllegalStateException(
-                s"commit file $p unreadable after ${attempt - 1} retries", e)
+                s"commit file $p unreadable after ${attempt - 1} retries — " +
+                  "if a writer died mid-claim, StoreRepair.repair drops the " +
+                  "aborted head claim", e)
             Thread.sleep(10L)
         }
       }
@@ -136,6 +138,70 @@ object StoreLog {
     JsonMethods.compact(JsonMethods.render(
       ("version" -> c.version) ~ ("op" -> c.op) ~
         ("adds" -> c.adds) ~ ("removes" -> c.removes) ~ ("txn" -> c.txn)))
+  }
+
+  /** Whether a throwable (anywhere in its cause chain) reports a data
+    * file that vanished between plan and execution — the signature of a
+    * racing copy-on-write commit archiving a file this reader had
+    * resolved. Optimistic writers treat it as a redo signal, not a
+    * failure.
+    */
+  def fileVanished(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 20) {
+      if (cur.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = cur.getMessage
+      if (m != null &&
+        (m.contains("Path does not exist") || m.contains("PATH_NOT_FOUND") ||
+          m.contains("FileNotFoundException"))) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+
+  /** Remove a HEAD commit file that was claimed but never filled — the
+    * footprint of a writer dying between [[tryCommit]]'s create and its
+    * write. Without this the log is bricked: [[readCommits]] retries
+    * then throws on every read, and no claim of that version can ever
+    * succeed. Only the HIGHEST listed version can be an aborted claim
+    * (claims only ever target currentVersion+1), and only
+    * [[StoreRepair.repair]] calls this — deleting a claim from a live
+    * read path could race the claiming writer's (GC-delayed) fill and
+    * silently discard its commit, so the deletion is reserved for the
+    * explicit crash-recovery entry point. Returns true if a claim was
+    * dropped.
+    */
+  private[store] def dropAbortedHeadClaim(
+      spark: SparkSession, root: String): Boolean = {
+    val versions = listVersions(spark, root)
+    if (versions.isEmpty) return false
+    val head = versions.last
+    val p = commitPath(root, head)
+    val f = fs(spark, p)
+    var attempt = 0
+    while (attempt < 30) {
+      try {
+        val in = f.open(p)
+        val bytes =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+        parse(new String(bytes, StandardCharsets.UTF_8))
+        return false // head commit parses — nothing to repair
+      } catch {
+        case _: Exception =>
+          attempt += 1
+          Thread.sleep(10L)
+      }
+    }
+    f.delete(p, false) // persistently unreadable head = aborted claim
+    true
   }
 
   /** Two writers raced for the same commit version and this one must
@@ -384,16 +450,30 @@ object StoreLog {
     * need them are no longer reconstructible (the vacuum trade: storage
     * back, old versions gone). The log itself is kept — it is tiny and
     * still documents what happened.
+    *
+    * Multi-writer safety: a history dir is only dropped when its
+    * version's COMMIT owns it — i.e. that commit records `removes`
+    * (every file-replacing op archives under its own commit version).
+    * An archive dir parked at a version claimed by a PURE APPEND is a
+    * concurrent [[commitReplacing]] rebase in flight (the replacer lost
+    * that version race and is about to re-home the dir upward) — and an
+    * archive at a version with no commit at all is a claim-in-progress.
+    * Deleting either would destroy the originals an abort path needs to
+    * roll back. Snapshot reads never consult such dirs (they resolve
+    * history only through remove-commits), so skipping them costs
+    * nothing.
     */
   def vacuum(spark: SparkSession, root: String, beforeVersion: Int): Int = {
     val dir = new Path(s"$root/$historyDirName")
     val f = fs(spark, dir)
     if (!f.exists(dir)) return 0
+    val owned = readCommits(spark, root)
+      .filter(_.removes.nonEmpty).map(_.version).toSet
     var removed = 0
     f.listStatus(dir).foreach { e =>
       val n = e.getPath.getName
       if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-        n.drop(1).toInt <= beforeVersion) {
+        n.drop(1).toInt <= beforeVersion && owned(n.drop(1).toInt)) {
         f.delete(e.getPath, true)
         removed += 1
       }

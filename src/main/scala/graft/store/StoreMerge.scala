@@ -152,13 +152,10 @@ object StoreMerge {
         val laidOut =
           if (sortWithin.isEmpty) out
           else out.sortWithinPartitions(sortWithin.map(col): _*)
-        val before = loaded.files.map(_.file).toSet
-        val writer = laidOut.write.mode(SaveMode.Append)
-        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-         else writer).parquet(path)
-
-        val after = StoreMeta.listDataFiles(spark, path).getOrElse(Nil)
-        val newFiles = after.filterNot(before)
+        // staged publish: adds are the exact files this merge created —
+        // a concurrent appender's in-flight (published, uncommitted)
+        // files can never be absorbed into this commit by a listing diff
+        val newFiles = Staging.publish(spark, path, laidOut, partitionBy)
         // archive the replaced originals under the upcoming commit's
         // history dir (pre-merge snapshots stay readable), then commit.
         // A store whose very first logged operation is this merge

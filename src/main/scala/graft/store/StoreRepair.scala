@@ -65,9 +65,13 @@ object StoreRepair {
     val preRestored = reconcileCompaction(spark, root, fs)
     // crashed concurrent appenders leave inert batch files under the
     // (scan-invisible) staging dir — drop them wholesale
-    val staging = new Path(s"$root/_graft_staging")
+    val staging = new Path(s"$root/${Staging.dirName}")
     if (fs.exists(staging))
       require(fs.delete(staging, true), s"repair: staging drop failed $staging")
+    // a writer that died between a version claim (create) and its fill
+    // (write) left an empty HEAD commit file that bricks every log read —
+    // drop it, restoring the prior version as current
+    StoreLog.dropAbortedHeadClaim(spark, root)
 
     val current = StoreLog.currentVersion(spark, root)
     if (current == 0) { // no log — no reconciliation baseline beyond the
@@ -182,6 +186,23 @@ object StoreRepair {
           fs.mkdirs(to.getParent)
           require(fs.rename(from, to), s"repair: archive restore failed $from -> $to")
           moved += 1L
+        }
+        // the log and the history dir are carried in two separate renames;
+        // a crash between them leaves the accumulated _graft_history in
+        // the backup — carry its per-version dirs home before dropping it,
+        // or every archived snapshot version is destroyed
+        val histInBak = new Path(bak, StoreLog.historyDirName)
+        if (fs.exists(histInBak)) {
+          val histHome = new Path(dst, StoreLog.historyDirName)
+          fs.mkdirs(histHome)
+          fs.listStatus(histInBak).foreach { e =>
+            val home = new Path(histHome, e.getPath.getName)
+            if (!fs.exists(home)) {
+              require(fs.rename(e.getPath, home),
+                s"repair: history carry failed ${e.getPath} -> $home")
+              moved += 1L
+            }
+          }
         }
         require(fs.delete(bak, true), s"repair: backup drop failed $bak")
       } else {

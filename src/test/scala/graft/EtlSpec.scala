@@ -364,6 +364,26 @@ class EtlSpec extends AnyFunSuite {
     assert(graft.store.StoreRepair.repair(spark, store).clean)
   }
 
+  test("concurrent loads: one server's load failure is reported, not amplified") {
+    val tmp0 = tmp()
+    val (store, wmPath) = (s"$tmp0/cons", s"$tmp0/wm")
+    // an unlogged non-empty store makes appendConcurrent's bootstrap
+    // refuse — a LOAD-phase failure (the extract succeeds). Overlapped
+    // loads must surface it per-server instead of rethrowing through
+    // Await and aborting the siblings mid-flight.
+    graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+      .drop("LogID").limit(5).write.parquet(store)
+    val src = MsdbDerivation.sources(spark, TestSpark.sf)
+    val servers = Map("srvA" -> src, "srvB" -> src)
+    val res = EtlRunner.runOnce(spark, servers, store, wmPath,
+      parallelism = 2, concurrentLoads = true) // must NOT throw
+    assert(res.size == 2)
+    assert(res.forall(_.error.exists(_.startsWith("load failed"))),
+      res.mkString("; "))
+    // watermarks were not advanced — the next run re-extracts the batch
+    assert(WatermarkStore.read(spark, wmPath).isEmpty)
+  }
+
   test("watermark store roundtrip") {
     val path = tmp()
     val t1 = Timestamp.valueOf("2024-01-01 10:00:00")

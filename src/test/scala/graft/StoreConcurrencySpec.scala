@@ -167,6 +167,114 @@ class StoreConcurrencySpec extends AnyFunSuite {
     assert(preRows > 0L) // fixture sanity
   }
 
+  test("threaded appender racing zorderCompact: both land, snapshots exact") {
+    import graft.maintenance.Compaction
+    val path = tmp()
+    val h = bh.cache()
+    val total = h.count()
+    val ordered = h.orderBy("backup_finish_date", "database_name", "last_lsn",
+      "physical_device_name")
+    // several committed appends give the compactor files to fold
+    val baseN = (total / 2).toInt
+    ConsolidatedStore.append(spark, path, ordered.limit(baseN / 2))
+    ConsolidatedStore.append(spark, path,
+      ordered.limit(baseN).except(ordered.limit(baseN / 2)))
+    val rest = ordered.limit(total.toInt).except(ordered.limit(baseN))
+    val restN = rest.count()
+
+    val fa = Future(ConsolidatedStore.appendConcurrent(spark, path, rest))
+    val fc = Future(Compaction.zorderCompact(spark, path, 1000000L))
+    val appended = Await.result(fa, 5.minutes)
+    Await.result(fc, 5.minutes)
+
+    // the compaction must have LANDED (rebased past the append, not
+    // starved), and the append must not have lost rows to it
+    val ops = StoreLog.readCommits(spark, path).map(_.op)
+    assert(ops.contains("compact"), s"compaction starved: $ops")
+    assert(appended == restN, s"appended $appended of $restN")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == total, "no lost rows, no duplicates")
+    assert(stored.select("LogID").distinct().count() == total, "LogIDs unique")
+    // every committed version snapshot-readable (archives re-homed with
+    // any rebase), and the final snapshot equals the directory
+    val vMax = StoreLog.currentVersion(spark, path)
+    (1 to vMax).foreach { v =>
+      assert(StoreLog.snapshot(spark, path, v).count() > 0, s"snapshot v$v")
+    }
+    assert(StoreLog.snapshot(spark, path, vMax).count() == total)
+    assert(StoreRepair.repair(spark, path).clean, "no orphans after the race")
+    // the sidecar may hold a stale fold from whichever writer finished
+    // last — it must HEAL (pruned read ≡ directory), never mis-answer
+    val healed = StoreMeta.load(spark, path).get
+    assert(healed.files.map(_.file).toSet ==
+      StoreMeta.listDataFiles(spark, path).get.toSet)
+    h.unpersist()
+  }
+
+  test("concurrent bootstrap: claim-window files are waited out, not aborted") {
+    val path = tmp()
+    val h = bh.cache()
+    // writer A's state mid-bootstrap: data file published to the root,
+    // version 1 not yet claimed
+    val probe = h.limit(60).dropDuplicates(ConsolidatedStore.dedupKey).cache()
+    val nProbe = probe.count()
+    val aFiles = graft.store.Staging.publish(spark, path,
+      ConsolidatedStore.withLogIdsFrom(0L, probe, nProbe))
+    // A's claim lands 300 ms later, from another thread
+    val claimer = Future {
+      Thread.sleep(300L)
+      assert(StoreLog.tryCommit(spark, path, 1, "append", aFiles, Nil))
+      StoreMeta.saveDelta(spark, path, StoreMeta.scanStats(spark, path, aFiles))
+    }
+    // writer B sees files at v0 == 0 — it must WAIT for the claim and
+    // then dedup against A's commit, not spuriously abort
+    val b = h.orderBy("backup_finish_date", "database_name", "last_lsn",
+      "physical_device_name")
+    val n = ConsolidatedStore.appendConcurrent(spark, path, b)
+    Await.result(claimer, 1.minute)
+    val total = h.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == total, "B deduped against A's bootstrap commit")
+    assert(n == total - nProbe)
+    assert(stored.select("LogID").distinct().count() == total)
+    probe.unpersist(); h.unpersist()
+  }
+
+  test("truly unlogged non-empty store still refuses concurrent bootstrap") {
+    val path = tmp()
+    // unlogged data: written directly, no commit ever arrives
+    bh.limit(20).write.parquet(path)
+    val ex = intercept[IllegalArgumentException] {
+      ConsolidatedStore.appendConcurrent(spark, path, bh.limit(40))
+    }
+    assert(ex.getMessage.contains("unlogged"))
+  }
+
+  test("vacuum never deletes an archive dir a rebase has in flight") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") >= "db2"))
+    // a committed CoW delete → an OWNED history dir (commit has removes)
+    StoreDelete.delete(spark, path, col("database_name") === "db0")
+    val owned = StoreLog.readCommits(spark, path)
+      .filter(_.removes.nonEmpty).map(_.version)
+    assert(owned.nonEmpty)
+    // a racing replacer parked its archive at a version a PURE APPEND
+    // claimed (the rebase-in-flight footprint): commit v has no removes
+    val appendV = StoreLog.readCommits(spark, path)
+      .filter(c => c.removes.isEmpty && c.adds.nonEmpty).head.version
+    val parked = new java.io.File(
+      s"$path/${StoreLog.historyDirName}/${"v%09d".format(appendV)}")
+    parked.mkdirs()
+    java.nio.file.Files.write(
+      parked.toPath.resolve("in-flight.parquet"), Array[Byte](1, 2, 3))
+    val dropped = StoreLog.vacuum(spark, path,
+      beforeVersion = StoreLog.currentVersion(spark, path))
+    assert(dropped == owned.size,
+      s"vacuum must drop exactly the $owned-owned dirs, got $dropped")
+    assert(parked.exists, "in-flight archive dir must survive vacuum")
+  }
+
   test("merge aborted by an overlapping concurrent rewrite rolls back, then reruns cleanly") {
     val path = tmp()
     val h = bh.cache()

@@ -145,6 +145,68 @@ class StoreRepairSpec extends AnyFunSuite {
     assert(StoreLog.currentVersion(spark, path) == v + 1)
   }
 
+  test("writer dead between claim and fill: repair drops the empty head commit") {
+    val path = build()
+    val rows = ConsolidatedStore.read(spark, path).count()
+    val v = StoreLog.currentVersion(spark, path)
+    // the footprint of tryCommit's create succeeding and the writer dying
+    // before its one content write: an empty commit file at the head
+    Files.write(Paths.get(
+      s"$path/${StoreLog.dirName}/${"v%09d".format(v + 1)}.json"),
+      Array.emptyByteArray)
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.clean, "claim drop is metadata-only")
+    assert(StoreLog.currentVersion(spark, path) == v,
+      "prior version restored as current")
+    // the log surface is un-bricked: reads work and a new append can
+    // claim the version the dead writer held
+    assert(StoreLog.readCommits(spark, path).last.version == v)
+    ConsolidatedStore.append(spark, path,
+      bh.filter(col("database_name") === "db1")
+        .withColumn("physical_device_name",
+          concat(col("physical_device_name"), lit(".reclaim"))))
+    assert(StoreLog.currentVersion(spark, path) == v + 1)
+    assert(ConsolidatedStore.read(spark, path).count() > rows)
+  }
+
+  test("compaction crash after log carry, before history carry: archives survive") {
+    val path = build()
+    // give the store real history: a merge archives its touched file
+    val upd = bh.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 9)
+    StoreMerge.merge(spark, path, upd)
+    val vMax = StoreLog.currentVersion(spark, path)
+    val expected = ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq
+    val snapshotsBefore =
+      (1 to vMax).map(v => StoreLog.snapshot(spark, path, v).count())
+
+    // crash state between rewriteBySwap's two carry renames: root holds
+    // the rewritten data files + the carried log; the backup still holds
+    // the old data files AND the not-yet-carried _graft_history
+    val rewrite = tmp()
+    spark.read.parquet(path).write.parquet(rewrite)
+    Files.move(Paths.get(path), Paths.get(path + "__precompact"))
+    Files.move(Paths.get(rewrite), Paths.get(path))
+    Files.move(Paths.get(s"${path}__precompact/${StoreLog.dirName}"),
+      Paths.get(s"$path/${StoreLog.dirName}"))
+    assert(Files.exists(
+      Paths.get(s"${path}__precompact/${StoreLog.historyDirName}")),
+      "fixture: history must be sitting un-carried in the backup")
+
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.restored > 0L, stats.toString)
+    // the un-carried history came home: EVERY archived snapshot version
+    // is still reconstructible, and the table equals its last commit
+    (1 to vMax).foreach { v =>
+      assert(StoreLog.snapshot(spark, path, v).count() == snapshotsBefore(v - 1),
+        s"snapshot v$v lost its archive")
+    }
+    assert(ConsolidatedStore.read(spark, path)
+      .orderBy("LogID").collect().toSeq == expected)
+    assert(!Files.exists(Paths.get(path + "__precompact")))
+  }
+
   test("compaction crash before backup delete on a logless store: stale backup dropped") {
     val path = tmp()
     bh.write.parquet(path) // no commit log: plain parquet dir
