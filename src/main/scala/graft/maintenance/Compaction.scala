@@ -20,8 +20,8 @@ import graft.store.{Staging, StoreLog, StoreMeta}
   * On a LOGGED store the rewrite is file-level copy-on-write under
   * optimistic concurrency, exactly the [[graft.store.StoreMerge]] /
   * [[graft.store.StoreDelete]] shape: read the log's live set, stage the
-  * rewritten layout, publish, archive the originals, and commit through
-  * [[StoreLog.commitReplacing]] — so a compaction racing concurrent
+  * rewritten layout, archive the originals, promote the staged files,
+  * and commit through [[StoreLog.commitReplacing]] — so a compaction racing concurrent
   * appends REBASES past them (a pure append's files are disjoint from
   * the files the compaction read and replaced; both commits land)
   * instead of losing every version race and starving under steady
@@ -35,6 +35,8 @@ import graft.store.{Staging, StoreLog, StoreMeta}
   * archives restore).
   */
 object Compaction {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** @return number of data files after compaction. */
   def compact(
@@ -114,19 +116,34 @@ object Compaction {
       .option("basePath", path)
       .option("mergeSchema", "true")
       .parquet(oldFiles.map(f => s"$path/$f"): _*)
-    val mine = Staging.publish(spark, path, layout(df),
+    // stage (executes the rewrite while the originals are still in
+    // place), THEN archive the originals, THEN promote the staged files:
+    // plain directory readers never see original + rewrite rows together
+    // — the inconsistent window is the two rename loops, with no
+    // duplicate-row phase. A crash anywhere in it rolls back: the
+    // archive sits at v0+1 > current, so StoreRepair restores the
+    // originals and drops the staged/promoted rewrites as uncommitted.
+    val (stageDir, mine) = Staging.stage(spark, path, layout(df),
       maxRecordsPerFile = maxRecordsPerFile)
-    // archive the originals under v0+1's history dir so EVERY commit
-    // after our state read lands in commitReplacing's intervening check
-    // (pure appends rebase us; an overlapping rewrite aborts + repairs)
+    // archive under v0+1's history dir so EVERY commit after our state
+    // read lands in commitReplacing's intervening check (pure appends
+    // rebase us; an overlapping rewrite aborts + repairs)
     StoreLog.archive(spark, path, v0 + 1,
       oldFiles.map(f => (new Path(s"$path/$f"), f)))
+    Staging.promote(spark, path, stageDir, mine)
     StoreLog.commitReplacing(spark, path, "compact",
       adds = mine, removes = oldFiles, archivedAt = v0 + 1)
     // re-seed the sidecar for the files just written (one extra pass
-    // over data hot from the rewrite); a racing appender's delta dropped
-    // by this fold heals on the next load() — the sidecar is a cache
-    StoreMeta.save(spark, path, StoreMeta.scanStats(spark, path, mine))
+    // over data hot from the rewrite); a racing appender's delta is NOT
+    // clobbered (StoreMeta.save only folds segments it captured), and a
+    // failure here is a warning, never a thrown compaction whose commit
+    // already landed — the sidecar is a cache, load() heals
+    try StoreMeta.save(spark, path, StoreMeta.scanStats(spark, path, mine))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-commit sidecar re-seed failed on $path " +
+          "(cache only — next load() heals): " + e)
+    }
     dataFileCount(spark, path)
   }
 
@@ -238,10 +255,13 @@ object Compaction {
       .parquet(small.map(f => s"$path/$f"): _*)
       .repartitionByRange(target, col("database_name"), col("last_lsn"))
       .sortWithinPartitions("database_name", "last_lsn")
-    val mine = Staging.publish(spark, path, packed,
+    // stage → archive → promote (see rewriteCow): readers never see the
+    // originals and their bin-packed copy at once
+    val (stageDir, mine) = Staging.stage(spark, path, packed,
       maxRecordsPerFile = maxRecordsPerFile)
 
     if (first) {
+      Staging.promote(spark, path, stageDir, mine)
       small.foreach(f => rootFs.delete(new Path(s"$path/$f"), false))
       StoreLog.commit(spark, path, "optimize",
         adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
@@ -250,6 +270,7 @@ object Compaction {
       val v = StoreLog.currentVersion(spark, path) + 1
       StoreLog.archive(spark, path, v,
         small.map(f => (new Path(s"$path/$f"), f)))
+      Staging.promote(spark, path, stageDir, mine)
       // optimistic claim: concurrent appends are disjoint (their files
       // are neither read nor removed here) and rebase this commit;
       // overlapping rewrites roll back and abort
@@ -259,9 +280,15 @@ object Compaction {
 
     // fold the sidecar: load() reconciles against the post-optimize
     // listing — untouched files keep their recorded stats, the new files
-    // heal via one O(new) scan, the removed entries drop
-    StoreMeta.load(spark, path)
+    // heal via one O(new) scan, the removed entries drop. Non-fatal:
+    // the commit already landed and the sidecar is a cache.
+    try StoreMeta.load(spark, path)
       .foreach(l => StoreMeta.save(spark, path, l.files))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-commit sidecar fold failed on $path " +
+          "(cache only — next load() heals): " + e)
+    }
     (small.size.toLong, dataFileCount(spark, path))
   }
 

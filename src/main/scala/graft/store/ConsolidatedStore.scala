@@ -31,6 +31,8 @@ import graft.model.Schemas
   */
 object ConsolidatedStore {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val dedupKey: Seq[String] = Schemas.dedupKey
 
   /** Null-safe equi-join condition on the dedup key between two aliased
@@ -303,14 +305,24 @@ object ConsolidatedStore {
            else writer).parquet(path)
           val newFiles = StoreMeta.listDataFiles(spark, path)
             .getOrElse(Nil).filterNot(before)
-          val newStats = StoreMeta.scanStats(spark, path, newFiles)
-          if (loaded.dirty || loaded.segments + 1 > foldEvery)
-            StoreMeta.save(spark, path, loaded.files ++ newStats)
-          else StoreMeta.saveDelta(spark, path, newStats)
           // one O(batch) commit record enables snapshot reads (StoreLog);
-          // a pre-log store baselines itself on this first commit
+          // a pre-log store baselines itself on this first commit. The
+          // commit lands BEFORE the sidecar write: the sidecar is a pure
+          // cache, so a failure past this point degrades to a warning +
+          // one heal scan on the next load(), never a thrown append
+          // whose data already landed
           StoreLog.commitAppend(spark, path, newFiles,
             before.toSeq.sorted ++ newFiles)
+          try {
+            val newStats = StoreMeta.scanStats(spark, path, newFiles)
+            if (loaded.dirty || loaded.segments + 1 > foldEvery)
+              StoreMeta.save(spark, path, loaded.files ++ newStats)
+            else StoreMeta.saveDelta(spark, path, newStats)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"post-commit sidecar update failed on $path " +
+                "(cache only — next load() heals): " + e)
+          }
         } else foldIfDirty()
         n
       } finally if (fresh ne deduped) fresh.unpersist()
@@ -434,15 +446,22 @@ object ConsolidatedStore {
               // O(batch) delta segment normally, a full fold past the
               // segment threshold (unbounded concurrent-only trickle
               // appends must not regrow the O(store) segment read this
-              // design removed). A racing writer's delta written during
-              // the fold's overwrite can be dropped — the sidecar is a
-              // cache, so the next load() heals those files with one
-              // rescan, never wrong answers.
-              val newStats = StoreMeta.scanStats(spark, path, mine)
-              val segs = loadedOpt.map(_.segments).getOrElse(0)
-              if (segs + 1 > StoreMeta.SegmentFoldThreshold)
-                StoreMeta.save(spark, path, liveStats ++ newStats)
-              else StoreMeta.saveDelta(spark, path, newStats)
+              // design removed). The commit already landed, and the
+              // sidecar is a pure cache — so NOTHING here may fail the
+              // append: a racing compaction archiving our just-committed
+              // files mid-scan, or any sidecar write error, degrades to
+              // a warning and one heal rescan on the next load().
+              try {
+                val newStats = StoreMeta.scanStats(spark, path, mine)
+                val segs = loadedOpt.map(_.segments).getOrElse(0)
+                if (segs + 1 > StoreMeta.SegmentFoldThreshold)
+                  StoreMeta.save(spark, path, liveStats ++ newStats)
+                else StoreMeta.saveDelta(spark, path, newStats)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  log.warn(s"post-commit sidecar update failed on $path " +
+                    "(cache only — next load() heals): " + e)
+              }
               return n
             }
             // lost the claim: un-publish our files and redo against the

@@ -29,23 +29,45 @@ private[graft] object Staging {
   def publish(spark: SparkSession, root: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
       maxRecordsPerFile: Long = 0L): Seq[String] = {
-    val rootQ = StoreMeta.qualifiedPath(spark, root)
-    val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
-    val stage = s"$root/$dirName/${java.util.UUID.randomUUID()}"
+    val (stageDir, mine) = stage(spark, root, df, partitionBy, maxRecordsPerFile)
+    promote(spark, root, stageDir, mine)
+  }
+
+  /** Phase 1 of [[publish]]: EXECUTE the write into a fresh staging dir
+    * (invisible to scans) and return `(stagingDir, relativeFiles)`.
+    * Splitting the phases lets a file-REPLACING op (merge, delete,
+    * compaction) archive the originals it read BETWEEN the write (whose
+    * input scan still needs those originals in place — DataFrames read
+    * lazily, at write time) and [[promote]] — so plain directory readers
+    * never see original + replacement rows together. The inconsistent
+    * window shrinks to the archive/promote rename loops (metadata ops),
+    * with no duplicate-row phase at all.
+    */
+  def stage(spark: SparkSession, root: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): (String, Seq[String]) = {
+    val stageDir = s"$root/$dirName/${java.util.UUID.randomUUID()}"
     val writer = df.write
     if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(stage)
-    val mine = StoreMeta.listDataFiles(spark, stage).getOrElse(Nil)
-    mine.foreach { f =>
+     else writer).parquet(stageDir)
+    (stageDir, StoreMeta.listDataFiles(spark, stageDir).getOrElse(Nil))
+  }
+
+  /** Phase 2 of [[publish]]: move the staged files into the root. */
+  def promote(spark: SparkSession, root: String, stageDir: String,
+      files: Seq[String]): Seq[String] = {
+    val rootQ = StoreMeta.qualifiedPath(spark, root)
+    val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
+    files.foreach { f =>
       val dst = new Path(s"$root/$f")
       fs.mkdirs(dst.getParent)
-      require(fs.rename(new Path(s"$stage/$f"), dst),
-        s"staged publish: move failed $stage/$f")
+      require(fs.rename(new Path(s"$stageDir/$f"), dst),
+        s"staged publish: move failed $stageDir/$f")
     }
-    fs.delete(new Path(stage), true)
-    mine
+    fs.delete(new Path(stageDir), true)
+    files
   }
 
   /** Un-publish files this writer moved into the root (lost a version

@@ -30,6 +30,8 @@ import graft.model.Schemas
   */
 object StoreDelete {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class DeleteStats(
     deleted: Long, filesDropped: Long, filesRewritten: Long)
 
@@ -91,11 +93,14 @@ object StoreDelete {
       (wholeFiles ++ perFile.collect { case (f, n, d) if d == n => f }).sorted
     val partial = perFile.collect { case (f, n, d) if d > 0 && d < n => f }.sorted
 
-    // staged publish: adds are the exact survivor files this delete
-    // created, never a directory-listing diff that could absorb a
-    // concurrent appender's in-flight files into this commit
-    val newFiles =
-      if (partial.isEmpty) Nil
+    // stage (executes the survivor rewrite while the originals are
+    // readable), archive the removed originals, THEN promote — readers
+    // never see a surviving row's original and rewrite together. Adds
+    // are the exact survivor files this delete created, never a
+    // directory-listing diff that could absorb a concurrent appender's
+    // in-flight files into this commit.
+    val staged: Option[(String, Seq[String])] =
+      if (partial.isEmpty) None
       else {
         val survivors = spark.read
           .option("basePath", path).schema(Schemas.consolidated)
@@ -104,12 +109,14 @@ object StoreDelete {
         val laidOut =
           if (sortWithin.isEmpty) survivors
           else survivors.sortWithinPartitions(sortWithin.map(col): _*)
-        Staging.publish(spark, path, laidOut, partitionBy)
+        Some(Staging.stage(spark, path, laidOut, partitionBy))
       }
+    val newFiles = staged.map(_._2).getOrElse(Nil)
 
     val removed = dropped ++ partial
     val first = StoreLog.currentVersion(spark, path) == 0
     if (first) {
+      staged.foreach { case (d, fl) => Staging.promote(spark, path, d, fl) }
       val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
       removed.foreach(f => fs.delete(new Path(s"$path/$f"), false))
       StoreLog.commit(spark, path, "delete",
@@ -119,16 +126,25 @@ object StoreDelete {
       val v = StoreLog.currentVersion(spark, path) + 1
       StoreLog.archive(spark, path, v,
         removed.map(f => (new Path(s"$path/$f"), f)))
+      staged.foreach { case (d, fl) => Staging.promote(spark, path, d, fl) }
       // optimistic claim (see StoreLog.commitReplacing): disjoint racers
       // rebase, overlapping rewrites roll back and abort
       StoreLog.commitReplacing(spark, path, "delete",
         adds = newFiles, removes = removed, archivedAt = v)
     }
 
-    val removedSet = removed.toSet
-    StoreMeta.save(spark, path,
-      loaded.files.filterNot(f => removedSet(f.file)) ++
-        StoreMeta.scanStats(spark, path, newFiles))
+    // post-commit sidecar fold: a pure cache — never fail a delete
+    // whose commit already landed
+    try {
+      val removedSet = removed.toSet
+      StoreMeta.save(spark, path,
+        loaded.files.filterNot(f => removedSet(f.file)) ++
+          StoreMeta.scanStats(spark, path, newFiles))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"post-commit sidecar fold failed on $path " +
+          "(cache only — next load() heals): " + e)
+    }
     DeleteStats(deleted, dropped.size.toLong, partial.size.toLong)
   }
 

@@ -83,41 +83,47 @@ object StoreLog {
       .sorted
   }
 
-  def readCommits(spark: SparkSession, root: String): Seq[Commit] =
-    listVersions(spark, root).map { v =>
-      val p = commitPath(root, v)
-      def readBytes(): Array[Byte] = {
-        val in = fs(spark, p).open(p)
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toByteArray
-        } finally in.close()
+  private def readBytesOf(spark: SparkSession, p: Path): Array[Byte] = {
+    val in = fs(spark, p).open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
+  /** Parse commit `v`, tolerating the claim→fill window: a commit file
+    * appears at CLAIM time (create-no-overwrite is the multi-writer
+    * arbiter) and is filled one small write later; a concurrent reader
+    * listing in that microsecond window sees an empty/partial file. That
+    * is a claim in progress, not corruption — re-read for ~1 s before
+    * giving up.
+    */
+  private def readCommitPatiently(
+      spark: SparkSession, root: String, v: Int): Commit = {
+    val p = commitPath(root, v)
+    var attempt = 0
+    var out: Commit = null
+    while (out == null) {
+      try out = parse(new String(readBytesOf(spark, p), StandardCharsets.UTF_8))
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt > 100)
+            throw new IllegalStateException(
+              s"commit file $p unreadable after ${attempt - 1} retries — " +
+                "if a writer died mid-claim, StoreRepair.repair drops the " +
+                "aborted claim", e)
+          Thread.sleep(10L)
       }
-      // a commit file appears at CLAIM time (create-no-overwrite is the
-      // multi-writer arbiter) and is filled one small write later; a
-      // concurrent reader listing in that microsecond window sees an
-      // empty/partial file. That is a claim in progress, not corruption —
-      // re-read briefly before giving up.
-      var attempt = 0
-      var out: Commit = null
-      while (out == null) {
-        try out = parse(new String(readBytes(), StandardCharsets.UTF_8))
-        catch {
-          case e: Exception =>
-            attempt += 1
-            if (attempt > 100)
-              throw new IllegalStateException(
-                s"commit file $p unreadable after ${attempt - 1} retries — " +
-                  "if a writer died mid-claim, StoreRepair.repair drops the " +
-                  "aborted head claim", e)
-            Thread.sleep(10L)
-        }
-      }
-      out
     }
+    out
+  }
+
+  def readCommits(spark: SparkSession, root: String): Seq[Commit] =
+    listVersions(spark, root).map(v => readCommitPatiently(spark, root, v))
 
   private def parse(json: String): Commit = {
     import org.json4s._
@@ -161,47 +167,65 @@ object StoreLog {
     false
   }
 
-  /** Remove a HEAD commit file that was claimed but never filled — the
-    * footprint of a writer dying between [[tryCommit]]'s create and its
-    * write. Without this the log is bricked: [[readCommits]] retries
-    * then throws on every read, and no claim of that version can ever
-    * succeed. Only the HIGHEST listed version can be an aborted claim
-    * (claims only ever target currentVersion+1), and only
-    * [[StoreRepair.repair]] calls this — deleting a claim from a live
-    * read path could race the claiming writer's (GC-delayed) fill and
-    * silently discard its commit, so the deletion is reserved for the
-    * explicit crash-recovery entry point. Returns true if a claim was
-    * dropped.
+  /** Minimum wall-clock age (by mtime) an unreadable claim must reach
+    * before [[dropAbortedTrailingClaims]] treats it as dead — strictly
+    * more patient than [[readCommits]]' ~1 s claim-fill tolerance, so a
+    * merely slow (GC-paused) writer's in-flight fill is never discarded
+    * as a crash. Tests backdate the claim file's mtime instead of
+    * sleeping.
     */
-  private[store] def dropAbortedHeadClaim(
-      spark: SparkSession, root: String): Boolean = {
-    val versions = listVersions(spark, root)
-    if (versions.isEmpty) return false
-    val head = versions.last
-    val p = commitPath(root, head)
-    val f = fs(spark, p)
-    var attempt = 0
-    while (attempt < 30) {
-      try {
-        val in = f.open(p)
-        val bytes =
+  private[store] val AbortedClaimMinAgeMs = 5000L
+
+  /** Remove TRAILING commit files that were claimed but never filled —
+    * the footprint of a writer dying between [[tryCommit]]'s create and
+    * its write. Without this the log is bricked: [[readCommits]] retries
+    * then throws on every read, and no claim of that version can ever
+    * succeed. Trailing = the drop repeats from the highest version down
+    * while the head stays unreadable (a dead claim that a serialized
+    * [[commit]] might otherwise have committed past is still found).
+    *
+    * A claim is only dropped when it is BOTH unreadable AND older (by
+    * mtime) than [[AbortedClaimMinAgeMs]] — deleting a younger claim
+    * could race the claiming writer's delayed fill: on POSIX its write
+    * to the unlinked file would succeed, it would report a commit that
+    * the log silently lost. Only explicit crash recovery
+    * ([[StoreRepair.repair]] with `dropStaleClaims = true`) calls this;
+    * live-path repairs (the [[commitReplacing]] abort) never do.
+    * Returns the number of claims dropped.
+    */
+  private[store] def dropAbortedTrailingClaims(
+      spark: SparkSession, root: String,
+      minClaimAgeMs: Long = AbortedClaimMinAgeMs): Int = {
+    var dropped = 0
+    var continue = true
+    while (continue) {
+      continue = false
+      val versions = listVersions(spark, root)
+      versions.lastOption.foreach { head =>
+        val p = commitPath(root, head)
+        val f = fs(spark, p)
+        var verdictDead = false
+        var done = false
+        while (!done) {
           try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](8192)
-            var n = in.read(buf)
-            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            bos.toByteArray
-          } finally in.close()
-        parse(new String(bytes, StandardCharsets.UTF_8))
-        return false // head commit parses — nothing to repair
-      } catch {
-        case _: Exception =>
-          attempt += 1
-          Thread.sleep(10L)
+            parse(new String(readBytesOf(spark, p), StandardCharsets.UTF_8))
+            done = true // parses — a live head, nothing to repair
+          } catch {
+            case _: Exception =>
+              val age = System.currentTimeMillis -
+                f.getFileStatus(p).getModificationTime
+              if (age >= minClaimAgeMs) { verdictDead = true; done = true }
+              else Thread.sleep(math.min(50L, math.max(1L, minClaimAgeMs - age)))
+          }
+        }
+        if (verdictDead) {
+          f.delete(p, false)
+          dropped += 1
+          continue = true // the next-lower version may be a dead claim too
+        }
       }
     }
-    f.delete(p, false) // persistently unreadable head = aborted claim
-    true
+    dropped
   }
 
   /** Two writers raced for the same commit version and this one must
@@ -218,6 +242,15 @@ object StoreLog {
     * given version; every other returns false and must rebase or abort.
     * The commit file is rendered to bytes BEFORE the create so a claimed
     * version is never left empty by a render error.
+    *
+    * Filesystem note: on HDFS-like filesystems `create(p, overwrite =
+    * false)` is an atomic server-side arbiter. Hadoop's LOCAL
+    * `ChecksumFileSystem` implements it as a non-atomic exists-check —
+    * two racers can both "win" and interleave data/crc writes into a
+    * permanently checksum-corrupt commit file — so local paths claim via
+    * NIO `CREATE_NEW` (a true O_CREAT|O_EXCL) writing the full content
+    * in one call, which also shrinks the claim→fill window readers must
+    * tolerate to a single syscall pair.
     */
   def tryCommit(spark: SparkSession, root: String, expected: Int, op: String,
       adds: Seq[String], removes: Seq[String],
@@ -227,11 +260,25 @@ object StoreLog {
       .getBytes(StandardCharsets.UTF_8)
     val f = fs(spark, p)
     if (f.exists(p)) return false // cheap pre-check; create is the arbiter
-    val out =
-      try f.create(p, false)
-      catch { case _: java.io.IOException => return false } // lost the race
-    try out.write(bytes) finally out.close()
-    true
+    val scheme = f.getUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try {
+        java.nio.file.Files.write(local, bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      val out =
+        try f.create(p, false)
+        catch { case _: java.io.IOException => return false } // lost the race
+      try out.write(bytes) finally out.close()
+      true
+    }
   }
 
   /** Write the next commit; returns its version. Appends to one store
@@ -244,7 +291,15 @@ object StoreLog {
   def commit(spark: SparkSession, root: String, op: String,
       adds: Seq[String], removes: Seq[String],
       txn: Option[String] = None): Int = {
-    val v = currentVersion(spark, root) + 1
+    val head = currentVersion(spark, root)
+    // never claim PAST an unreadable head: this path derives its version
+    // from the listing alone, so a dead writer's empty claim at the head
+    // would become a non-head unreadable commit — which no repair can
+    // safely drop and which bricks every readCommits caller forever.
+    // readCommitPatiently tolerates a live claim's fill window and
+    // throws (pointing at StoreRepair) on a genuinely dead one.
+    if (head > 0) readCommitPatiently(spark, root, head)
+    val v = head + 1
     if (!tryCommit(spark, root, v, op, adds, removes, txn))
       throw new ConcurrentCommitException(
         s"commit v$v of $op on $root lost a race on a serialized-writer " +
@@ -286,7 +341,10 @@ object StoreLog {
         // look — re-home it above the current version first, then let
         // repair restore the originals and drop our uncommitted rewrites
         rehomeArchive(spark, root, myV, cur + 1)
-        StoreRepair.repair(spark, root)
+        // live-path rollback: other writers are running, so claim
+        // dropping (which could discard a slow peer's in-flight commit)
+        // is reserved for explicit crash recovery
+        StoreRepair.repair(spark, root, dropStaleClaims = false)
         throw new ConcurrentCommitException(
           s"$op on $root conflicts with concurrent commits " +
             s"${intervening.map(_.version).mkString(",")} touching shared " +

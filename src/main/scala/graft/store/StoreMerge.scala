@@ -53,6 +53,8 @@ import graft.model.Schemas
   */
 object StoreMerge {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class MergeStats(updated: Long, inserted: Long, filesRewritten: Long)
 
   private def keyCond(l: String, r: String): Column =
@@ -152,16 +154,18 @@ object StoreMerge {
         val laidOut =
           if (sortWithin.isEmpty) out
           else out.sortWithinPartitions(sortWithin.map(col): _*)
-        // staged publish: adds are the exact files this merge created —
-        // a concurrent appender's in-flight (published, uncommitted)
-        // files can never be absorbed into this commit by a listing diff
-        val newFiles = Staging.publish(spark, path, laidOut, partitionBy)
-        // archive the replaced originals under the upcoming commit's
-        // history dir (pre-merge snapshots stay readable), then commit.
+        // stage (executes the rewrite while the originals are readable),
+        // archive the originals, THEN promote: plain directory readers
+        // never see a matched row's original and replacement together.
+        // Adds are the exact files this merge created — a concurrent
+        // appender's in-flight (published, uncommitted) files can never
+        // be absorbed into this commit by a listing diff.
+        val (stageDir, newFiles) = Staging.stage(spark, path, laidOut, partitionBy)
         // A store whose very first logged operation is this merge
         // baselines instead: adds = the full post-merge live set.
         val first = StoreLog.currentVersion(spark, path) == 0
         if (first) {
+          Staging.promote(spark, path, stageDir, newFiles)
           if (touched.nonEmpty) {
             val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
             touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
@@ -174,6 +178,7 @@ object StoreMerge {
           if (touched.nonEmpty)
             StoreLog.archive(spark, path, v,
               touched.map(f => (new Path(s"$path/$f"), f)))
+          Staging.promote(spark, path, stageDir, newFiles)
           beforeCommit()
           // optimistic claim: racing disjoint commits rebase the archive
           // to the next version; an overlapping rewrite rolls back + throws
@@ -181,10 +186,18 @@ object StoreMerge {
             adds = newFiles, removes = touched, archivedAt = v, txn = txnId)
         }
 
-        val touchedSet = touched.toSet
-        StoreMeta.save(spark, path,
-          loaded.files.filterNot(f => touchedSet(f.file)) ++
-            StoreMeta.scanStats(spark, path, newFiles))
+        // post-commit sidecar fold: a pure cache — never fail a merge
+        // whose commit already landed
+        try {
+          val touchedSet = touched.toSet
+          StoreMeta.save(spark, path,
+            loaded.files.filterNot(f => touchedSet(f.file)) ++
+              StoreMeta.scanStats(spark, path, newFiles))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"post-commit sidecar fold failed on $path " +
+              "(cache only — next load() heals): " + e)
+        }
         MergeStats(nUpd, nIns, touched.size.toLong)
       } finally if (matched != null) matched.unpersist()
     } finally deduped.unpersist()

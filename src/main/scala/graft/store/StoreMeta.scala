@@ -184,13 +184,29 @@ object StoreMeta {
     listDataFiles(spark, root).map { actual =>
       val actualSet = actual.toSet
       val mp = s"$root/$dirName"
-      val (recorded, segments) =
+      // a racing fold deletes its captured segments after publishing the
+      // folded replacement — a reader caught between listing and read
+      // retries on a FRESH listing (which carries the folded segment);
+      // anything else unreadable is a corrupt sidecar, treated as absent
+      var attempt = 0
+      var state: (Seq[Row], Int) = null
+      while (state == null) {
         try {
-          if (StorePath.exists(spark, mp)) {
-            val rows = spark.read.schema(metaSchema).parquet(mp).collect().toSeq
-            (rows.map(fromRow), segmentCount(spark, mp))
-          } else (Nil, 0)
-        } catch { case _: Exception => (Nil, 0) } // corrupt sidecar = absent
+          state =
+            if (StorePath.exists(spark, mp)) {
+              val segs = segmentFileNames(spark, mp)
+              if (segs.isEmpty) (Nil, 0)
+              else (spark.read.schema(metaSchema)
+                .parquet(segs.map(s => s"$mp/$s"): _*)
+                .collect().toSeq, segs.size)
+            } else (Nil, 0)
+        } catch {
+          case e: Exception if StoreLog.fileVanished(e) && attempt < 8 =>
+            attempt += 1
+          case _: Exception => state = (Nil, 0)
+        }
+      }
+      val (recorded, segments) = (state._1.map(fromRow), state._2)
       // rows with devNullCount < 0 are pre-migration entries: rescan them
       // once rather than guess at their null-device population
       val usable = recorded.filter(_.devNullCount >= 0)
@@ -204,15 +220,6 @@ object StoreMeta {
         dirty = kept.size != recorded.size || unknown.nonEmpty,
         segments = segments)
     }
-
-  private def segmentCount(spark: SparkSession, metaDir: String): Int = {
-    val p = new Path(metaDir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).count { e =>
-      val n = e.getPath.getName
-      e.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-    }
-  }
 
   /** Compute [[FileStats]] for specific data files by scanning just
     * them — the heal path (and the stats pass over freshly written
@@ -288,21 +295,45 @@ object StoreMeta {
     filePath.substring(rootPath.length + 1)
   }
 
-  /** Fold: rewrite the whole sidecar as one segment. Used when [[load]]
-    * found drift, when the segment count passed
-    * [[SegmentFoldThreshold]], and by compaction's re-seed.
+  /** Fold: collapse the segment log to one segment holding exactly
+    * `files`. Used when [[load]] found drift, when the segment count
+    * passed [[SegmentFoldThreshold]], and by compaction's re-seed.
+    *
+    * Multi-writer shape (the same publish-then-delete-captured protocol
+    * as [[WatermarkStore]]'s fold): the pre-existing segment files are
+    * CAPTURED first, the folded segment is published via a staged
+    * rename, and then exactly the captured files are deleted. A racing
+    * writer's concurrently appended delta is not captured and survives
+    * (its file stats are immutable facts, so the overlap is harmless —
+    * [[load]] dedups per file); critically, this never deletes a peer's
+    * in-flight write the way a `mode(overwrite)` directory rewrite (which
+    * clears the whole dir, shared `_temporary` staging included) did.
     */
-  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
-    write(spark, root, files, overwrite = true)
+  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
+    val mp = new Path(s"$root/$dirName")
+    val f = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    val captured = if (f.exists(mp)) segmentFileNames(spark, s"$root/$dirName")
+      else Nil
+    appendSegment(spark, root, files)
+    // tolerate already-deleted (a racing fold consumed the same segment)
+    captured.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
+  }
 
   /** Append ONE new segment describing just `files` — the O(batch)
     * sidecar maintenance path of a clean trickle append.
     */
   def saveDelta(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
-    write(spark, root, files, overwrite = false)
+    appendSegment(spark, root, files)
 
-  private def write(spark: SparkSession, root: String, files: Seq[FileStats],
-      overwrite: Boolean): Unit = {
+  /** Write one sidecar segment through a per-writer staging dir
+    * (`_graft_meta/_staging/<uuid>`) and rename it into place under a
+    * unique name. Concurrent Spark write jobs therefore never share a
+    * FileOutputCommitter `_temporary` dir — two simultaneous sidecar
+    * writers (an append's delta racing a compaction's re-seed) both
+    * land, neither clobbers the other's in-flight attempt files.
+    */
+  private def appendSegment(
+      spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
     val rows = new java.util.ArrayList[Row](files.size)
     files.foreach { f =>
       rows.add(Row(
@@ -311,10 +342,36 @@ object StoreMeta {
         f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount, f.devHashes,
         f.startMinUs, f.startMaxUs))
     }
+    val id = java.util.UUID.randomUUID().toString
+    val stage = s"$root/$dirName/$stagingDirName/$id"
     spark.createDataFrame(rows, metaSchema)
       .coalesce(1)
-      .write.mode(if (overwrite) "overwrite" else "append")
-      .parquet(s"$root/$dirName")
+      .write.mode("overwrite")
+      .parquet(stage)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(new Path(stage))
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"sidecar segment write produced no parquet under $stage"))
+    val dst = new Path(s"$root/$dirName/seg-$id.parquet")
+    fs.mkdirs(dst.getParent)
+    require(fs.rename(part, dst), s"sidecar segment publish failed: $part")
+    fs.delete(new Path(stage), true)
+  }
+
+  val stagingDirName = "_staging"
+
+  /** Names of the sidecar's segment files (hidden staging excluded). */
+  private def segmentFileNames(
+      spark: SparkSession, metaDir: String): Seq[String] = {
+    val p = new Path(metaDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.collect {
+      case e if e.isFile && e.getPath.getName.endsWith(".parquet") &&
+        !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith(".") => e.getPath.getName
+    }
   }
 
   /** Conjunctive read-predicate bounds on the columns the sidecar keeps

@@ -59,19 +59,36 @@ object StoreRepair {
     def clean: Boolean = restored == 0L && orphansDropped == 0L
   }
 
-  def repair(spark: SparkSession, root: String): RepairStats = {
+  /** @param dropStaleClaims "no writers are live" switch: gates the two
+    *   repairs that could destroy a slow-but-alive peer's in-flight
+    *   work — dropping dead version claims (unreadable commit files
+    *   older than [[StoreLog.AbortedClaimMinAgeMs]]) and restoring
+    *   rebase archives parked at overtaken versions. True for the
+    *   explicit crash-recovery entry point (the default — "a previous
+    *   writer may have died" is the reason to call repair); FALSE when
+    *   repair runs on a live multi-writer store (the
+    *   [[StoreLog.commitReplacing]] abort path).
+    */
+  def repair(spark: SparkSession, root: String,
+      dropStaleClaims: Boolean = true): RepairStats = {
     val rootQ = StoreMeta.qualifiedPath(spark, root)
     val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
     val preRestored = reconcileCompaction(spark, root, fs)
     // crashed concurrent appenders leave inert batch files under the
-    // (scan-invisible) staging dir — drop them wholesale
+    // (scan-invisible) staging dir — drop them wholesale; same for a
+    // crashed sidecar segment write's staging
     val staging = new Path(s"$root/${Staging.dirName}")
     if (fs.exists(staging))
       require(fs.delete(staging, true), s"repair: staging drop failed $staging")
+    val metaStaging = new Path(
+      s"$root/${StoreMeta.dirName}/${StoreMeta.stagingDirName}")
+    if (fs.exists(metaStaging))
+      require(fs.delete(metaStaging, true),
+        s"repair: sidecar staging drop failed $metaStaging")
     // a writer that died between a version claim (create) and its fill
-    // (write) left an empty HEAD commit file that bricks every log read —
-    // drop it, restoring the prior version as current
-    StoreLog.dropAbortedHeadClaim(spark, root)
+    // (write) left an unreadable commit file that bricks every log read —
+    // drop such trailing claims, restoring the prior version as current
+    if (dropStaleClaims) StoreLog.dropAbortedTrailingClaims(spark, root)
 
     val current = StoreLog.currentVersion(spark, root)
     if (current == 0) { // no log — no reconciliation baseline beyond the
@@ -83,15 +100,31 @@ object StoreRepair {
       return RepairStats(preRestored, 0L)
     }
 
-    // 1. unfinished archive: history dirs beyond the last commit hold
-    // files the log still lists as live — move them back
+    // 1. unfinished archive: restore files the log still lists as live
+    // from two kinds of history dirs —
+    //   (a) versions BEYOND the last commit (a replacer died between its
+    //       archive and its commit), and
+    //   (b) — explicit crash recovery only — versions AT OR BELOW the
+    //       current whose commit records NO removes: a commitReplacing
+    //       rebase parked the archive there, lost that version race to a
+    //       pure append, and died before re-homing it; subsequent appends
+    //       then advanced currentVersion past the parked dir. The log
+    //       lists those files live, but they sit in _graft_history —
+    //       silently lost rows until restored. (An OWNED archive — its
+    //       commit has removes — is never touched: the same ownership
+    //       test StoreLog.vacuum applies. On a LIVE store the parked dir
+    //       may belong to a rebase in flight, so the live-path repair
+    //       leaves it alone — vacuum's gate already protects it.)
     var restored = 0L
+    val ownsArchive = StoreLog.readCommits(spark, root)
+      .filter(_.removes.nonEmpty).map(_.version).toSet
     val histDir = new Path(s"$root/${StoreLog.historyDirName}")
     if (fs.exists(histDir)) {
       fs.listStatus(histDir).foreach { e =>
         val n = e.getPath.getName
         if (n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-          n.drop(1).toInt > current) {
+          (n.drop(1).toInt > current ||
+            (dropStaleClaims && !ownsArchive(n.drop(1).toInt)))) {
           val it = fs.listFiles(e.getPath, true)
           while (it.hasNext) {
             val f = it.next()

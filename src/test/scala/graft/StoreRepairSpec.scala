@@ -150,10 +150,16 @@ class StoreRepairSpec extends AnyFunSuite {
     val rows = ConsolidatedStore.read(spark, path).count()
     val v = StoreLog.currentVersion(spark, path)
     // the footprint of tryCommit's create succeeding and the writer dying
-    // before its one content write: an empty commit file at the head
-    Files.write(Paths.get(
-      s"$path/${StoreLog.dirName}/${"v%09d".format(v + 1)}.json"),
-      Array.emptyByteArray)
+    // before its one content write: an empty commit file at the head —
+    // backdated past the min claim age (repair must not mistake a live
+    // writer's in-flight fill for a crash, so it requires the claim to
+    // be OLD as well as unreadable)
+    val claim = Paths.get(
+      s"$path/${StoreLog.dirName}/${"v%09d".format(v + 1)}.json")
+    Files.write(claim, Array.emptyByteArray)
+    Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 60000L))
     val stats = StoreRepair.repair(spark, path)
     assert(stats.clean, "claim drop is metadata-only")
     assert(StoreLog.currentVersion(spark, path) == v,
