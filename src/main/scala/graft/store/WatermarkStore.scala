@@ -59,13 +59,45 @@ object WatermarkStore {
       }
   }
 
-  def read(spark: SparkSession, path: String): Map[String, Timestamp] = {
+  def read(spark: SparkSession, path: String): Map[String, Timestamp] =
+    readHooked(spark, path)(_ => ())
+
+  /** [[read]] with a test seam: `afterListing(files)` runs between the
+    * segment listing and the parquet read — exactly the window a racing
+    * fold's deletes land in. The concurrency spec deletes a listed
+    * segment there to drive the vanished-file retry deterministically.
+    *
+    * Two retry triggers, both from folds racing the read:
+    *
+    *   - a captured segment vanished between listing and read — the
+    *     fresh listing carries its folded replacement;
+    *   - the listing CHANGED between the pre-read and post-read scans. A
+    *     directory scan is not an atomic snapshot: a fold publishing its
+    *     folded segment and deleting the captured originals DURING the
+    *     scan can make the scan miss BOTH (an entry added or removed
+    *     mid-scan may or may not be seen), silently dropping a server's
+    *     latest value with no exception to catch. A listing that is
+    *     bytewise stable across the read has no such window: any file
+    *     deleted before/during the first scan had its superseding folded
+    *     segment published earlier still, so it existed for the whole of
+    *     the second scan and would show as a difference.
+    *
+    * After the retry budget (constant folding — only sustainable by a
+    * pathological test), the last successful read is returned: a
+    * stale-but-valid CRDT state (every value was genuinely issued;
+    * max-merge makes acting on staleness safe — the ETL rewind window
+    * and idempotent dedup absorb it). A quiescent read is exact.
+    */
+  private[graft] def readHooked(spark: SparkSession, path: String)(
+      afterListing: Seq[String] => Unit): Map[String, Timestamp] = {
     var attempt = 0
-    while (true) {
+    var lastGood: Map[String, Timestamp] = null
+    while (attempt < 16) {
       val files = segmentFiles(spark, path)
       if (files.isEmpty) return Map.empty
+      afterListing(files)
       try {
-        return spark.read
+        val m = spark.read
           .schema(Schemas.sourceServers)
           .parquet(files.map(f => s"$path/$f"): _*)
           .groupBy("ServerName")
@@ -73,14 +105,16 @@ object WatermarkStore {
             .as("LastETLDatetime"))
           .collect()
           .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+        if (segmentFiles(spark, path).toSet == files.toSet) return m
+        lastGood = m
       } catch {
-        // a racing fold deleted a captured segment between our listing
-        // and the read; the fresh listing carries its folded replacement
-        case e: Exception if StoreLog.fileVanished(e) && attempt < 8 =>
-          attempt += 1
+        case e: Exception if StoreLog.fileVanished(e) => ()
       }
+      attempt += 1
     }
-    Map.empty // unreachable
+    if (lastGood != null) lastGood
+    else throw new IllegalStateException(
+      s"watermark read on $path could not complete under constant folding")
   }
 
   /** Full overwrite — initialization and explicit watermark RESETS.
@@ -101,10 +135,17 @@ object WatermarkStore {
     * read-modify-write anywhere.
     */
   def advance(spark: SparkSession, path: String, server: String,
-      newWatermark: Timestamp): Unit = {
+      newWatermark: Timestamp): Unit =
+    advance(spark, path, server, newWatermark, FoldThreshold)
+
+  /** [[advance]] with an explicit fold threshold — the concurrency spec
+    * lowers it so folds race advances (and each other) every few calls.
+    */
+  private[graft] def advance(spark: SparkSession, path: String,
+      server: String, newWatermark: Timestamp, foldThreshold: Int): Unit = {
     appendSegment(spark, path, Map(server -> newWatermark))
     val files = segmentFiles(spark, path)
-    if (files.size > FoldThreshold) fold(spark, path, files)
+    if (files.size > foldThreshold) fold(spark, path, files)
   }
 
   /** Stage one max-merged segment and rename it into the table dir
