@@ -159,11 +159,16 @@ object StoreRepair {
     }
 
     // 3. sidecar: keep recorded stats for surviving live files, rescan
-    // only files the sidecar never saw (e.g. restored before any load)
+    // only files the sidecar never saw (e.g. restored before any load).
+    // A file the log lists live but the disk lacks is unfixable data
+    // loss (e.g. a racer committed files that never materialized) —
+    // skipped here, not a crash; reads of the store surface it.
     if (restored > 0L || preRestored > 0L || orphans.nonEmpty) {
+      val present = onDisk.toSet
       val known = StoreMeta.load(spark, root)
         .map(_.files).getOrElse(Nil).filter(f => live(f.file))
-      val missing = live.toSeq.filterNot(known.map(_.file).toSet)
+      val missing = live.toSeq
+        .filterNot(known.map(_.file).toSet).filter(present)
       StoreMeta.save(spark, root,
         known ++ StoreMeta.scanStats(spark, root, missing))
     }

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 
 import graft.maintenance.Compaction
-import graft.store.{ConsolidatedStore, StoreDelete, StoreLog, StoreMerge}
+import graft.store.{ConsolidatedStore, FileStats, StoreDelete, StoreLog,
+  StoreMerge, StoreMeta}
 
 /** Adversarial round-trip property for the copy-on-write store: a RANDOM
   * sequence of append / merge / delete / compact / optimize / z-order
@@ -60,6 +61,13 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
   private case object Compact extends Op
   private case object Optimize extends Op
   private case object ZOrder extends Op
+  // sidecar-cache adversaries: a forced fold (the SegmentFoldThreshold
+  // path) and a STALE fold — half the entries dropped, a ghost entry for
+  // a file that does not exist added — simulating whichever racer's fold
+  // landed last in a multi-writer interleaving. The sidecar is a cache:
+  // every read after either must still equal the full scan.
+  private case object FoldSidecar extends Op
+  private case object StaleFoldSidecar extends Op
 
   private val genKey: Gen[K] = for {
     db <- Gen.oneOf("dbA", "dbC", "dbE")
@@ -79,13 +87,21 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
     1 -> Gen.choose(2, 10).map(DeleteLsnBelow(_)),
     1 -> Gen.const(Compact),
     1 -> Gen.const(Optimize),
-    1 -> Gen.const(ZOrder))
+    1 -> Gen.const(ZOrder),
+    1 -> Gen.const(FoldSidecar),
+    1 -> Gen.const(StaleFoldSidecar))
 
   private val genOps: Gen[List[Op]] = for {
     first <- Gen.choose(4, 10).flatMap(Gen.listOfN(_, genKey)) // seed data
     n <- Gen.choose(3, 6)
     ops <- Gen.listOfN(n, genOp)
-  } yield Append(first) :: ops
+    // guaranteed mid-sequence: a stale sidecar fold immediately under an
+    // optimistic multi-writer append, then a forced fold — the racing
+    // fold-vs-delta interleaving the concurrency spec's heal assertion
+    // gestures at, made generative
+    racer <- Gen.choose(3, 8).flatMap(Gen.listOfN(_, genKey))
+  } yield (Append(first) :: ops) ++
+    List(StaleFoldSidecar, AppendC(racer), FoldSidecar)
 
   private def frame(rows: List[K], bump: Int): DataFrame =
     rows.map { k =>
@@ -153,8 +169,40 @@ class StoreLifecycleProps extends Properties("store-lifecycle") {
           case Compact => Compaction.compact(spark, path, 1000000L)
           case Optimize => Compaction.optimizeSmall(spark, path, 1 << 20)
           case ZOrder => Compaction.zorderCompact(spark, path, 1000000L)
+          case FoldSidecar =>
+            StoreMeta.load(spark, path)
+              .foreach(l => StoreMeta.save(spark, path, l.files))
+          case StaleFoldSidecar =>
+            StoreMeta.load(spark, path).foreach { l =>
+              val ghost = FileStats(
+                s"ghost-${java.util.UUID.randomUUID()}.parquet",
+                0L, null, null, null, null, null, null, null, null, 0L)
+              StoreMeta.save(spark, path,
+                l.files.drop(l.files.size / 2) :+ ghost)
+            }
         }
         versionStates += StoreLog.currentVersion(spark, path) -> model
+
+        // pruned reads ≡ full-scan reads at EVERY step, whatever the
+        // sidecar's staleness: zone-map file skipping and the device
+        // hash index are caches over immutable facts, never answers
+        val full = ConsolidatedStore.read(spark, path)
+        val boundShapes = Seq(
+          StoreMeta.ReadBounds(databases = Some(Set("dbA", "dbE")),
+            lastLsnGt = Some(new java.math.BigDecimal(300)),
+            lastLsnLte = Some(new java.math.BigDecimal(900))),
+          StoreMeta.ReadBounds(
+            startBefore = Some(java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))))
+        val okPruned = boundShapes.forall { b =>
+          observe(ConsolidatedStore.readWhere(spark, path, b)) ==
+            observe(full.filter(StoreMeta.residual(b)))
+        }
+        val okDevice =
+          observe(ConsolidatedStore.readForDevice(spark, path, "d1")) ==
+            observe(full.filter(col("physical_device_name") <=> "d1"))
+        assert(okPruned && okDevice,
+          s"pruned-read drift after ${op.getClass.getSimpleName}: " +
+            s"pruned=$okPruned device=$okDevice")
       }
 
       // (a) final state ≡ model, values included

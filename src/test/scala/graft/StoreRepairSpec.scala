@@ -175,6 +175,71 @@ class StoreRepairSpec extends AnyFunSuite {
     assert(ConsolidatedStore.read(spark, path).count() > rows)
   }
 
+  test("serialized commit refuses to claim past an unreadable head claim") {
+    val path = build()
+    val v = StoreLog.currentVersion(spark, path)
+    // a dead writer's empty head claim: committing PAST it would turn it
+    // into a non-head unreadable commit that no repair can safely drop
+    // and that bricks every readCommits caller permanently
+    val claim = Paths.get(
+      s"$path/${StoreLog.dirName}/${"v%09d".format(v + 1)}.json")
+    Files.write(claim, Array.emptyByteArray)
+    val ex = intercept[IllegalStateException] {
+      ConsolidatedStore.append(spark, path,
+        bh.filter(col("database_name") === "db0")
+          .withColumn("physical_device_name",
+            concat(col("physical_device_name"), lit(".past-claim"))))
+    }
+    assert(ex.getMessage.contains("StoreRepair"),
+      s"must point the operator at crash recovery: ${ex.getMessage}")
+    // explicit crash recovery (claim backdated past the min age) unbricks;
+    // the thrown append's already-written data files drop as orphans
+    Files.setLastModifiedTime(claim,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 60000L))
+    StoreRepair.repair(spark, path)
+    assert(StoreLog.currentVersion(spark, path) == v, "claim dropped")
+    ConsolidatedStore.append(spark, path,
+      bh.filter(col("database_name") === "db0")
+        .withColumn("physical_device_name",
+          concat(col("physical_device_name"), lit(".past-claim"))))
+    assert(StoreLog.currentVersion(spark, path) == v + 1)
+  }
+
+  test("archive parked at an overtaken version: crash recovery restores it") {
+    val path = build()
+    val rows = ConsolidatedStore.read(spark, path).count()
+    val v0 = StoreLog.currentVersion(spark, path)
+    // a replacer archived the victim at v0+1, lost that version race to a
+    // PURE APPEND, and died before re-homing; more appends then advanced
+    // the current version past the parked dir — the log lists the victim
+    // live, but it sits in _graft_history where no read finds it
+    val victim = parquets(path).head
+    StoreLog.archive(spark, path, v0 + 1,
+      Seq((new org.apache.hadoop.fs.Path(s"$path/$victim"), victim)))
+    // the racing appends' files never materialize (their writers' data
+    // is irrelevant here); a live file listed in the log but absent on
+    // disk is tolerated by repair — it cannot conjure bytes
+    assert(StoreLog.tryCommit(spark, path, v0 + 1, "append",
+      Seq("racer-a.parquet"), Nil))
+    assert(StoreLog.tryCommit(spark, path, v0 + 2, "append",
+      Seq("racer-b.parquet"), Nil))
+    assert(ConsolidatedStore.read(spark, path).count() < rows,
+      "fixture: the parked rows must be missing before repair")
+    // the LIVE-path repair (a commitReplacing abort) must leave the
+    // parked dir alone — it may belong to a rebase still in flight
+    StoreRepair.repair(spark, path, dropStaleClaims = false)
+    assert(Files.exists(Paths.get(
+      s"$path/${StoreLog.historyDirName}/${"v%09d".format(v0 + 1)}/$victim")),
+      "live-path repair must not touch a possibly-in-flight rebase archive")
+    // explicit crash recovery restores the overtaken archive's files
+    val stats = StoreRepair.repair(spark, path)
+    assert(stats.restored >= 1L, stats.toString)
+    assert(ConsolidatedStore.read(spark, path).count() == rows,
+      "restored rows must be readable again")
+    assert(StoreRepair.repair(spark, path).clean, "repair is idempotent")
+  }
+
   test("compaction crash after log carry, before history carry: archives survive") {
     val path = build()
     // give the store real history: a merge archives its touched file
