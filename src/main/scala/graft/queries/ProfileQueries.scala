@@ -806,6 +806,86 @@ object ProfileQueries {
        |LIMIT 15""".stripMargin
   }
 
+  // ---- q149: adaptive salt derivation + CC on a planted power-law graph
+
+  /** Adaptive-salt derivation under the oracle gate: a PLANTED power-law
+    * edge list (one edge per event; 70% of them hit the source user's
+    * fixed hub — 3 hubs carry ~23% of all edges each — the rest fan out
+    * to per-residue group nodes) drives both
+    * [[graft.operators.Skew.adaptiveSaltBuckets]] and the salted
+    * connected-components run on top of it.
+    *
+    * Row 1 pins the derivation to its analytic band: the Misra–Gries
+    * estimate of the top key's share is bounded within
+    * [true_share, true_share + 1/probeK], so the derived bucket count
+    * must land in [ceil(ts·p), ceil((ts+1/64)·p)] (p = shuffle
+    * partitions), both clamped to [1, 64] — computed Spark-side from
+    * exact counts, oracle-expected true. Rows 2–4 are the component
+    * count, max component size, and node count of the CC run, replayed
+    * by a DuckDB recursive-CTE transitive closure.
+    */
+  def q149AdaptiveSaltCc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select("event_id", "user_id")
+    val edges = ev.select(
+      col("user_id").as("src"),
+      when(col("event_id") % 10 < 7, lit(1000000L) + col("user_id") % 3)
+        .otherwise(lit(2000000L) + (col("user_id") % 3) * 10000L +
+          (col("user_id") / 12).cast("long"))
+        .as("dst"))
+    val b = graft.operators.Skew.adaptiveSaltBuckets(edges, Seq("dst"))
+    val n = edges.count()
+    val top = edges.groupBy("dst").count()
+      .agg(max("count")).head().getLong(0)
+    val ts = top.toDouble / n
+    val p = spark.sessionState.conf.numShufflePartitions
+    def clamp(x: Int) = math.max(1, math.min(64, x))
+    val lo = clamp(math.ceil(ts * p).toInt)
+    val hi = clamp(math.ceil((ts + 1.0 / 64) * p).toInt)
+    val inBand = if (b >= lo && b <= hi) 1L else 0L
+    val comps = graft.pipeline.Components.componentSizes(
+      edges.distinct().select(col("src").as("id_a"), col("dst").as("id_b")))
+    val a = comps.agg(count(lit(1)).cast("long"), max("n_members"),
+      sum("n_members")).head()
+    Seq(
+      ("1_buckets_in_band", inBand),
+      ("2_n_components", a.getLong(0)),
+      ("3_max_component", a.getLong(1)),
+      ("4_n_nodes", a.getLong(2)))
+      .toDF("metric", "value")
+      .orderBy("metric")
+  }
+
+  val q149Oracle: String =
+    """WITH RECURSIVE ev AS (
+      |  SELECT event_id, user_id FROM events
+      |),
+      |edges AS (
+      |  SELECT user_id AS src,
+      |         CASE WHEN event_id % 10 < 7 THEN 1000000 + user_id % 3
+      |              ELSE 2000000 + (user_id % 3) * 10000 + user_id // 12
+      |         END AS dst
+      |  FROM ev
+      |),
+      |de AS (SELECT DISTINCT src, dst FROM edges),
+      |e AS (SELECT src AS a, dst AS b FROM de
+      |      UNION SELECT dst, src FROM de),
+      |reach AS (
+      |  SELECT a AS id, a AS r FROM e
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+      |),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |sizes AS (SELECT component, count(*) AS n FROM comp GROUP BY component)
+      |SELECT '1_buckets_in_band' AS metric, CAST(1 AS BIGINT) AS value
+      |UNION ALL
+      |SELECT '2_n_components', (SELECT CAST(count(*) AS BIGINT) FROM sizes)
+      |UNION ALL
+      |SELECT '3_max_component', (SELECT CAST(max(n) AS BIGINT) FROM sizes)
+      |UNION ALL
+      |SELECT '4_n_nodes', (SELECT CAST(sum(n) AS BIGINT) FROM sizes)
+      |ORDER BY metric""".stripMargin
+
   // ---- q131: triangle counting over the near-dup graph ----------------
 
   /** Degree-oriented triangle counting ([[graft.pipeline.Triangles]])
@@ -873,7 +953,8 @@ object ProfileQueries {
     "q121_hybrid_rrf" -> (q121HybridRrf _),
     "q103_perplexity_tiers" -> (q103PerplexityTiers _),
     "q105_pagerank" -> (q105PageRank _),
-    "q131_triangle_counts" -> (q131TriangleCounts _)
+    "q131_triangle_counts" -> (q131TriangleCounts _),
+    "q149_adaptive_salt_cc" -> (q149AdaptiveSaltCc _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -891,6 +972,7 @@ object ProfileQueries {
     "q121_hybrid_rrf" -> q121Oracle,
     "q103_perplexity_tiers" -> q103Oracle,
     "q105_pagerank" -> q105Oracle,
-    "q131_triangle_counts" -> q131Oracle
+    "q131_triangle_counts" -> q131Oracle,
+    "q149_adaptive_salt_cc" -> q149Oracle
   )
 }

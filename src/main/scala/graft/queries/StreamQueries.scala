@@ -875,7 +875,183 @@ object StreamQueries {
       |UNION ALL SELECT '4_suppressed', n FROM c
       |ORDER BY phase""".stripMargin
 
+  /** Checkpoint-RESTART of the builtin `session_window` aggregation under
+    * the driver's correctness gate: two AvailableNow runs share one
+    * checkpoint — the first delivers events up to the time-range midpoint
+    * and emits every session the phase-1 watermark closes; the second
+    * delivers the rest, and the RESTORED MergingSessions state must merge
+    * a restart-straddling session's phase-2 events into its open phase-1
+    * session exactly as a single run would. Closed-form oracle:
+    *
+    *   - phase 1 count = sessions over the first half with
+    *     end ≤ wm1 (max half-1 ts − 10 min, ms-floored);
+    *   - phase 2 count = sessions over ALL events with end ≤ wm2, minus
+    *     phase 1 (sound because an emitted session can never grow: its
+    *     end ≤ wm1 < every phase-2 timestamp);
+    *   - merged-across-restart count = emitted sessions whose first event
+    *     is in half 1 (start ≤ cut) and last event in half 2
+    *     (end − gap > cut) — derivable from the streaming output alone,
+    *     and a state-restore bug (open sessions lost, or re-opened as
+    *     fresh) breaks it before it breaks the totals.
+    */
+  def q148SessionRestartLive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q148-").toString
+    val (in, out, ckpt) = (s"$tmp/in", s"$tmp/out", s"$tmp/ckpt")
+    val ev = Tables.events(spark, dir).select("user_id", "ts")
+    // cut at the lower-median STRADDLE POINT — the first timestamp of a
+    // same-user consecutive pair closer than the session gap: splitting
+    // there guarantees at least one session arrives half per phase, so
+    // the merged-across-restart row pins the restored MergingSessions
+    // state doing real work (a range-midpoint cut lands in a session gap
+    // and phase 2 would exercise only fresh sessions). Falls back to the
+    // median event time if the data has no intra-session pairs at all.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val cand = ev
+      .withColumn("u", unix_micros(col("ts")))
+      .withColumn("nu", unix_micros(lead(col("ts"), 1).over(w)))
+      .filter(col("nu").isNotNull &&
+        (col("nu") - col("u")).between(1L, 1799999999L))
+      .select("u")
+    val nc = cand.count()
+    val cut =
+      if (nc > 0)
+        cand.orderBy("u").limit(((nc + 1) / 2).toInt)
+          .agg(max("u")).head().getLong(0)
+      else {
+        val nEv = ev.count()
+        ev.select(unix_micros(col("ts")).as("u"))
+          .orderBy("u").limit(((nEv + 1) / 2).toInt)
+          .agg(max("u")).head().getLong(0)
+      }
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("session_start_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("session_end_us",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType)))
+    def runPhase(): DataFrame = {
+      val q = spark.readStream.schema(ev.schema).parquet(in)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.schema(outSchema).parquet(out)
+    }
+    ev.filter(unix_micros(col("ts")) <= cut)
+      .coalesce(1).write.mode("append").parquet(in)
+    val n1 = runPhase().count()
+    ev.filter(unix_micros(col("ts")) > cut)
+      .coalesce(1).write.mode("append").parquet(in)
+    val cumulative = runPhase().cache()
+    try {
+      val n2 = cumulative.count() - n1
+      val merged = cumulative
+        .filter(col("session_start_us") <= cut &&
+          col("session_end_us") - 1800000000L > cut)
+        .count()
+      Seq(
+        ("1_phase1", n1),
+        ("2_phase2", n2),
+        ("3_merged_across_restart", merged))
+        .toDF("phase", "n_rows")
+        .orderBy("phase")
+    } finally cumulative.unpersist()
+  }
+
+  val q148Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |),
+      |pairs AS (
+      |  SELECT epoch_us(ts) AS u,
+      |         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS nu
+      |  FROM e
+      |),
+      |cand AS (
+      |  SELECT u FROM pairs
+      |  WHERE nu IS NOT NULL AND nu - u BETWEEN 1 AND 1799999999
+      |),
+      |b AS (
+      |  SELECT CASE WHEN (SELECT count(*) FROM cand) > 0 THEN
+      |    (SELECT max(u) FROM (
+      |       SELECT u FROM cand ORDER BY u
+      |       LIMIT (SELECT (count(*) + 1) // 2 FROM cand)))
+      |  ELSE
+      |    (SELECT max(u) FROM (
+      |       SELECT epoch_us(ts) AS u FROM e ORDER BY u
+      |       LIMIT (SELECT (count(*) + 1) // 2 FROM e)))
+      |  END AS cut
+      |),
+      |lag_all AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |sess_all AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lag_all
+      |),
+      |ps_all AS (
+      |  SELECT user_id, sid, epoch_us(min(ts)) AS s,
+      |         epoch_us(max(ts)) + 1800000000 AS en
+      |  FROM sess_all GROUP BY user_id, sid
+      |),
+      |wm2 AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm FROM e),
+      |h1 AS (SELECT user_id, ts FROM e, b WHERE epoch_us(ts) <= cut),
+      |lag_h1 AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM h1
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |sess_h1 AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM lag_h1
+      |),
+      |ps_h1 AS (
+      |  SELECT user_id, sid, epoch_us(max(ts)) + 1800000000 AS en
+      |  FROM sess_h1 GROUP BY user_id, sid
+      |),
+      |wm1 AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm FROM h1),
+      |n1 AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |       FROM ps_h1, wm1 WHERE en // 1000 <= wm),
+      |n_all AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |          FROM ps_all, wm2 WHERE en // 1000 <= wm),
+      |nm AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |       FROM ps_all, wm2, b
+      |       WHERE en // 1000 <= wm AND s <= cut AND en - 1800000000 > cut)
+      |SELECT '1_phase1' AS phase, c AS n_rows FROM n1
+      |UNION ALL
+      |SELECT '2_phase2', (SELECT c FROM n_all) - (SELECT c FROM n1)
+      |UNION ALL
+      |SELECT '3_merged_across_restart', c FROM nm
+      |ORDER BY phase""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_session_restart_live" -> (q148SessionRestartLive _),
     "q141_streaming_restart_dedup" -> (q141StreamingRestartDedup _),
     "q132_anomaly_windows" -> (q132AnomalyWindows _),
     "q124_session_funnel" -> (q124SessionFunnel _),
@@ -898,6 +1074,7 @@ object StreamQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q148_session_restart_live" -> q148Oracle,
     "q141_streaming_restart_dedup" -> q141Oracle,
     "q132_anomaly_windows" -> q132Oracle,
     "q124_session_funnel" -> q124Oracle,
