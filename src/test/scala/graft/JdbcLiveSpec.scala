@@ -52,4 +52,86 @@ class JdbcLiveSpec extends AnyFunSuite {
       .as[Long].collect().sorted
     assert(pushed.toSeq == Seq(1L, 2L))
   }
+
+  /** PushedFilters of every JDBC scan in a plan (untruncated, straight
+    * from the scan node's metadata — the plan's simpleString clips the
+    * list at 100 chars).
+    */
+  private def jdbcPushedFilters(
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    // sparkPlan, not executedPlan: AQE wraps the latter in an adaptive
+    // root whose children are resolved lazily, so collect() sees no scans
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "")
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        s.scan.description()
+    }
+
+  test("extract over JDBC sources pushes the watermark bound into the remote SELECT") {
+    import org.apache.spark.sql.functions.col
+    val mem = graft.etl.MsdbDerivation.sources(spark, TestSpark.sf)
+    // ship the msdb fixture into Derby through the production writer
+    // plumbing, pinning VARCHAR for every string column a filter or join
+    // touches (Derby's default CLOB mapping rejects comparisons)
+    def ship(df: org.apache.spark.sql.DataFrame, table: String,
+        varchars: String): org.apache.spark.sql.DataFrame = {
+      val w = JdbcBackupSource.writerOptions(srv, table, batchSize = 500) +
+        ("url" -> url) ++
+        (if (varchars.isEmpty) Map.empty[String, String]
+         else Map("createTableColumnTypes" -> varchars))
+      df.write.format("jdbc").options(w).mode("overwrite").save()
+      spark.read.format("jdbc")
+        .options(JdbcBackupSource.readerOptions(srv, table) + ("url" -> url))
+        .load()
+    }
+    val src = graft.etl.MsdbSources(
+      // encryptor_type/key_algorithm stay CLOB: they are nullable, and
+      // Derby rejects Spark's setNull(CLOB) into a VARCHAR column — they
+      // are only projected, never compared, so CLOB is harmless
+      backupset = ship(mem.backupset, "MSDB_BACKUPSET",
+        "database_name VARCHAR(128), type VARCHAR(8), " +
+          "server_name VARCHAR(64), recovery_model VARCHAR(32)"),
+      backupmediafamily = ship(mem.backupmediafamily, "MSDB_MEDIAFAMILY",
+        "physical_device_name VARCHAR(256)"),
+      backupfile = ship(mem.backupfile, "MSDB_BACKUPFILE",
+        "logical_name VARCHAR(64), physical_drive VARCHAR(8), " +
+          "physical_name VARCHAR(256), file_type VARCHAR(8)"),
+      databases = ship(mem.databases, "MSDB_DATABASES", "name VARCHAR(128)"),
+      replicaStates = ship(mem.replicaStates, "MSDB_REPLICAS", ""),
+      availabilityGroups = ship(mem.availabilityGroups, "MSDB_AGS",
+        "ag_name VARCHAR(64)"))
+
+    val since = java.sql.Timestamp.valueOf("1995-06-01 00:00:00")
+    val out = graft.etl.ExtractTransform.extract(src, since, sortOutput = false)
+
+    // the watermark bound must reach the remote scan: without it a
+    // trickle extract reads every row the server ever logged (P3's
+    // 100 TB shape). Both backupset scans (main join + the file-list
+    // semi-join restriction) carry it.
+    val filters = jdbcPushedFilters(out).filter(_.contains("backup_finish_date"))
+    assert(filters.nonEmpty, s"no backupset scan pushed filters: $filters")
+    assert(filters.forall(_.contains("GreaterThanOrEqual(backup_finish_date")),
+      s"watermark bound not pushed: $filters")
+
+    // results over JDBC sources ≡ the same extract over in-memory frames
+    val expected = graft.etl.ExtractTransform
+      .extract(mem, since, sortOutput = false)
+    assert(out.count() == expected.count())
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "JDBC-sourced extract must match the in-memory extract row-for-row")
+
+    // the restore surface's sargable LSN range (P5, DecimalType(25,0))
+    // pushes as a remote decimal comparison too
+    val lsnScan = src.backupset
+      .filter(col("last_lsn") > new java.math.BigDecimal(5000000) &&
+        col("last_lsn") <= new java.math.BigDecimal(900000000))
+    val lsnFilters = jdbcPushedFilters(lsnScan)
+    assert(lsnFilters.exists(f => f.contains("GreaterThan(last_lsn") &&
+      f.contains("LessThanOrEqual(last_lsn")),
+      s"decimal LSN range not pushed: $lsnFilters")
+    assert(lsnScan.count() ==
+      mem.backupset.filter(col("last_lsn") > new java.math.BigDecimal(5000000) &&
+        col("last_lsn") <= new java.math.BigDecimal(900000000)).count())
+  }
 }
