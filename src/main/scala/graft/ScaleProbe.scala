@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.BackupHistoryDerivation
+import graft.store.{ConsolidatedStore, StoreDelete, StoreMerge, StoreMeta}
+
+/** Scale-probe main: evidence for the store's O(batch + overlap) claims.
+  *
+  * Builds the canonical backup-history store at the given SF and a
+  * `replicas`× larger twin (each replica re-namespaced into its own
+  * `database_name` universe, appended as its own file set — the fleet
+  * growth shape: more databases/servers, not deeper history per key),
+  * then times the PRUNED operations q64/q114/q115/q142 exercise on
+  * both and prints one JSON line of per-op wall times and ratios.
+  *
+  * Expectations the committed BASELINE.md table records:
+  *
+  *   - trickle append (q64 shape), merge (q114), pruned chain read
+  *     (q142): ~1× — the zone-map sidecar prunes the anti-join /
+  *     key-probe / scan to the key-overlapping files, so a 10× store
+  *     costs the same as the 1× store;
+  *   - retention purge (q115): affects 10× the rows but drops whole
+  *     files by date envelope — sub-linear, dominated by per-file
+  *     metadata renames, with no data scanned on dropped files.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 runMain graft.ScaleProbe`
+  */
+object ScaleProbe {
+
+  private def timeIt[A](reps: Int)(body: () => A): Double = {
+    var best = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      System.gc()
+      val t0 = System.nanoTime()
+      body()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, sfDir)
+      .drop("LogID").cache()
+    val baseRows = bh.count()
+
+    def renamespace(df: DataFrame, r: Int): DataFrame =
+      if (r == 0) df
+      else df.withColumn("database_name",
+        concat(col("database_name"), lit(s"_r$r")))
+
+    def tmp(): String =
+      java.nio.file.Files.createTempDirectory("graft-probe-").toString + "/t"
+
+    // base store: two appends (multiple file sets, like the query bases)
+    val base = tmp()
+    ConsolidatedStore.append(spark, base,
+      bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, base,
+      bh.filter(col("database_name") >= "db2"))
+
+    // big store: the same two appends per replica namespace
+    val big = tmp()
+    (0 until replicas).foreach { r =>
+      val rb = renamespace(bh, r)
+      ConsolidatedStore.append(spark, big,
+        rb.filter(col("database_name") < "db2"))
+      ConsolidatedStore.append(spark, big,
+        rb.filter(col("database_name") >= "db2"))
+    }
+
+    val lsnT = graft.model.Schemas.lsnType
+
+    // q64 shape: trickle append of a small FRESH batch into db0's range
+    val trickle = bh.filter(col("database_name") === "db0" &&
+        col("BackupType") === "Log")
+      .withColumn("first_lsn", (col("first_lsn") + 500000000L).cast(lsnT))
+      .withColumn("last_lsn", (col("last_lsn") + 500000000L).cast(lsnT))
+      .cache()
+    trickle.count()
+
+    // q114 shape: corrections + fresh rows for db1/db2 (replica-0 keys)
+    val corrections = bh
+      .filter(col("database_name") === "db1" && col("BackupType") === "Full")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 1000)
+    val freshRows = bh
+      .filter(col("database_name") === "db2" && col("BackupType") === "Diff")
+      .withColumn("first_lsn", (col("first_lsn") + 100000000L).cast(lsnT))
+      .withColumn("last_lsn", (col("last_lsn") + 100000000L).cast(lsnT))
+      .withColumn("physical_device_name",
+        concat(col("physical_device_name"), lit("_v2")))
+    val mergeBatch = corrections.unionByName(freshRows).cache()
+    mergeBatch.count()
+
+    // q142 shape: pruned chain lookup — one database, one LSN window
+    val lsnLo = new java.math.BigDecimal(1000000)
+    val lsnHi = new java.math.BigDecimal(500000000)
+    def chainRead(path: String): Long =
+      ConsolidatedStore.readWhere(spark, path, StoreMeta.ReadBounds(
+          databases = Some(Set("db1")),
+          lastLsnGt = Some(lsnLo), lastLsnLte = Some(lsnHi)))
+        .count()
+
+    def cloneOf(p: String): String = queries.StoreScaffold.cloned(p)
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def probe(name: String, path: String)(body: String => Unit): Unit =
+      out(name) = timeIt(reps)(() => body(cloneOf(path)))
+
+    // read probes run on the shared store (no mutation — no clone)
+    out("read_chain_base") = timeIt(reps)(() => chainRead(base))
+    out("read_chain_10x") = timeIt(reps)(() => chainRead(big))
+    probe("append_base", base)(p =>
+      ConsolidatedStore.append(spark, p, trickle))
+    probe("append_10x", big)(p =>
+      ConsolidatedStore.append(spark, p, trickle))
+    probe("merge_base", base)(p => StoreMerge.merge(spark, p, mergeBatch))
+    probe("merge_10x", big)(p => StoreMerge.merge(spark, p, mergeBatch))
+    probe("purge_base", base)(p => StoreDelete.purgeExpired(spark, p,
+      retentionDays = 45,
+      now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+    probe("purge_10x", big)(p => StoreDelete.purgeExpired(spark, p,
+      retentionDays = 45,
+      now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+
+    def ratio(op: String): Double =
+      out(s"${op}_10x") / math.max(1e-9, out(s"${op}_base"))
+    val ops = Seq("read_chain", "append", "merge", "purge")
+    val json = new StringBuilder
+    json.append("{\"metric\":\"scale_probe\",\"sf_dir\":\"").append(sfDir)
+      .append("\",\"replicas\":").append(replicas)
+      .append(",\"base_rows\":").append(baseRows)
+      .append(",\"ops\":{")
+    json.append(ops.map { op =>
+      f"""\"$op\":{\"base_sec\":${out(s"${op}_base")}%.3f,""" +
+        f"""\"x10_sec\":${out(s"${op}_10x")}%.3f,\"ratio\":${ratio(op)}%.2f}"""
+    }.mkString(","))
+    json.append("}}")
+    println(json.toString)
+    spark.stop()
+  }
+}
