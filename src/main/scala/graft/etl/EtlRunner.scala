@@ -38,21 +38,23 @@ object EtlRunner {
 
   /** @param parallelism >1 runs that many source extracts concurrently
     *   from driver threads (each pipeline is already fully distributed;
-    *   concurrency overlaps source I/O). By default loads and watermark
-    *   advances are serialized — the store append is read-modify-append
-    *   and the watermark table is a whole-file rewrite.
+    *   concurrency overlaps source I/O). By default loads are
+    *   serialized — the store append is read-modify-append.
     * @param concurrentLoads overlap the LOAD phase too: each server's
     *   append goes through [[ConsolidatedStore.appendConcurrent]] (the
     *   optimistic commit protocol arbitrates interleavings; a lost
     *   version claim redoes the dedup against the winner's state), and
-    *   watermark advances serialize on a driver-local lock (the
-    *   watermark table is one tiny whole-file rewrite — lock cost is
-    *   nil, and watermarks are per-server keys so order between servers
-    *   is immaterial). With a fleet of hundreds of sources this removes
-    *   the one remaining sequential stage of the driver loop. Note the
+    *   watermark advances run unlocked — [[WatermarkStore.advance]] is a
+    *   per-server max-merge CRDT append, safe under arbitrary
+    *   interleaving within and across JVMs (WatermarkConcurrencySpec).
+    *   With a fleet of hundreds of sources this removes the one
+    *   remaining sequential stage of the driver loop. Note the
     *   per-server appended COUNTS become schedule-dependent when sources
     *   overlap (whoever commits first owns the shared keys); the stored
     *   set, LogID uniqueness, and watermark advancement do not.
+    *   [[WatermarkStore.write]] (the whole-table reset) is an OPERATOR
+    *   action for initialization/rewinds and is deliberately never
+    *   called from this runner — resets must not race a live fleet.
     */
   def runOnce(
       spark: SparkSession,
@@ -109,8 +111,8 @@ object EtlRunner {
     // phase 2: load then advance, per server. Failures here abort the
     // whole run (Add-BackupHistoryToTarget.ps1:104-113). Serialized by
     // default; `concurrentLoads` overlaps the appends through the
-    // optimistic commit protocol with watermark advances behind a lock.
-    val wmLock = new Object
+    // optimistic commit protocol; watermark advances need no lock (the
+    // control table is a per-server max-merge CRDT).
     def loadOne(server: String,
         e: Either[String, (DataFrame, Long, Option[Timestamp])])
         : SourceBatchResult = e match {
@@ -128,11 +130,7 @@ object EtlRunner {
               if (concurrentLoads)
                 ConsolidatedStore.appendConcurrent(spark, consolidatedPath, batch)
               else ConsolidatedStore.append(spark, consolidatedPath, batch)
-            if (concurrentLoads)
-              wmLock.synchronized {
-                WatermarkStore.advance(spark, watermarkPath, server, newWm)
-              }
-            else WatermarkStore.advance(spark, watermarkPath, server, newWm)
+            WatermarkStore.advance(spark, watermarkPath, server, newWm)
             SourceBatchResult(server, n, appended, Some(newWm), None)
           }
         } catch {
