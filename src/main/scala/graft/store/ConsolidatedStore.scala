@@ -112,7 +112,12 @@ object ConsolidatedStore {
   def read(spark: SparkSession, path: String): DataFrame = {
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), Schemas.consolidated)
-    if (StorePath.exists(spark, path)) spark.read.parquet(path) else empty
+    if (!StorePath.exists(spark, path)) return empty
+    // a fully-deleted store still holds its metadata dirs (_graft_meta,
+    // _graft_log) — zero data files means the empty frame, not a parquet
+    // schema-inference failure
+    if (StoreMeta.listDataFiles(spark, path).exists(_.isEmpty)) empty
+    else spark.read.parquet(path)
   }
 
   /** Idempotent append: dedup against the table, assign LogIDs, append.

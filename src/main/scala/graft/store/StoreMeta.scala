@@ -77,9 +77,11 @@ final case class KeyRanges(
   * 100 TB store.
   *
   * The sidecar is LOG-STRUCTURED: `<root>/_graft_meta` (underscore-
-  * prefixed, so table scans never see it) holds parquet segments, and a
-  * normal append writes ONE new small segment describing just its new
-  * files ([[saveDelta]]) — O(batch) sidecar bytes, not O(store). A full
+  * prefixed, so table scans never see it) holds JSON-lines segments
+  * written and read DRIVER-side (metadata must never schedule a cluster
+  * job; legacy Spark-written parquet segments still load and fold away),
+  * and a normal append writes ONE new small segment describing just its
+  * new files ([[saveDelta]]) — O(batch) sidecar bytes, not O(store). A full
   * rewrite ([[save]], the fold) happens only when reconciliation found
   * drift or the segment count passed a threshold — the same
   * log + periodic checkpoint shape a transaction log uses, minus the
@@ -187,18 +189,29 @@ object StoreMeta {
       // a racing fold deletes its captured segments after publishing the
       // folded replacement — a reader caught between listing and read
       // retries on a FRESH listing (which carries the folded segment);
-      // anything else unreadable is a corrupt sidecar, treated as absent
+      // anything else unreadable is a corrupt sidecar, treated as absent.
+      // Segments are read DRIVER-side (JSON lines; legacy Spark-written
+      // parquet segments still load through one Spark read) — sidecar
+      // metadata never schedules a cluster job.
       var attempt = 0
-      var state: (Seq[Row], Int) = null
+      var state: (Seq[FileStats], Int) = null
       while (state == null) {
         try {
           state =
             if (StorePath.exists(spark, mp)) {
               val segs = segmentFileNames(spark, mp)
               if (segs.isEmpty) (Nil, 0)
-              else (spark.read.schema(metaSchema)
-                .parquet(segs.map(s => s"$mp/$s"): _*)
-                .collect().toSeq, segs.size)
+              else {
+                val (jsonSegs, pqSegs) = segs.partition(_.endsWith(".json"))
+                val fromJson = jsonSegs.flatMap(s =>
+                  readSegmentLines(spark, new Path(s"$mp/$s")).map(parseStats))
+                val fromPq =
+                  if (pqSegs.isEmpty) Nil
+                  else spark.read.schema(metaSchema)
+                    .parquet(pqSegs.map(s => s"$mp/$s"): _*)
+                    .collect().toSeq.map(fromRow)
+                (fromJson ++ fromPq, segs.size)
+              }
             } else (Nil, 0)
         } catch {
           case e: Exception if StoreLog.fileVanished(e) && attempt < 8 =>
@@ -206,7 +219,7 @@ object StoreMeta {
           case _: Exception => state = (Nil, 0)
         }
       }
-      val (recorded, segments) = (state._1.map(fromRow), state._2)
+      val (recorded, segments) = state
       // rows with devNullCount < 0 are pre-migration entries: rescan them
       // once rather than guess at their null-device population
       val usable = recorded.filter(_.devNullCount >= 0)
@@ -325,53 +338,119 @@ object StoreMeta {
   def saveDelta(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
     appendSegment(spark, root, files)
 
-  /** Write one sidecar segment through a per-writer staging dir
-    * (`_graft_meta/_staging/<uuid>`) and rename it into place under a
-    * unique name. Concurrent Spark write jobs therefore never share a
-    * FileOutputCommitter `_temporary` dir — two simultaneous sidecar
-    * writers (an append's delta racing a compaction's re-seed) both
-    * land, neither clobbers the other's in-flight attempt files.
+  /** Write one sidecar segment — a DRIVER-side JSON-lines file (one
+    * object per [[FileStats]]) staged under a per-writer name and
+    * renamed into place. The sidecar is driver-scale metadata (one row
+    * per data file, segments bounded by the fold threshold), so it must
+    * never schedule a cluster job to read or write: an append's sidecar
+    * maintenance is two filesystem calls, not a Spark stage. Unique
+    * names + rename also mean concurrent sidecar writers (an append's
+    * delta racing a compaction's re-seed) both land with no shared
+    * staging to clobber. Same shape as the [[StoreLog]] commit files.
     */
   private def appendSegment(
       spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
-    val rows = new java.util.ArrayList[Row](files.size)
-    files.foreach { f =>
-      rows.add(Row(
-        f.file, f.logIdMax,
-        f.lastLsnMin, f.lastLsnMax, f.firstLsnMin, f.firstLsnMax,
-        f.dbMin, f.dbMax, f.devMin, f.devMax, f.devNullCount, f.devHashes,
-        f.startMinUs, f.startMaxUs))
-    }
+    val bytes = files.map(renderStats)
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
     val id = java.util.UUID.randomUUID().toString
-    val stage = s"$root/$dirName/$stagingDirName/$id"
-    spark.createDataFrame(rows, metaSchema)
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(stage)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    val part = fs.listStatus(new Path(stage))
-      .map(_.getPath).find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"sidecar segment write produced no parquet under $stage"))
-    val dst = new Path(s"$root/$dirName/seg-$id.parquet")
-    fs.mkdirs(dst.getParent)
-    require(fs.rename(part, dst), s"sidecar segment publish failed: $part")
-    fs.delete(new Path(stage), true)
+    val stagingDir = new Path(s"$root/$dirName/$stagingDirName")
+    fs.mkdirs(stagingDir)
+    val tmp = new Path(stagingDir, id)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    val dst = new Path(s"$root/$dirName/seg-$id.json")
+    require(fs.rename(tmp, dst), s"sidecar segment publish failed: $tmp")
   }
 
   val stagingDirName = "_staging"
 
-  /** Names of the sidecar's segment files (hidden staging excluded). */
+  /** Names of the sidecar's segment files (hidden staging excluded):
+    * `seg-*.json` (current) plus `*.parquet` (legacy Spark-written
+    * segments — still read for migration, rewritten as JSON and deleted
+    * by the next fold).
+    */
   private def segmentFileNames(
       spark: SparkSession, metaDir: String): Seq[String] = {
     val p = new Path(metaDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq.collect {
-      case e if e.isFile && e.getPath.getName.endsWith(".parquet") &&
+      case e if e.isFile &&
+        (e.getPath.getName.endsWith(".json") ||
+          e.getPath.getName.endsWith(".parquet")) &&
         !e.getPath.getName.startsWith("_") &&
         !e.getPath.getName.startsWith(".") => e.getPath.getName
     }
+  }
+
+  private def renderStats(f: FileStats): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    def dec(d: JBigDecimal): Option[String] = Option(d).map(_.toPlainString)
+    JsonMethods.compact(JsonMethods.render(
+      ("file" -> f.file) ~ ("logid_max" -> f.logIdMax) ~
+        ("last_lsn_min" -> dec(f.lastLsnMin)) ~
+        ("last_lsn_max" -> dec(f.lastLsnMax)) ~
+        ("first_lsn_min" -> dec(f.firstLsnMin)) ~
+        ("first_lsn_max" -> dec(f.firstLsnMax)) ~
+        ("db_min" -> Option(f.dbMin)) ~ ("db_max" -> Option(f.dbMax)) ~
+        ("dev_min" -> Option(f.devMin)) ~ ("dev_max" -> Option(f.devMax)) ~
+        ("dev_null_count" -> f.devNullCount) ~
+        ("dev_hashes" -> Option(f.devHashes).map(_.toList)) ~
+        ("start_min_us" -> Option(f.startMinUs).map(_.longValue)) ~
+        ("start_max_us" -> Option(f.startMaxUs).map(_.longValue))))
+  }
+
+  private def parseStats(line: String): FileStats = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val jv = JsonMethods.parse(line)
+    def str(k: String): String = jv \ k match {
+      case JString(s) => s
+      case _ => null
+    }
+    def dec(k: String): JBigDecimal = jv \ k match {
+      case JString(s) => new JBigDecimal(s)
+      case _ => null
+    }
+    def lng(k: String): java.lang.Long = jv \ k match {
+      case JInt(n) => java.lang.Long.valueOf(n.longValue)
+      case JLong(n) => java.lang.Long.valueOf(n)
+      case _ => null
+    }
+    FileStats(
+      str("file"),
+      lng("logid_max").longValue,
+      dec("last_lsn_min"), dec("last_lsn_max"),
+      dec("first_lsn_min"), dec("first_lsn_max"),
+      str("db_min"), str("db_max"), str("dev_min"), str("dev_max"),
+      Option(lng("dev_null_count")).map(_.longValue).getOrElse(-1L),
+      devHashes = jv \ "dev_hashes" match {
+        case JArray(xs) => xs.collect {
+          case JInt(n) => n.longValue
+          case JLong(n) => n
+        }
+        case _ => null
+      },
+      startMinUs = lng("start_min_us"),
+      startMaxUs = lng("start_max_us"))
+  }
+
+  private def readSegmentLines(
+      spark: SparkSession, path: Path): Seq[String] = {
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val bytes =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    new String(bytes, StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Conjunctive read-predicate bounds on the columns the sidecar keeps

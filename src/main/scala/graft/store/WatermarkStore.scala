@@ -1,9 +1,10 @@
 package graft.store
 
+import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.model.{Schemas, SourceServerWatermark}
 
@@ -17,11 +18,15 @@ import graft.model.{Schemas, SourceServerWatermark}
   * or a version claim, [[advance]] exploits the watermark's algebra:
   * the ETL contract only ever moves a server's watermark FORWARD (batch
   * max, advanced after a successful load), so the table is a per-server
-  * max-merge CRDT. An advance appends one tiny single-row delta file
-  * (unique name, staged then renamed — no shared `_temporary` dir to
-  * race on) and [[read]] folds all segments with `max` per server.
-  * Concurrent advancers from different JVMs both land; max wins;
-  * nothing is lost, with no coordination at all.
+  * max-merge CRDT. An advance appends one tiny delta segment (unique
+  * name, staged then renamed) and [[read]] folds all segments with
+  * `max` per server. Concurrent advancers from different JVMs both
+  * land; max wins; nothing is lost, with no coordination at all.
+  *
+  * Segments are JSON-lines files written and read DRIVER-side (the
+  * whole table is metadata — one row per source server — and must never
+  * schedule a cluster job; an advance is two filesystem calls). Legacy
+  * Spark-written parquet segments still read and fold away.
   *
   * A delta log needs folding: past [[FoldThreshold]] segments,
   * [[advance]] folds a CAPTURED list of segment files into one
@@ -53,17 +58,77 @@ object WatermarkStore {
     if (!f.exists(p)) return Nil
     f.listStatus(p).toSeq
       .collect {
-        case e if e.isFile && e.getPath.getName.endsWith(".parquet") &&
+        case e if e.isFile &&
+          (e.getPath.getName.endsWith(".json") ||
+            e.getPath.getName.endsWith(".parquet")) &&
           !e.getPath.getName.startsWith("_") &&
           !e.getPath.getName.startsWith(".") => e.getPath.getName
       }
+  }
+
+  /** Max-merge the given segment files: JSON segments read driver-side,
+    * legacy parquet segments through one Spark read. Throws the
+    * underlying vanished-file error if a racing fold deleted one —
+    * callers retry or skip.
+    */
+  private def readSegments(spark: SparkSession, path: String,
+      files: Seq[String]): Map[String, Timestamp] = {
+    val (jsonSegs, pqSegs) = files.partition(_.endsWith(".json"))
+    val fromJson: Seq[(String, Long)] = jsonSegs.flatMap { s =>
+      val p = new Path(s"$path/$s")
+      val in = fs(spark, p).open(p)
+      val bytes =
+        try {
+          val bos = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          bos.toByteArray
+        } finally in.close()
+      new String(bytes, StandardCharsets.UTF_8)
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseLine)
+    }
+    val fromPq: Seq[(String, Long)] =
+      if (pqSegs.isEmpty) Nil
+      else spark.read
+        .schema(Schemas.sourceServers)
+        .parquet(pqSegs.map(f => s"$path/$f"): _*)
+        .collect().toSeq
+        .map(r => r.getString(0) -> StoreMeta.micros(r.getTimestamp(1)))
+    (fromJson ++ fromPq)
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> tsFromMicros(xs.map(_._2).max) }
+  }
+
+  private def parseLine(line: String): (String, Long) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val jv = JsonMethods.parse(line)
+    val server = (jv \ "server") match {
+      case JString(s) => s
+      case other => throw new IllegalStateException(
+        s"watermark segment line missing server: $line")
+    }
+    val us = (jv \ "ts_us") match {
+      case JInt(n) => n.longValue
+      case JLong(n) => n
+      case _ => throw new IllegalStateException(
+        s"watermark segment line missing ts_us: $line")
+    }
+    server -> us
+  }
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
   }
 
   def read(spark: SparkSession, path: String): Map[String, Timestamp] =
     readHooked(spark, path)(_ => ())
 
   /** [[read]] with a test seam: `afterListing(files)` runs between the
-    * segment listing and the parquet read — exactly the window a racing
+    * segment listing and the segment read — exactly the window a racing
     * fold's deletes land in. The concurrency spec deletes a listed
     * segment there to drive the vanished-file retry deterministically.
     *
@@ -97,14 +162,7 @@ object WatermarkStore {
       if (files.isEmpty) return Map.empty
       afterListing(files)
       try {
-        val m = spark.read
-          .schema(Schemas.sourceServers)
-          .parquet(files.map(f => s"$path/$f"): _*)
-          .groupBy("ServerName")
-          .agg(org.apache.spark.sql.functions.max("LastETLDatetime")
-            .as("LastETLDatetime"))
-          .collect()
-          .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+        val m = readSegments(spark, path, files)
         if (segmentFiles(spark, path).toSet == files.toSet) return m
         lastGood = m
       } catch {
@@ -122,11 +180,10 @@ object WatermarkStore {
     * fleet-concurrent one).
     */
   def write(spark: SparkSession, path: String, wm: Map[String, Timestamp]): Unit = {
-    val rows = wm.toSeq.sortBy(_._1).map { case (s, t) => Row(s, t) }
-    spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), Schemas.sourceServers)
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    val p = new Path(path)
+    val f = fs(spark, p)
+    if (f.exists(p)) f.delete(p, true)
+    appendSegment(spark, path, wm)
   }
 
   /** Advance one server's watermark (write-after-load ordering is the
@@ -148,23 +205,28 @@ object WatermarkStore {
     if (files.size > foldThreshold) fold(spark, path, files)
   }
 
-  /** Stage one max-merged segment and rename it into the table dir
-    * under a unique name — every advance writes through its OWN staging
-    * dir, so concurrent Spark jobs never share a `_temporary` dir.
+  /** Write one max-merged segment driver-side through a per-writer
+    * staging name and rename it into the table dir — unique names, so
+    * concurrent advancers share nothing; rename makes a segment visible
+    * atomically complete.
     */
   private def appendSegment(spark: SparkSession, path: String,
       wm: Map[String, Timestamp]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val bytes = wm.toSeq.sortBy(_._1).map { case (s, t) =>
+      JsonMethods.compact(JsonMethods.render(
+        ("server" -> s) ~ ("ts_us" -> StoreMeta.micros(t))))
+    }.mkString("\n").getBytes(StandardCharsets.UTF_8)
     val id = java.util.UUID.randomUUID().toString
-    val stage = s"$path/_wm_staging/$id"
-    write(spark, stage, wm)
     val f = fs(spark, new Path(path))
-    val part = f.listStatus(new Path(stage))
-      .map(_.getPath).find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"watermark segment write produced no parquet under $stage"))
-    require(f.rename(part, new Path(s"$path/delta-$id.parquet")),
-      s"watermark segment publish failed: $part")
-    f.delete(new Path(s"$path/_wm_staging/$id"), true)
+    val stagingDir = new Path(s"$path/_wm_staging")
+    f.mkdirs(stagingDir)
+    val tmp = new Path(stagingDir, id)
+    val out = f.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    require(f.rename(tmp, new Path(s"$path/delta-$id.json")),
+      s"watermark segment publish failed: $tmp")
   }
 
   /** Fold exactly `captured` into one segment, then delete them. A
@@ -174,16 +236,8 @@ object WatermarkStore {
   private def fold(spark: SparkSession, path: String,
       captured: Seq[String]): Unit = {
     val folded =
-      try {
-        spark.read
-          .schema(Schemas.sourceServers)
-          .parquet(captured.map(f => s"$path/$f"): _*)
-          .groupBy("ServerName")
-          .agg(org.apache.spark.sql.functions.max("LastETLDatetime")
-            .as("LastETLDatetime"))
-          .collect()
-          .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
-      } catch {
+      try readSegments(spark, path, captured)
+      catch {
         // a racing fold already consumed part of our captured set — its
         // folded segment carries those rows; skip this fold
         case e: Exception if StoreLog.fileVanished(e) => return

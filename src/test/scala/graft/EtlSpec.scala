@@ -136,8 +136,15 @@ class EtlSpec extends AnyFunSuite {
     val d = new java.io.File(s"$path/${graft.store.StoreMeta.dirName}")
     if (!d.exists()) Nil
     else d.listFiles().toSeq
-      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .filter(f => (f.getName.endsWith(".json") || f.getName.endsWith(".parquet")) &&
+        !f.getName.startsWith("_"))
   }
+
+  /** Stats rows in one sidecar segment (JSON lines driver-side). */
+  private def segmentRows(s: java.io.File): Long =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(s.toPath)).asScala
+      .count(_.trim.nonEmpty)
 
   test("sidecar log: clean appends write one O(batch) delta segment; fold compacts") {
     import graft.store.StoreMeta
@@ -160,8 +167,7 @@ class EtlSpec extends AnyFunSuite {
     // proportionality: every segment holds stats for 1 file (its batch
     // wrote 1 data file), not the whole store
     segs.foreach { s =>
-      assert(spark.read.parquet(s.getPath).count() == 1,
-        s"segment ${s.getName} not batch-sized")
+      assert(segmentRows(s) == 1, s"segment ${s.getName} not batch-sized")
     }
     val loaded = StoreMeta.load(spark, path).get
     assert(loaded.files.size == 3 && !loaded.dirty && loaded.segments == 3)

@@ -99,7 +99,8 @@ class WatermarkConcurrencySpec extends AnyFunSuite {
     // the fold path ran and kept the segment log bounded: threshold 2
     // with 45 advances must not leave anywhere near 45 delta files
     val segs = new java.io.File(path).listFiles.count(f =>
-      f.isFile && f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      f.isFile && (f.getName.endsWith(".json") || f.getName.endsWith(".parquet")) &&
+        !f.getName.startsWith("_"))
     assert(segs <= 16,
       s"fold must bound the log under concurrent advances, got $segs segments")
   }
