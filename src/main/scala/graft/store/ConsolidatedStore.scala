@@ -115,8 +115,8 @@ object ConsolidatedStore {
     if (!StorePath.exists(spark, path)) return empty
     // a fully-deleted store still holds its metadata dirs (_graft_meta,
     // _graft_log) — zero data files means the empty frame, not a parquet
-    // schema-inference failure
-    if (StoreMeta.listDataFiles(spark, path).exists(_.isEmpty)) empty
+    // schema-inference failure. Short-circuit probe: O(1), not a listing.
+    if (!StoreMeta.hasAnyDataFile(spark, path)) empty
     else spark.read.parquet(path)
   }
 

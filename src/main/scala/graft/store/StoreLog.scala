@@ -260,6 +260,17 @@ object StoreLog {
       .getBytes(StandardCharsets.UTF_8)
     val f = fs(spark, p)
     if (f.exists(p)) return false // cheap pre-check; create is the arbiter
+    createExclusive(f, p, bytes)
+  }
+
+  /** Atomically create `p` holding `bytes`; false if it already exists.
+    * Local paths go through NIO `CREATE_NEW` (a true O_CREAT|O_EXCL —
+    * Hadoop's local `create(overwrite = false)` is a non-atomic
+    * exists-check) writing the full content in one call; HDFS-like
+    * schemes use the atomic server-side create.
+    */
+  private def createExclusive(
+      f: FileSystem, p: Path, bytes: Array[Byte]): Boolean = {
     val scheme = f.getUri.getScheme
     if (scheme == null || scheme == "file") {
       val local = java.nio.file.Paths.get(p.toUri.getPath)
@@ -328,6 +339,13 @@ object StoreLog {
   def commitReplacing(spark: SparkSession, root: String, op: String,
       adds: Seq[String], removes: Seq[String], archivedAt: Int,
       txn: Option[String] = None): Int = {
+    // same guard as the serialized commit(): callers derive `archivedAt`
+    // from the version LISTING alone, so without this a dead writer's
+    // unreadable head claim would be committed past — becoming a
+    // non-trailing unreadable commit that bricks every readCommits
+    // caller permanently (no repair can safely drop a non-head claim)
+    val head = currentVersion(spark, root)
+    if (head > 0) readCommitPatiently(spark, root, head)
     val mine = (adds ++ removes).toSet
     var myV = archivedAt
     while (!tryCommit(spark, root, myV, op, adds, removes, txn)) {
@@ -336,15 +354,15 @@ object StoreLog {
         .filter(c => c.version >= myV && c.version <= cur)
       if (intervening.exists(c =>
           c.adds.exists(mine) || c.removes.exists(mine))) {
-        // roll back: our version number was claimed by the winner, so the
-        // archive dir sits at a COMMITTED version where repair would not
-        // look — re-home it above the current version first, then let
-        // repair restore the originals and drop our uncommitted rewrites
-        rehomeArchive(spark, root, myV, cur + 1)
-        // live-path rollback: other writers are running, so claim
-        // dropping (which could discard a slow peer's in-flight commit)
-        // is reserved for explicit crash recovery
-        StoreRepair.repair(spark, root, dropStaleClaims = false)
+        // roll back THIS WRITER'S footprint only — never a global repair:
+        // other writers are live, and a store-wide orphan sweep would
+        // delete a concurrent appender's published-but-not-yet-committed
+        // files (its commit then lands with adds that no longer exist —
+        // silently lost rows) or another replacer's staging. We know our
+        // exact footprint: the archived originals (restore the ones the
+        // log still lists live; the winner's commit removed the rest) and
+        // our promoted `adds` (delete — they were never committed).
+        rollbackReplacing(spark, root, myV, adds)
         throw new ConcurrentCommitException(
           s"$op on $root conflicts with concurrent commits " +
             s"${intervening.map(_.version).mkString(",")} touching shared " +
@@ -353,6 +371,70 @@ object StoreLog {
       myV = rehomeArchive(spark, root, myV, cur + 1)
     }
     myV
+  }
+
+  /** Writer-scoped rollback of an aborted file-replacing op: restore the
+    * archived originals the log still lists LIVE back into the root;
+    * originals the overlap WINNER's commit also removed move to the
+    * winner's history home instead (restoring them would show duplicate
+    * rows to plain readers, deleting them would destroy the only copy a
+    * pre-overlap snapshot needs); delete exactly this writer's promoted
+    * `adds`. Touches nothing belonging to any other writer — unlike a
+    * global repair, whose orphan sweep would delete a concurrent
+    * appender's published-but-uncommitted files.
+    */
+  private def rollbackReplacing(spark: SparkSession, root: String,
+      archivedAt: Int, adds: Seq[String]): Unit = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val removedAt = scala.collection.mutable.Map.empty[String, Int]
+    readCommits(spark, root).foreach { c =>
+      live ++= c.adds; live --= c.removes
+      c.removes.foreach(r => removedAt(r) = c.version)
+    }
+    val dir = new Path(s"$root/$historyDirName/${f"v$archivedAt%09d"}")
+    val f = fs(spark, dir)
+    if (f.exists(dir)) {
+      val dirQ = f.makeQualified(dir)
+      val entries = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val it = f.listFiles(dir, true)
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.isFile) buf += e.getPath
+        }
+        buf.toSeq
+      }
+      var keptAny = false
+      entries.foreach { p =>
+        val name = p.getName
+        if (name.startsWith(".") || name.startsWith("_")) f.delete(p, false)
+        else {
+          val rootPath = dirQ.toUri.getPath
+          val filePath = p.toUri.getPath
+          require(filePath.startsWith(rootPath + "/"),
+            s"rollback: $filePath not under $rootPath")
+          val rel = filePath.substring(rootPath.length + 1)
+          if (live(rel)) {
+            val dst = new Path(s"$root/$rel")
+            f.mkdirs(dst.getParent)
+            require(f.rename(p, dst), s"rollback: restore failed $p -> $dst")
+          } else removedAt.get(rel) match {
+            case Some(v) if v == archivedAt =>
+              keptAny = true // already AT the removing commit's home
+            case Some(v) =>
+              val dst = new Path(s"$root/$historyDirName/${f"v$v%09d"}/$rel")
+              f.mkdirs(dst.getParent)
+              // dst taken = the winner archived its own copy; drop ours
+              if (!f.rename(p, dst)) f.delete(p, false)
+            case None => f.delete(p, false) // never-committed file
+          }
+        }
+      }
+      // the dir survives only as the winner's archive home for files its
+      // commit (at this same version) removed
+      if (!keptAny) f.delete(dir, true)
+    }
+    adds.foreach(a => f.delete(new Path(s"$root/$a"), false))
   }
 
   /** Move the history dir of `from` to the first free version >= `atLeast`
@@ -543,11 +625,24 @@ object StoreLog {
     * called by operations that replace files (compaction) BEFORE they
     * delete the originals. Creates parent dirs as needed so partition
     * subpaths survive.
+    *
+    * The version's archive home is claimed EXCLUSIVELY via an atomic
+    * `.owner` marker: two concurrent replacers that both computed
+    * `currentVersion + 1` must not interleave their originals into one
+    * dir — a later rebase would re-home the whole dir, carrying the
+    * OTHER writer's committed archives with it and breaking its
+    * snapshots. The loser throws before moving a single file (nothing
+    * to roll back) and re-runs against the new state — the same
+    * optimistic abort the version claim itself uses.
     */
   def archive(spark: SparkSession, root: String, version: Int,
       files: Seq[(Path, String)]): Unit = {
     val base = new Path(s"$root/$historyDirName/${f"v$version%09d"}")
     val f = fs(spark, base)
+    if (!createExclusive(f, new Path(base, ".owner"), Array.emptyByteArray))
+      throw new ConcurrentCommitException(
+        s"archive home $base is claimed by a concurrent replacer; " +
+          "re-run against the current state")
     files.foreach { case (src, rel) =>
       val dst = new Path(base, rel)
       f.mkdirs(dst.getParent)

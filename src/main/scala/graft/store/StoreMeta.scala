@@ -179,6 +179,34 @@ object StoreMeta {
     if (walk(p, "")) Some(names.toSeq) else None
   }
 
+  /** Whether the store dir holds ANY data file — a short-circuit walk,
+    * because the emptiness probe sits on the hot read path and must not
+    * pay an O(#files) listing. A non-hive subdirectory counts as data
+    * (foreign layout — the caller's reader decides what to do with it).
+    */
+  private[graft] def hasAnyDataFile(
+      spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
+    def walk(dir: Path): Boolean = {
+      val entries = fs.listStatus(dir)
+      var i = 0
+      while (i < entries.length) {
+        val e = entries(i)
+        val n = e.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (e.isDirectory) {
+            if (!n.contains("=") || walk(e.getPath)) return true
+          } else if (n.endsWith(".parquet")) return true
+        }
+        i += 1
+      }
+      false
+    }
+    walk(p)
+  }
+
   /** Read all sidecar segments and reconcile them with the actual file
     * listing. None = unsupported layout (fall back to full scans).
     */
@@ -201,17 +229,7 @@ object StoreMeta {
             if (StorePath.exists(spark, mp)) {
               val segs = segmentFileNames(spark, mp)
               if (segs.isEmpty) (Nil, 0)
-              else {
-                val (jsonSegs, pqSegs) = segs.partition(_.endsWith(".json"))
-                val fromJson = jsonSegs.flatMap(s =>
-                  readSegmentLines(spark, new Path(s"$mp/$s")).map(parseStats))
-                val fromPq =
-                  if (pqSegs.isEmpty) Nil
-                  else spark.read.schema(metaSchema)
-                    .parquet(pqSegs.map(s => s"$mp/$s"): _*)
-                    .collect().toSeq.map(fromRow)
-                (fromJson ++ fromPq, segs.size)
-              }
+              else (readSegmentStats(spark, mp, segs), segs.size)
             } else (Nil, 0)
         } catch {
           case e: Exception if StoreLog.fileVanished(e) && attempt < 8 =>
@@ -308,28 +326,66 @@ object StoreMeta {
     filePath.substring(rootPath.length + 1)
   }
 
-  /** Fold: collapse the segment log to one segment holding exactly
-    * `files`. Used when [[load]] found drift, when the segment count
-    * passed [[SegmentFoldThreshold]], and by compaction's re-seed.
+  /** Fold: collapse the segment log to one segment holding `files` PLUS
+    * any captured racer delta's stats for data files still present in
+    * the directory. Used when [[load]] found drift, when the segment
+    * count passed [[SegmentFoldThreshold]], and by compaction's re-seed.
     *
-    * Multi-writer shape (the same publish-then-delete-captured protocol
-    * as [[WatermarkStore]]'s fold): the pre-existing segment files are
-    * CAPTURED first, the folded segment is published via a staged
-    * rename, and then exactly the captured files are deleted. A racing
-    * writer's concurrently appended delta is not captured and survives
-    * (its file stats are immutable facts, so the overlap is harmless —
-    * [[load]] dedups per file); critically, this never deletes a peer's
-    * in-flight write the way a `mode(overwrite)` directory rewrite (which
-    * clears the whole dir, shared `_temporary` staging included) did.
+    * Multi-writer shape: the pre-existing segment files are CAPTURED
+    * first and READ — a delta appended by a concurrent writer between
+    * the caller's `load()` and this fold describes real files the caller
+    * never saw; dropping it would force a dirty-heal rescan of those
+    * files on every subsequent load. Captured stats are kept iff their
+    * file still exists on disk and the caller didn't supply its own
+    * entry (the caller's `files` deliberately OMIT entries for data
+    * files it removed — resurrecting those would churn). The folded
+    * segment is published via a staged rename, then exactly the
+    * captured segment files are deleted; an uncaptured racing delta
+    * survives untouched, and nothing here can clobber a peer's
+    * in-flight write.
     */
   def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
     val mp = new Path(s"$root/$dirName")
     val f = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val captured = if (f.exists(mp)) segmentFileNames(spark, s"$root/$dirName")
       else Nil
-    appendSegment(spark, root, files)
+    val extras =
+      if (captured.isEmpty) Nil
+      else {
+        val capturedStats =
+          try readSegmentStats(spark, s"$root/$dirName", captured)
+          catch {
+            // a racing fold consumed a captured segment mid-read — its
+            // folded output carries those rows and survives this fold's
+            // deletes (we only delete what we captured); skip the merge
+            case e: Exception if StoreLog.fileVanished(e) => Nil
+            case _: Exception => Nil // corrupt segment: entries heal later
+          }
+        val known = files.map(_.file).toSet
+        val present = listDataFiles(spark, root).getOrElse(Nil).toSet
+        capturedStats
+          .filter(s => !known(s.file) && present(s.file))
+          .groupBy(_.file).map(_._2.head).toSeq
+      }
+    appendSegment(spark, root, files ++ extras)
     // tolerate already-deleted (a racing fold consumed the same segment)
     captured.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
+  }
+
+  /** Driver-side read of specific sidecar segments (JSON + legacy
+    * parquet), no reconciliation.
+    */
+  private def readSegmentStats(spark: SparkSession, metaDir: String,
+      segs: Seq[String]): Seq[FileStats] = {
+    val (jsonSegs, pqSegs) = segs.partition(_.endsWith(".json"))
+    val fromJson = jsonSegs.flatMap(s =>
+      readSegmentLines(spark, new Path(s"$metaDir/$s")).map(parseStats))
+    val fromPq =
+      if (pqSegs.isEmpty) Nil
+      else spark.read.schema(metaSchema)
+        .parquet(pqSegs.map(s => s"$metaDir/$s"): _*)
+        .collect().toSeq.map(fromRow)
+    fromJson ++ fromPq
   }
 
   /** Append ONE new segment describing just `files` — the O(batch)

@@ -128,7 +128,10 @@ object StoreRepair {
           val it = fs.listFiles(e.getPath, true)
           while (it.hasNext) {
             val f = it.next()
-            if (f.isFile) {
+            // skip protocol markers (.owner) and hidden files — only
+            // data files go home
+            if (f.isFile && !f.getPath.getName.startsWith(".") &&
+                !f.getPath.getName.startsWith("_")) {
               val rel = StoreMeta.relativize(
                 fs.makeQualified(e.getPath), f.getPath.toString)
               val dst = new Path(s"$root/$rel")
