@@ -211,6 +211,76 @@ class StoreConcurrencySpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("overlap abort is writer-scoped: appender's published files and old snapshots survive") {
+    val path = tmp()
+    val h = bh.cache()
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") >= "db2"))
+    val v0 = StoreLog.currentVersion(spark, path)
+    val preRows = spark.read.parquet(path).count()
+    val snapRows = StoreLog.snapshot(spark, path, v0).count()
+    val victim = StoreMeta.load(spark, path).get.files.head.file
+    // a concurrent APPENDER X sits in its publish→claim window: batch
+    // files in the root, uncommitted — the state the old global-repair
+    // rollback would have swept away as orphans
+    val probe = h.limit(40).dropDuplicates(ConsolidatedStore.dedupKey)
+      .withColumn("physical_device_name",
+        concat(col("physical_device_name"), lit(".x")))
+    val xFiles = graft.store.Staging.publish(spark, path,
+      ConsolidatedStore.withLogIdsFrom(900000L, probe, 40L))
+    // loser replacer: archives the victim, then a racer's commit REMOVES
+    // the same victim first → overlap → writer-scoped rollback + abort
+    StoreLog.archive(spark, path, v0 + 1,
+      Seq((new org.apache.hadoop.fs.Path(s"$path/$victim"), victim)))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(
+        s"$path/${StoreLog.historyDirName}/${"v%09d".format(v0 + 1)}/$victim"),
+      java.nio.file.Paths.get(s"$path/their-rewrite.parquet"))
+    assert(StoreLog.tryCommit(spark, path, v0 + 1, "merge",
+      Seq("their-rewrite.parquet"), Seq(victim)))
+    val loserAdd = "part-55555-loser.c000.snappy.parquet"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/$loserAdd"), Array.emptyByteArray)
+    intercept[StoreLog.ConcurrentCommitException] {
+      StoreLog.commitReplacing(spark, path, "delete",
+        adds = Seq(loserAdd), removes = Seq(victim), archivedAt = v0 + 1)
+    }
+    val after = StoreMeta.listDataFiles(spark, path).get.toSet
+    // the appender's in-flight files were NOT touched by the rollback...
+    assert(xFiles.forall(after), "rollback must not sweep a peer's files")
+    assert(!after.contains(loserAdd), "loser's own adds dropped")
+    // ...so X's commit still lands on real files
+    assert(StoreLog.tryCommit(spark, path,
+      StoreLog.currentVersion(spark, path) + 1, "append", xFiles, Nil))
+    assert(spark.read.parquet(path).count() == preRows + 40)
+    // the victim's archived copy moved to the WINNER's history home:
+    // the pre-abort snapshot is still fully readable
+    assert(StoreLog.snapshot(spark, path, v0).count() == snapRows,
+      "overlap rollback must preserve pre-abort snapshots")
+    h.unpersist()
+  }
+
+  test("second replacer archiving at the same version aborts before moving a file") {
+    val path = tmp()
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, bh.filter(col("database_name") >= "db2"))
+    val v0 = StoreLog.currentVersion(spark, path)
+    val files = StoreMeta.load(spark, path).get.files.map(_.file).sorted
+    assert(files.size >= 2)
+    StoreLog.archive(spark, path, v0 + 1,
+      Seq((new org.apache.hadoop.fs.Path(s"$path/${files(0)}"), files(0))))
+    // a second replacer that computed the same target version must not
+    // interleave its originals into the first one's archive home
+    val ex = intercept[StoreLog.ConcurrentCommitException] {
+      StoreLog.archive(spark, path, v0 + 1,
+        Seq((new org.apache.hadoop.fs.Path(s"$path/${files(1)}"), files(1))))
+    }
+    assert(ex.getMessage.contains("claimed"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/${files(1)}")),
+      "loser must abort BEFORE moving any file")
+  }
+
   test("concurrent bootstrap: claim-window files are waited out, not aborted") {
     val path = tmp()
     val h = bh.cache()
