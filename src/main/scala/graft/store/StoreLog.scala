@@ -440,6 +440,16 @@ object StoreLog {
   /** Move the history dir of `from` to the first free version >= `atLeast`
     * (free = no commit file and no history dir). Returns the version the
     * archive now sits at (or `atLeast` if there was nothing to move).
+    *
+    * The RENAME is the claim: two rebasers that both listed version `nv`
+    * free race the rename, and the filesystem arbitrates — local
+    * rename(2) and HDFS rename both fail when the destination exists
+    * (non-empty; an archive dir always carries at least its `.owner`
+    * marker) — so the loser advances to the next candidate instead of
+    * aborting. A fresh replacer claiming the same version home via
+    * [[archive]]'s `.owner` create either beats the rename (destination
+    * exists → we advance) or loses to it (its exclusive `.owner` create
+    * inside the renamed-in dir fails → it aborts cleanly).
     */
   private def rehomeArchive(
       spark: SparkSession, root: String, from: Int, atLeast: Int): Int = {
@@ -447,14 +457,19 @@ object StoreLog {
     val f = fs(spark, oldDir)
     var nv = atLeast
     if (!f.exists(oldDir)) return nv
-    var newDir = new Path(s"$root/$historyDirName/${f"v$nv%09d"}")
-    while (f.exists(newDir) || f.exists(commitPath(root, nv))) {
+    while (true) {
+      val newDir = new Path(s"$root/$historyDirName/${f"v$nv%09d"}")
+      if (!f.exists(newDir) && !f.exists(commitPath(root, nv))) {
+        if (f.rename(oldDir, newDir)) return nv
+        // rename lost a race it pre-checked as free → the destination
+        // materialized in the window; advance. Any OTHER rename failure
+        // (our own dir gone, permissions) is not a race — fail loudly.
+        require(f.exists(newDir) || f.exists(commitPath(root, nv)),
+          s"commitReplacing: archive re-home failed $oldDir -> $newDir")
+      }
       nv += 1
-      newDir = new Path(s"$root/$historyDirName/${f"v$nv%09d"}")
     }
-    require(f.rename(oldDir, newDir),
-      s"commitReplacing: archive re-home failed $oldDir -> $newDir")
-    nv
+    nv // unreachable
   }
 
   /** Whether an idempotence token was already committed — the replay
