@@ -230,12 +230,9 @@ object Compaction {
     // this commit's removes (they belong to the appender's commit)
     val candidates =
       if (first) all
-      else {
-        val live = scala.collection.mutable.LinkedHashSet.empty[String]
-        StoreLog.readCommits(spark, path).foreach { c =>
-          live ++= c.adds; live --= c.removes
-        }
-        all.filter(live)
+      else StoreLog.committedLiveSet(spark, path) match {
+        case Some(live) => all.filter(live)
+        case None => all
       }
     val small = candidates.filter { f =>
       rootFs.getFileStatus(new Path(s"$path/$f")).getLen < minBytes

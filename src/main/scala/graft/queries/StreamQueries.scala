@@ -972,6 +972,13 @@ object StreamQueries {
     } finally cumulative.unpersist()
   }
 
+  /** Eviction boundary is µs-exact: Spark emits a session iff
+    * `end_us <= watermarkMs * 1000` (WatermarkSupport keeps the
+    * watermark in ms and scales up), so the oracle must compare
+    * `en <= wm * 1000` — NOT `en // 1000 <= wm`, which would also count
+    * sessions whose end carries sub-ms microseconds in
+    * `(wm*1000, wm*1000+999]` that Spark never emits.
+    */
   val q148Oracle: String =
     """WITH e AS (
       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
@@ -1037,12 +1044,12 @@ object StreamQueries {
       |),
       |wm1 AS (SELECT epoch_us(max(ts)) // 1000 - 600000 AS wm FROM h1),
       |n1 AS (SELECT CAST(count(*) AS BIGINT) AS c
-      |       FROM ps_h1, wm1 WHERE en // 1000 <= wm),
+      |       FROM ps_h1, wm1 WHERE en <= wm * 1000),
       |n_all AS (SELECT CAST(count(*) AS BIGINT) AS c
-      |          FROM ps_all, wm2 WHERE en // 1000 <= wm),
+      |          FROM ps_all, wm2 WHERE en <= wm * 1000),
       |nm AS (SELECT CAST(count(*) AS BIGINT) AS c
       |       FROM ps_all, wm2, b
-      |       WHERE en // 1000 <= wm AND s <= cut AND en - 1800000000 > cut)
+      |       WHERE en <= wm * 1000 AND s <= cut AND en - 1800000000 > cut)
       |SELECT '1_phase1' AS phase, c AS n_rows FROM n1
       |UNION ALL
       |SELECT '2_phase2', (SELECT c FROM n_all) - (SELECT c FROM n1)

@@ -57,12 +57,24 @@ object StoreDelete {
     val loaded = StoreMeta.load(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"delete needs a graft-managed layout (foreign subdirs found): $path"))
-    if (loaded.files.isEmpty) return DeleteStats(0L, 0L, 0L)
+    // delete the COMMITTED live set only (same rule as
+    // Compaction.rewriteCow): the sidecar load heals in every file the
+    // directory lists — including a concurrent appender's
+    // published-but-unclaimed batch. Absorbing such a file into this
+    // delete's removes would archive rows whose commit hasn't landed
+    // (silently lost once it does) and breaks the disjointness that
+    // lets racing appends rebase this commit. Unlogged stores have no
+    // committed set — their single-writer bootstrap contract applies.
+    val candidates = StoreLog.committedLiveSet(spark, path) match {
+      case Some(live) => loaded.files.filter(f => live(f.file))
+      case None => loaded.files
+    }
+    if (candidates.isEmpty) return DeleteStats(0L, 0L, 0L)
     val rootQ = StoreMeta.qualifiedPath(spark, path)
     val hit = coalesce(predicate, lit(false))
 
     // sidecar-healed files carry fresh stats, so verdicts are current
-    val verdicts = loaded.files.map(f => f.file -> fileVerdict(f))
+    val verdicts = candidates.map(f => f.file -> fileVerdict(f))
     val wholeFiles = verdicts.collect { case (f, Some(true)) => f }.sorted
     val unknown = verdicts.collect { case (f, None) => f }
 

@@ -83,7 +83,10 @@ object StoreLog {
       .sorted
   }
 
-  private def readBytesOf(spark: SparkSession, p: Path): Array[Byte] = {
+  /** Read a small metadata file fully, driver-side (commit records,
+    * sidecar and watermark segments — all tiny by construction).
+    */
+  private[store] def readBytesOf(spark: SparkSession, p: Path): Array[Byte] = {
     val in = fs(spark, p).open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -212,9 +215,18 @@ object StoreLog {
             done = true // parses — a live head, nothing to repair
           } catch {
             case _: Exception =>
-              val age = System.currentTimeMillis -
-                f.getFileStatus(p).getModificationTime
-              if (age >= minClaimAgeMs) { verdictDead = true; done = true }
+              // the stat can itself race a CONCURRENT repair that just
+              // dropped this claim — a vanished file is already-repaired
+              // state, not an error: relist and re-evaluate the new head
+              val age =
+                try System.currentTimeMillis -
+                  f.getFileStatus(p).getModificationTime
+                catch {
+                  case e: Exception if fileVanished(e) =>
+                    done = true; continue = true; Long.MinValue
+                }
+              if (done) ()
+              else if (age >= minClaimAgeMs) { verdictDead = true; done = true }
               else Thread.sleep(math.min(50L, math.max(1L, minClaimAgeMs - age)))
           }
         }
@@ -231,8 +243,9 @@ object StoreLog {
   /** Two writers raced for the same commit version and this one must
     * abort: the store state it based its work on no longer exists. The
     * store itself stays consistent — the winner's commit is intact, and
-    * the loser's in-flight files are uncommitted orphans that
-    * [[StoreRepair.repair]] (run by the abort paths below) removes.
+    * the loser's footprint is undone by its own abort path
+    * (appendConcurrent retracts its published files and redoes;
+    * commitReplacing runs the writer-scoped [[rollbackReplacing]]).
     */
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
@@ -426,7 +439,18 @@ object StoreLog {
               f.mkdirs(dst.getParent)
               // dst taken = the winner archived its own copy; drop ours
               if (!f.rename(p, dst)) f.delete(p, false)
-            case None => f.delete(p, false) // never-committed file
+            case None =>
+              // never committed by ANYONE — under the committedLiveSet
+              // contract this op never archives such a file, so reaching
+              // here means a protocol gap (e.g. a racing appender's
+              // published-but-unclaimed file was absorbed). Deleting
+              // could destroy that appender's batch the instant before
+              // its commit lands; restore it to the root it was taken
+              // from instead — worst case it is a crashed writer's
+              // orphan, which explicit crash recovery already drops.
+              val dst = new Path(s"$root/$rel")
+              f.mkdirs(dst.getParent)
+              if (!f.rename(p, dst)) f.delete(p, false) // root copy exists
           }
         }
       }
@@ -478,6 +502,24 @@ object StoreLog {
     */
   def txnSeen(spark: SparkSession, root: String, txn: String): Boolean =
     readCommits(spark, root).exists(_.txn.contains(txn))
+
+  /** The COMMITTED live file set (root-relative), replayed through the
+    * current head; None when the store has no log. Copy-on-write
+    * maintenance (merge/delete/compaction) must derive its
+    * read-and-remove candidates from THIS set, never from a directory
+    * listing or a sidecar load — those see a concurrent appender's
+    * published-but-unclaimed files, and absorbing one into a replacing
+    * commit turns the appender's in-flight batch into this writer's
+    * archive (silently lost rows once the appender's own commit lands,
+    * or permanently if an abort rollback discards it).
+    */
+  def committedLiveSet(
+      spark: SparkSession, root: String): Option[Set[String]] = {
+    if (currentVersion(spark, root) == 0) return None
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    readCommits(spark, root).foreach { c => live ++= c.adds; live --= c.removes }
+    Some(live.toSet)
+  }
 
   /** Log an append of `newFiles`. On the FIRST commit of a store that
     * already holds data (created before logging was enabled), the commit

@@ -99,7 +99,19 @@ object StoreMerge {
     try {
       val envelopes = ConsolidatedStore.batchEnvelopes(deduped)
       if (envelopes.isEmpty) return MergeStats(0L, 0L, 0L)
-      val overlapping = loaded.files
+      // probe and rewrite the COMMITTED live set only (same rule as
+      // Compaction.rewriteCow and StoreDelete): the sidecar load heals
+      // in published-but-unclaimed files of any in-flight appender, and
+      // absorbing one into `touched` would archive a batch whose commit
+      // hasn't landed. (Merges are additionally serialized with appends
+      // by the store contract — LogID assignment requires it — so this
+      // filter is defense in depth here, load-bearing in StoreDelete.)
+      val committed = StoreLog.committedLiveSet(spark, path)
+      val candidates = committed match {
+        case Some(live) => loaded.files.filter(f => live(f.file))
+        case None => loaded.files
+      }
+      val overlapping = candidates
         .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
       val rootQ = StoreMeta.qualifiedPath(spark, path)
 

@@ -344,32 +344,49 @@ object StoreMeta {
     * survives untouched, and nothing here can clobber a peer's
     * in-flight write.
     */
-  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit = {
+  def save(spark: SparkSession, root: String, files: Seq[FileStats]): Unit =
+    saveHooked(spark, root, files)(_ => ())
+
+  /** [[save]] with a test seam: `afterCapture(segments)` runs between
+    * the segment capture and their read — the window a racing fold's
+    * deletes land in.
+    */
+  private[graft] def saveHooked(spark: SparkSession, root: String,
+      files: Seq[FileStats])(afterCapture: Seq[String] => Unit): Unit = {
     val mp = new Path(s"$root/$dirName")
     val f = mp.getFileSystem(spark.sessionState.newHadoopConf())
     val captured = if (f.exists(mp)) segmentFileNames(spark, s"$root/$dirName")
       else Nil
-    val extras =
-      if (captured.isEmpty) Nil
+    afterCapture(captured)
+    // merged = Some(racer stats folded in) | None = the captured read
+    // FAILED — a racing fold consumed part of the set mid-read. Its
+    // folded output carries the rows of what it captured, but a delta a
+    // RACER never captured has no other copy: deleting the captured set
+    // after a failed read would discard it (a dirty-heal rescan on every
+    // later load). So a failed read folds `files` only and deletes
+    // NOTHING — the surviving segments re-fold later; duplicate stats
+    // for a file across segments are benign (readers group per file).
+    val merged: Option[Seq[FileStats]] =
+      if (captured.isEmpty) Some(Nil)
       else {
         val capturedStats =
-          try readSegmentStats(spark, s"$root/$dirName", captured)
+          try Some(readSegmentStats(spark, s"$root/$dirName", captured))
           catch {
-            // a racing fold consumed a captured segment mid-read — its
-            // folded output carries those rows and survives this fold's
-            // deletes (we only delete what we captured); skip the merge
-            case e: Exception if StoreLog.fileVanished(e) => Nil
-            case _: Exception => Nil // corrupt segment: entries heal later
+            case e: Exception if StoreLog.fileVanished(e) => None
+            case _: Exception => None // corrupt segment: entries heal later
           }
-        val known = files.map(_.file).toSet
-        val present = listDataFiles(spark, root).getOrElse(Nil).toSet
-        capturedStats
-          .filter(s => !known(s.file) && present(s.file))
-          .groupBy(_.file).map(_._2.head).toSeq
+        capturedStats.map { stats =>
+          val known = files.map(_.file).toSet
+          val present = listDataFiles(spark, root).getOrElse(Nil).toSet
+          stats
+            .filter(s => !known(s.file) && present(s.file))
+            .groupBy(_.file).map(_._2.head).toSeq
+        }
       }
-    appendSegment(spark, root, files ++ extras)
-    // tolerate already-deleted (a racing fold consumed the same segment)
-    captured.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
+    appendSegment(spark, root, files ++ merged.getOrElse(Nil))
+    if (merged.isDefined)
+      // tolerate already-deleted (a racing fold consumed the same segment)
+      captured.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
   }
 
   /** Driver-side read of specific sidecar segments (JSON + legacy
@@ -493,21 +510,10 @@ object StoreMeta {
       startMaxUs = lng("start_max_us"))
   }
 
-  private def readSegmentLines(
-      spark: SparkSession, path: Path): Seq[String] = {
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    val in = fs.open(path)
-    val bytes =
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](65536)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        bos.toByteArray
-      } finally in.close()
-    new String(bytes, StandardCharsets.UTF_8)
+  private[store] def readSegmentLines(
+      spark: SparkSession, path: Path): Seq[String] =
+    new String(StoreLog.readBytesOf(spark, path), StandardCharsets.UTF_8)
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-  }
 
   /** Conjunctive read-predicate bounds on the columns the sidecar keeps
     * envelopes for — the read-side twin of [[KeyRanges]]. Each component

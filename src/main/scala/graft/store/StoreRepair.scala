@@ -65,9 +65,13 @@ object StoreRepair {
     *   older than [[StoreLog.AbortedClaimMinAgeMs]]) and restoring
     *   rebase archives parked at overtaken versions. True for the
     *   explicit crash-recovery entry point (the default — "a previous
-    *   writer may have died" is the reason to call repair); FALSE when
-    *   repair runs on a live multi-writer store (the
-    *   [[StoreLog.commitReplacing]] abort path).
+    *   writer may have died" is the reason to call repair); pass FALSE
+    *   when running repair against a store that may have live
+    *   concurrent writers. No production path calls repair live today —
+    *   [[StoreLog.commitReplacing]]'s abort undoes only its own
+    *   footprint via its writer-scoped rollback, never a global repair —
+    *   the flag exists so an operator-invoked live-store repair has a
+    *   safe mode.
     */
   def repair(spark: SparkSession, root: String,
       dropStaleClaims: Boolean = true): RepairStats = {

@@ -75,18 +75,7 @@ object WatermarkStore {
       files: Seq[String]): Map[String, Timestamp] = {
     val (jsonSegs, pqSegs) = files.partition(_.endsWith(".json"))
     val fromJson: Seq[(String, Long)] = jsonSegs.flatMap { s =>
-      val p = new Path(s"$path/$s")
-      val in = fs(spark, p).open(p)
-      val bytes =
-        try {
-          val bos = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-          bos.toByteArray
-        } finally in.close()
-      new String(bytes, StandardCharsets.UTF_8)
-        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseLine)
+      StoreMeta.readSegmentLines(spark, new Path(s"$path/$s")).map(parseLine)
     }
     val fromPq: Seq[(String, Long)] =
       if (pqSegs.isEmpty) Nil

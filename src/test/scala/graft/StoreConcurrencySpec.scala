@@ -393,4 +393,98 @@ class StoreConcurrencySpec extends AnyFunSuite {
     assert(stored.select("LogID").distinct().count() == stored.count())
     h.unpersist()
   }
+
+  test("delete inside an appender's publish→claim window touches only " +
+      "the committed live set") {
+    val path = tmp()
+    val h = bh.cache()
+    val ordered = h.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    val base = ordered.limit(60)
+    ConsolidatedStore.append(spark, path, base)
+    val batch = ordered.limit(100).except(ordered.limit(60)).cache()
+    val nBatch = batch.count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+    // a retention purge of EVERYTHING fires in the appender's
+    // publish→claim window — its sidecar load heals the appender's
+    // published files in, but its delete set must stay the COMMITTED
+    // live set: absorbing an unclaimed batch would archive rows whose
+    // commit is about to land
+    var sawWindow = false
+    val n = ConsolidatedStore.appendConcurrentHooked(
+      spark, path, batch, Seq("database_name", "last_lsn"), 8) {
+      (attempt, _) =>
+      if (attempt == 1) {
+        sawWindow = true
+        val live = StoreLog.committedLiveSet(spark, path).get
+        val published = StoreMeta.listDataFiles(spark, path)
+          .getOrElse(Nil).toSet -- live
+        assert(published.nonEmpty, "seam must be inside the window")
+        StoreDelete.delete(spark, path, lit(true))
+        val del = StoreLog.readCommits(spark, path).last
+        assert(del.op == "delete" &&
+          del.removes.toSet == live && del.adds.isEmpty,
+          s"delete must remove exactly the committed set: $del")
+        published.foreach { f =>
+          assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/$f")),
+            s"published-but-unclaimed $f was absorbed by the delete")
+        }
+      }
+    }
+    assert(sawWindow)
+    // the appender lost its claim to the delete, redid, and landed whole
+    assert(n == nBatch, s"appended $n of $nBatch")
+    val stored = ConsolidatedStore.read(spark, path)
+      .select(batch.columns.map(col): _*)
+    assert(stored.count() == nBatch, "base purged, batch intact")
+    assert(stored.except(batch).isEmpty && batch.except(stored).isEmpty)
+    batch.unpersist(); h.unpersist()
+  }
+
+  test("sidecar fold whose captured read loses a segment mid-read " +
+      "deletes nothing a racer did not capture") {
+    val path = tmp()
+    val h = bh.cache()
+    val ordered = h.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    ConsolidatedStore.append(spark, path, ordered.limit(30))
+    ConsolidatedStore.append(spark, path,
+      ordered.limit(60).except(ordered.limit(30)))
+    ConsolidatedStore.append(spark, path,
+      ordered.limit(90).except(ordered.limit(60)))
+    val metaDir = s"$path/${StoreMeta.dirName}"
+    val fs = new org.apache.hadoop.fs.Path(metaDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def segs(): Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(metaDir)).toSeq.collect {
+      case e if e.isFile && e.getPath.getName.endsWith(".json") &&
+        !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith(".") => e.getPath.getName
+    }.toSet
+    assert(segs().size >= 3, "need several delta segments")
+    val liveStats = StoreMeta.load(spark, path).get.files
+
+    // a racing fold (simulated by the seam) consumes one captured
+    // segment mid-read: this fold's captured read throws, and it must
+    // then delete NOTHING — the surviving captured segments may hold
+    // the only copy of a delta the racer never captured
+    var captured: Seq[String] = Nil
+    StoreMeta.saveHooked(spark, path, liveStats.take(1)) { c =>
+      captured = c
+      assert(c.size >= 3)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$metaDir/${c.head}"), false)
+    }
+    val after = segs()
+    captured.tail.foreach { s =>
+      assert(after.contains(s),
+        s"fold with a failed captured read deleted uncaptured segment $s")
+    }
+    // and the sidecar still reconciles: every data file described
+    val loaded = StoreMeta.load(spark, path).get
+    val onDisk = StoreMeta.listDataFiles(spark, path).get.toSet
+    assert(loaded.files.map(_.file).toSet == onDisk)
+    h.unpersist()
+  }
 }
