@@ -1142,6 +1142,64 @@ object EtlQueries {
       |       n * (n + 1) // 2 AS sum_logid
       |FROM k""".stripMargin)
 
+  /** Copy-on-write delete racing a concurrent appender's publish→claim
+    * window, under the correctness gate. A full-table retention purge
+    * fires through the appender's `beforeCommit` seam — the window where
+    * the appender's batch files sit published in the root but unclaimed
+    * by any commit. The purge must remove EXACTLY the committed live
+    * set (`n_absorbed` = its removes outside that set = 0 — the
+    * committed-live-set rule that keeps replacing commits disjoint from,
+    * and commutative with, racing appends); the appender then loses its
+    * version claim to the purge's commit, redoes against the emptied
+    * store, and lands its full batch with LogIDs rebased from zero. Any
+    * absorption, lost row, or id collision breaks a column.
+    */
+  def q150DeleteVsAppend(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q150-").toString
+    val store = s"$tmp/consolidated"
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir).drop("LogID")
+    val ordered = bh.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    val baseN = ConsolidatedStore.append(spark, store, ordered.limit(100))
+    var delRows = 0L
+    var absorbed = 0L
+    var injected = false
+    val mainN = ConsolidatedStore.appendConcurrentHooked(
+      spark, store, bh, Seq("database_name", "last_lsn"), 8) { (attempt, _) =>
+      if (attempt == 1 && !injected) {
+        injected = true
+        val live = graft.store.StoreLog.committedLiveSet(spark, store).get
+        delRows = graft.store.StoreDelete
+          .delete(spark, store, lit(true)).deleted
+        val del = graft.store.StoreLog.readCommits(spark, store).last
+        absorbed = del.removes.count(f => !live(f)).toLong
+      }
+    }
+    val s = ConsolidatedStore.read(spark, store)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        sum(col("LogID")).as("sum_logid"))
+      .head()
+    Seq((baseN, delRows, absorbed, mainN,
+      s.getLong(0), s.getLong(1), s.getLong(2)))
+      .toDF("base_n", "del_rows", "n_absorbed", "main_n",
+        "n_rows", "n_ids", "sum_logid")
+  }
+
+  val q150Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+      |                              physical_device_name)) AS BIGINT) AS n
+      |  FROM backup_history
+      |)
+      |SELECT CAST(100 AS BIGINT) AS base_n, CAST(100 AS BIGINT) AS del_rows,
+      |       CAST(0 AS BIGINT) AS n_absorbed, n AS main_n, n AS n_rows,
+      |       n AS n_ids, n * (n + 1) // 2 AS sum_logid
+      |FROM k""".stripMargin)
+
   /** Crash repair under the correctness gate: reproduce the two durable
     * die-inside-the-swap states on a cloned store — an uncommitted
     * replacement file (reads every key twice) and an original archived
@@ -1254,6 +1312,7 @@ object EtlQueries {
     "q147_pit_restore_pruned" -> (q147PitRestorePruned _),
     "q146_store_repair" -> (q146StoreRepair _),
     "q145_concurrent_append" -> (q145ConcurrentAppend _),
+    "q150_delete_vs_append" -> (q150DeleteVsAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
@@ -1278,6 +1337,7 @@ object EtlQueries {
     "q147_pit_restore_pruned" -> q147Oracle,
     "q146_store_repair" -> q146Oracle,
     "q145_concurrent_append" -> q145Oracle,
+    "q150_delete_vs_append" -> q150Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
     "q101_store_time_travel" -> q101Oracle,
     "q114_store_merge" -> q114Oracle,
