@@ -104,10 +104,7 @@ object Compaction {
     // published-but-unclaimed files are invisible here, so they are
     // neither read nor removed — which is exactly what makes this
     // commit disjoint from (and commutative with) a racing append
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
-      .foreach { c => live ++= c.adds; live --= c.removes }
-    val oldFiles = live.toSeq
+    val oldFiles = StoreLog.liveSetAtVersion(spark, path, v0)
     if (oldFiles.isEmpty) return dataFileCount(spark, path)
     // schema is INFERRED (with merging), not imposed: compaction must
     // preserve whatever schema the store actually carries — including
@@ -257,23 +254,23 @@ object Compaction {
     val (stageDir, mine) = Staging.stage(spark, path, packed,
       maxRecordsPerFile = maxRecordsPerFile)
 
-    if (first) {
-      Staging.promote(spark, path, stageDir, mine)
-      small.foreach(f => rootFs.delete(new Path(s"$path/$f"), false))
-      StoreLog.commit(spark, path, "optimize",
-        adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
+    // a pre-log store BASELINES first (v1 = every live file) and then
+    // takes the logged path like everyone else: the old logless branch
+    // deleted un-archived originals after the promote, so a crash in
+    // that window left durable duplicate rows — and a rerun bin-packed
+    // the duplicates again (content-agnostic), compounding them
+    if (first)
+      StoreLog.commit(spark, path, "baseline", adds = all.sorted,
         removes = Nil)
-    } else {
-      val v = StoreLog.currentVersion(spark, path) + 1
-      StoreLog.archive(spark, path, v,
-        small.map(f => (new Path(s"$path/$f"), f)))
-      Staging.promote(spark, path, stageDir, mine)
-      // optimistic claim: concurrent appends are disjoint (their files
-      // are neither read nor removed here) and rebase this commit;
-      // overlapping rewrites roll back and abort
-      StoreLog.commitReplacing(spark, path, "optimize",
-        adds = mine, removes = small, archivedAt = v)
-    }
+    val v = StoreLog.currentVersion(spark, path) + 1
+    StoreLog.archive(spark, path, v,
+      small.map(f => (new Path(s"$path/$f"), f)))
+    Staging.promote(spark, path, stageDir, mine)
+    // optimistic claim: concurrent appends are disjoint (their files
+    // are neither read nor removed here) and rebase this commit;
+    // overlapping rewrites roll back and abort
+    StoreLog.commitReplacing(spark, path, "optimize",
+      adds = mine, removes = small, archivedAt = v)
 
     // fold the sidecar: load() reconciles against the post-optimize
     // listing — untouched files keep their recorded stats, the new files

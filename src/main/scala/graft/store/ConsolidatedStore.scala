@@ -149,10 +149,43 @@ object ConsolidatedStore {
       foldEvery: Int = StoreMeta.SegmentFoldThreshold): Long = {
     StoreMeta.load(spark, path) match {
       case Some(loaded) =>
-        appendPruned(spark, path, incoming, partitionBy, sortWithin, loaded,
-          foldEvery)
+        appendPruned(spark, path, incoming, partitionBy, sortWithin,
+          awaitCommittedCoverage(spark, path, loaded), foldEvery)
       case None => appendFullScan(spark, path, incoming, partitionBy, sortWithin)
     }
+  }
+
+  /** Wait out a racing CoW replacer's archive→promote→commit window
+    * before an append trusts its loaded stats. [[StoreMeta.load]] heals
+    * everything the DIRECTORY holds, so a committed-live file absent
+    * from the healed stats is physically missing from the root — a
+    * replacer has archived it and not yet committed (its swap is
+    * mid-flight). Proceeding on such stats is silent corruption, not a
+    * crash: the dedup anti-join sees no overlapping files and the LogID
+    * base folds over an empty set, so duplicate keys and colliding ids
+    * would be committed with no error. The window is driver-side
+    * metadata renames (milliseconds); a state that persists past the
+    * wait is a dead replacer — fail loudly and point at repair.
+    */
+  private def awaitCommittedCoverage(spark: SparkSession, path: String,
+      loaded0: StoreMeta.Loaded): StoreMeta.Loaded = {
+    var loaded = loaded0
+    var polls = 0
+    while ({
+      val live = StoreLog.committedLiveSet(spark, path)
+      val have = loaded.files.map(_.file).toSet
+      live.exists(l => !l.subsetOf(have))
+    }) {
+      polls += 1
+      if (polls > 150)
+        throw new StoreLog.ConcurrentCommitException(
+          s"append on $path: committed-live files are missing from the " +
+            "directory and no replacing commit landed — a copy-on-write " +
+            "writer died mid-swap; run StoreRepair.repair")
+      Thread.sleep(20L)
+      loaded = StoreMeta.load(spark, path).getOrElse(loaded)
+    }
+    loaded
   }
 
   /** Per-`database_name` key envelopes of a deduped batch — driver-small
@@ -305,11 +338,12 @@ object ConsolidatedStore {
           val laidOut =
             if (sortWithin.isEmpty) assigned
             else assigned.sortWithinPartitions(sortWithin.map(col): _*)
-          val writer = laidOut.write.mode(SaveMode.Append)
-          (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-           else writer).parquet(path)
-          val newFiles = StoreMeta.listDataFiles(spark, path)
-            .getOrElse(Nil).filterNot(before)
+          // staged publish for EXACT ownership of the new file names — a
+          // before/after listing diff would absorb a concurrent CoW
+          // maintenance commit's just-promoted files into THIS commit's
+          // adds, and the maintenance writer's abort path would then
+          // delete files this commit lists as live (phantom adds)
+          val newFiles = Staging.publish(spark, path, laidOut, partitionBy)
           // one O(batch) commit record enables snapshot reads (StoreLog);
           // a pre-log store baselines itself on this first commit. The
           // commit lands BEFORE the sidecar write: the sidecar is a pure
@@ -415,13 +449,23 @@ object ConsolidatedStore {
               "take one serialized append first to baseline the log " +
               "(or run StoreRepair.repair if a bootstrapping writer died)")
         }
-        val live = scala.collection.mutable.LinkedHashSet.empty[String]
-        StoreLog.readCommits(spark, path).takeWhile(_.version <= v0)
-          .foreach { c => live ++= c.adds; live --= c.removes }
+        // checkpoint-accelerated replay: O(CheckpointEvery) commit reads
+        val live = StoreLog.liveSetAtVersion(spark, path, v0).toSet
         try {
           val loadedOpt = StoreMeta.load(spark, path)
           val liveStats = loadedOpt
             .map(_.files.filter(f => live(f.file))).getOrElse(Nil)
+          // a committed-live file missing from the healed stats is
+          // missing from the DIRECTORY: a racing replacer's swap is
+          // mid-flight (archived, not yet committed). Reading around it
+          // would silently skip dedup against those files and fold the
+          // LogID base over an incomplete set — redo once the racer's
+          // commit lands (same signal as fileVanished, caught earlier)
+          if (liveStats.size < live.size) {
+            Thread.sleep(100L)
+            throw new java.io.FileNotFoundException(
+              "committed-live files not on disk — replacer swap in flight")
+          }
           val overlapping = liveStats
             .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
           val fresh =

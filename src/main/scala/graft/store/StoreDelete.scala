@@ -126,24 +126,24 @@ object StoreDelete {
     val newFiles = staged.map(_._2).getOrElse(Nil)
 
     val removed = dropped ++ partial
-    val first = StoreLog.currentVersion(spark, path) == 0
-    if (first) {
-      staged.foreach { case (d, fl) => Staging.promote(spark, path, d, fl) }
-      val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
-      removed.foreach(f => fs.delete(new Path(s"$path/$f"), false))
-      StoreLog.commit(spark, path, "delete",
+    // a pre-log store BASELINES first (v1 = every live file), then takes
+    // the logged path like everyone else: the old logless branch deleted
+    // un-archived originals after the promote, and a crash inside that
+    // window left durable duplicate survivor rows that no repair could
+    // reconcile (currentVersion == 0 has no baseline to roll back to —
+    // and a rerun would rewrite the partial file AGAIN, compounding)
+    if (StoreLog.currentVersion(spark, path) == 0)
+      StoreLog.commit(spark, path, "baseline",
         adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
         removes = Nil)
-    } else {
-      val v = StoreLog.currentVersion(spark, path) + 1
-      StoreLog.archive(spark, path, v,
-        removed.map(f => (new Path(s"$path/$f"), f)))
-      staged.foreach { case (d, fl) => Staging.promote(spark, path, d, fl) }
-      // optimistic claim (see StoreLog.commitReplacing): disjoint racers
-      // rebase, overlapping rewrites roll back and abort
-      StoreLog.commitReplacing(spark, path, "delete",
-        adds = newFiles, removes = removed, archivedAt = v)
-    }
+    val v = StoreLog.currentVersion(spark, path) + 1
+    StoreLog.archive(spark, path, v,
+      removed.map(f => (new Path(s"$path/$f"), f)))
+    staged.foreach { case (d, fl) => Staging.promote(spark, path, d, fl) }
+    // optimistic claim (see StoreLog.commitReplacing): disjoint racers
+    // rebase, overlapping rewrites roll back and abort
+    StoreLog.commitReplacing(spark, path, "delete",
+      adds = newFiles, removes = removed, archivedAt = v)
 
     // post-commit sidecar fold: a pure cache — never fail a delete
     // whose commit already landed

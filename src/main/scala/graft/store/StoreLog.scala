@@ -44,8 +44,26 @@ import graft.model.Schemas
   */
 object StoreLog {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val dirName = "_graft_log"
   val historyDirName = "_graft_history"
+
+  /** One log CHECKPOINT per this many commits: a `ckpt-v%09d.json` file
+    * holding the live file set and seen txn tokens at that version, so
+    * the hot-path log readers ([[committedLiveSet]], [[txnSeen]], the
+    * appenders' live replays) read one checkpoint + at most this many
+    * tail commits instead of every commit since the store was born —
+    * O(64), not O(#commits), per operation on a store with years of
+    * trickle appends. Checkpoints are DERIVED data over immutable
+    * commits: any writer may produce one (the version claim's winner
+    * does, inside [[tryCommit]]), a torn one is skipped for the next
+    * older, and losing one costs a longer replay, never a wrong answer.
+    * Time-travel reads ([[liveFilesAt]], [[changes]]) and the repair /
+    * vacuum paths keep full-fidelity replay — they need per-version
+    * archive homes, not just the head state.
+    */
+  private[graft] val CheckpointEvery = 64
 
   /** `txn`: optional idempotence token (writer-chosen, e.g.
     * "app:batchId") recorded with the commit — the Delta-style
@@ -99,22 +117,28 @@ object StoreLog {
 
   /** Parse commit `v`, tolerating the claim→fill window: a commit file
     * appears at CLAIM time (create-no-overwrite is the multi-writer
-    * arbiter) and is filled one small write later; a concurrent reader
-    * listing in that microsecond window sees an empty/partial file. That
-    * is a claim in progress, not corruption — re-read for ~1 s before
-    * giving up.
+    * arbiter) and is filled one small write later (local paths write
+    * claim+content in ONE atomic call, but HDFS-like schemes keep the
+    * two-call window); a concurrent reader listing in that window sees
+    * an empty/partial file. That is a claim in progress, not
+    * corruption — re-read before giving up. The patience must EXCEED
+    * [[AbortedClaimMinAgeMs]]: below it, a writer merely paused (GC,
+    * throttled FS) between claim and fill would make every log reader
+    * throw while repair itself correctly refuses to drop so young a
+    * claim — a band where readers crash against a healthy store.
     */
   private def readCommitPatiently(
       spark: SparkSession, root: String, v: Int): Commit = {
     val p = commitPath(root, v)
     var attempt = 0
     var out: Commit = null
+    val maxAttempts = (AbortedClaimMinAgeMs / 10L).toInt + 100
     while (out == null) {
       try out = parse(new String(readBytesOf(spark, p), StandardCharsets.UTF_8))
       catch {
         case e: Exception =>
           attempt += 1
-          if (attempt > 100)
+          if (attempt > maxAttempts)
             throw new IllegalStateException(
               s"commit file $p unreadable after ${attempt - 1} retries — " +
                 "if a writer died mid-claim, StoreRepair.repair drops the " +
@@ -127,6 +151,98 @@ object StoreLog {
 
   def readCommits(spark: SparkSession, root: String): Seq[Commit] =
     listVersions(spark, root).map(v => readCommitPatiently(spark, root, v))
+
+  // ---- log checkpoints (see CheckpointEvery) ----
+
+  private final case class Checkpoint(
+      version: Int, live: Seq[String], txns: Seq[String])
+
+  private def ckptPath(root: String, v: Int): Path =
+    new Path(s"$root/$dirName/${f"ckpt-v$v%09d"}.json")
+
+  private def listCheckpointVersions(
+      spark: SparkSession, root: String): Seq[Int] = {
+    val dir = new Path(s"$root/$dirName")
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("ckpt-v") && n.endsWith(".json") =>
+        n.stripPrefix("ckpt-v").stripSuffix(".json").toInt
+      }
+      .sorted
+  }
+
+  private def readCheckpointOpt(
+      spark: SparkSession, root: String, v: Int): Option[Checkpoint] =
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val jv = JsonMethods.parse(new String(
+        readBytesOf(spark, ckptPath(root, v)), StandardCharsets.UTF_8))
+      implicit val fmt: Formats = DefaultFormats
+      Some(Checkpoint(
+        (jv \ "version").extract[Int],
+        (jv \ "live").extract[Seq[String]],
+        (jv \ "txns").extract[Seq[String]]))
+    } catch {
+      // torn by a dead writer, or vanished — fall back to an older
+      // checkpoint / full replay; a checkpoint is a pure accelerator
+      case _: Exception => None
+    }
+
+  /** (live files, seen txn tokens) at `version`, reconstructed from the
+    * newest readable checkpoint `<= version` plus the tail commits —
+    * the hot-path read shape.
+    */
+  private def stateAt(spark: SparkSession, root: String, version: Int):
+      (scala.collection.mutable.LinkedHashSet[String],
+        scala.collection.mutable.Set[String]) = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txns = scala.collection.mutable.Set.empty[String]
+    val base = listCheckpointVersions(spark, root)
+      .filter(_ <= version).sorted(Ordering[Int].reverse)
+      .iterator.map(cv => readCheckpointOpt(spark, root, cv))
+      .collectFirst { case Some(c) => c }
+    base.foreach { c => live ++= c.live; txns ++= c.txns }
+    val from = base.map(_.version).getOrElse(0)
+    listVersions(spark, root).filter(v => v > from && v <= version)
+      .foreach { v =>
+        val c = readCommitPatiently(spark, root, v)
+        live ++= c.adds; live --= c.removes; c.txn.foreach(txns += _)
+      }
+    (live, txns)
+  }
+
+  /** Live files at `version`, checkpoint-accelerated — the appenders'
+    * replay. Insertion-ordered.
+    */
+  private[graft] def liveSetAtVersion(
+      spark: SparkSession, root: String, version: Int): Seq[String] =
+    stateAt(spark, root, version)._1.toSeq
+
+  /** Write the checkpoint for `v` if it is due; never fails the commit
+    * that triggered it (derived data — a reader without it just replays
+    * more commits).
+    */
+  private def maybeCheckpoint(
+      spark: SparkSession, root: String, v: Int): Unit = {
+    if (v % CheckpointEvery != 0) return
+    try {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val (live, txns) = stateAt(spark, root, v)
+      val bytes = JsonMethods.compact(JsonMethods.render(
+        ("version" -> v) ~ ("live" -> live.toSeq) ~
+          ("txns" -> txns.toSeq.sorted))).getBytes(StandardCharsets.UTF_8)
+      val p = ckptPath(root, v)
+      createExclusive(fs(spark, p), p, bytes)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        log.warn(s"log checkpoint v$v on $root failed " +
+          "(accelerator only — readers replay commits): " + e)
+    }
+  }
 
   private def parse(json: String): Commit = {
     import org.json4s._
@@ -273,7 +389,9 @@ object StoreLog {
       .getBytes(StandardCharsets.UTF_8)
     val f = fs(spark, p)
     if (f.exists(p)) return false // cheap pre-check; create is the arbiter
-    createExclusive(f, p, bytes)
+    val won = createExclusive(f, p, bytes)
+    if (won) maybeCheckpoint(spark, root, expected)
+    won
   }
 
   /** Atomically create `p` holding `bytes`; false if it already exists.
@@ -363,8 +481,10 @@ object StoreLog {
     var myV = archivedAt
     while (!tryCommit(spark, root, myV, op, adds, removes, txn)) {
       val cur = currentVersion(spark, root)
-      val intervening = readCommits(spark, root)
-        .filter(c => c.version >= myV && c.version <= cur)
+      // read only the contested window, not the whole log
+      val intervening = listVersions(spark, root)
+        .filter(v => v >= myV && v <= cur)
+        .map(v => readCommitPatiently(spark, root, v))
       if (intervening.exists(c =>
           c.adds.exists(mine) || c.removes.exists(mine))) {
         // roll back THIS WRITER'S footprint only — never a global repair:
@@ -501,7 +621,7 @@ object StoreLog {
     * micro-batch. O(log) driver read; the log is tiny by construction.
     */
   def txnSeen(spark: SparkSession, root: String, txn: String): Boolean =
-    readCommits(spark, root).exists(_.txn.contains(txn))
+    stateAt(spark, root, currentVersion(spark, root))._2.contains(txn)
 
   /** The COMMITTED live file set (root-relative), replayed through the
     * current head; None when the store has no log. Copy-on-write
@@ -515,10 +635,9 @@ object StoreLog {
     */
   def committedLiveSet(
       spark: SparkSession, root: String): Option[Set[String]] = {
-    if (currentVersion(spark, root) == 0) return None
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    readCommits(spark, root).foreach { c => live ++= c.adds; live --= c.removes }
-    Some(live.toSet)
+    val head = currentVersion(spark, root)
+    if (head == 0) return None
+    Some(stateAt(spark, root, head)._1.toSet)
   }
 
   /** Log an append of `newFiles`. On the FIRST commit of a store that
@@ -699,7 +818,10 @@ object StoreLog {
     if (!createExclusive(f, new Path(base, ".owner"), Array.emptyByteArray))
       throw new ConcurrentCommitException(
         s"archive home $base is claimed by a concurrent replacer; " +
-          "re-run against the current state")
+          "re-run against the current state. If no replacer is live (the " +
+          "claim never clears and appends are idle, so re-runs keep " +
+          "computing this same version), a replacer died mid-swap: run " +
+          "StoreRepair.repair to restore its parked archive")
     files.foreach { case (src, rel) =>
       val dst = new Path(base, rel)
       f.mkdirs(dst.getParent)

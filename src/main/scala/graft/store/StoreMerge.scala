@@ -37,12 +37,16 @@ import graft.model.Schemas
   *      snapshots stay readable (time travel over merges, not just
   *      appends/compactions).
   *
-  * Readers see the union of old and new files for the instant between the
-  * new-file write and the archive of the touched originals — the same
-  * exposure window as [[graft.maintenance.Compaction]]'s swap; merges are
+  * Reader exposure: the swap order is stage → archive → promote, so a
+  * plain directory reader in the archive→promote window sees the table
+  * WITHOUT the touched files' rows (neither originals nor rewrites) —
+  * missing rows, never duplicates, and the window is two driver-side
+  * rename loops (no data movement), though a paused writer stretches it.
+  * Readers needing a consistent view during maintenance read a pinned
+  * [[StoreLog.snapshot]] version instead of the directory; merges are
   * scheduled off the ingest path and serialized with appends (the
-  * existing store contract). A writer that DIES inside that window leaves
-  * the duplication durable (directory reads don't consult the log) — run
+  * existing store contract). A writer that DIES inside that window
+  * leaves the gap durable (directory reads don't consult the log) — run
   * [[StoreRepair.repair]] on open after an unclean writer exit; it rolls
   * the unfinished swap back to the last commit and the merge's txn-token
   * replay guard makes the rerun exactly-once.
@@ -173,30 +177,25 @@ object StoreMerge {
         // appender's in-flight (published, uncommitted) files can never
         // be absorbed into this commit by a listing diff.
         val (stageDir, newFiles) = Staging.stage(spark, path, laidOut, partitionBy)
-        // A store whose very first logged operation is this merge
-        // baselines instead: adds = the full post-merge live set.
-        val first = StoreLog.currentVersion(spark, path) == 0
-        if (first) {
-          Staging.promote(spark, path, stageDir, newFiles)
-          if (touched.nonEmpty) {
-            val fs = rootQ.getFileSystem(spark.sessionState.newHadoopConf())
-            touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
-          }
-          StoreLog.commit(spark, path, "merge",
+        // a pre-log store BASELINES first (v1 = every live file) and
+        // then takes the logged path like everyone else: the old
+        // logless branch deleted un-archived originals after the
+        // promote, and a crash inside that window left durable
+        // duplicate rows with no baseline to repair back to
+        if (StoreLog.currentVersion(spark, path) == 0)
+          StoreLog.commit(spark, path, "baseline",
             adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
-            removes = Nil, txn = txnId)
-        } else {
-          val v = StoreLog.currentVersion(spark, path) + 1
-          if (touched.nonEmpty)
-            StoreLog.archive(spark, path, v,
-              touched.map(f => (new Path(s"$path/$f"), f)))
-          Staging.promote(spark, path, stageDir, newFiles)
-          beforeCommit()
-          // optimistic claim: racing disjoint commits rebase the archive
-          // to the next version; an overlapping rewrite rolls back + throws
-          StoreLog.commitReplacing(spark, path, "merge",
-            adds = newFiles, removes = touched, archivedAt = v, txn = txnId)
-        }
+            removes = Nil)
+        val v = StoreLog.currentVersion(spark, path) + 1
+        if (touched.nonEmpty)
+          StoreLog.archive(spark, path, v,
+            touched.map(f => (new Path(s"$path/$f"), f)))
+        Staging.promote(spark, path, stageDir, newFiles)
+        beforeCommit()
+        // optimistic claim: racing disjoint commits rebase the archive
+        // to the next version; an overlapping rewrite rolls back + throws
+        StoreLog.commitReplacing(spark, path, "merge",
+          adds = newFiles, removes = touched, archivedAt = v, txn = txnId)
 
         // post-commit sidecar fold: a pure cache — never fail a merge
         // whose commit already landed

@@ -358,35 +358,43 @@ object StoreMeta {
     val captured = if (f.exists(mp)) segmentFileNames(spark, s"$root/$dirName")
       else Nil
     afterCapture(captured)
-    // merged = Some(racer stats folded in) | None = the captured read
-    // FAILED — a racing fold consumed part of the set mid-read. Its
-    // folded output carries the rows of what it captured, but a delta a
-    // RACER never captured has no other copy: deleting the captured set
-    // after a failed read would discard it (a dirty-heal rescan on every
-    // later load). So a failed read folds `files` only and deletes
-    // NOTHING — the surviving segments re-fold later; duplicate stats
-    // for a file across segments are benign (readers group per file).
-    val merged: Option[Seq[FileStats]] =
-      if (captured.isEmpty) Some(Nil)
-      else {
-        val capturedStats =
-          try Some(readSegmentStats(spark, s"$root/$dirName", captured))
-          catch {
-            case e: Exception if StoreLog.fileVanished(e) => None
-            case _: Exception => None // corrupt segment: entries heal later
-          }
-        capturedStats.map { stats =>
-          val known = files.map(_.file).toSet
-          val present = listDataFiles(spark, root).getOrElse(Nil).toSet
-          stats
-            .filter(s => !known(s.file) && present(s.file))
-            .groupBy(_.file).map(_._2.head).toSeq
-        }
+    // per-SEGMENT read, so each captured segment gets the disposition
+    // its own outcome earns:
+    //   - read OK     → its stats fold into this segment; delete it
+    //     (every row it held has a copy in our folded output);
+    //   - vanished    → a racing fold consumed it; ITS folded output
+    //     carries the rows — nothing of ours to delete;
+    //   - corrupt     → a crashed writer's torn segment; delete it or
+    //     every future load() degrades to a full heal rescan forever —
+    //     its entries rebuild from the (immutable) data files on the
+    //     next heal, exactly the self-healing the sidecar contract
+    //     documents.
+    // Deleting exactly what we folded (plus corpses) means a delta a
+    // racer never captured is NEVER discarded, and a corrupt segment is
+    // never immortal.
+    val capturedStats = scala.collection.mutable.ArrayBuffer.empty[FileStats]
+    val deletable = scala.collection.mutable.ArrayBuffer.empty[String]
+    captured.foreach { seg =>
+      try {
+        capturedStats ++= readSegmentStats(spark, s"$root/$dirName", Seq(seg))
+        deletable += seg
+      } catch {
+        case e: Exception if StoreLog.fileVanished(e) => ()
+        case _: Exception => deletable += seg // torn segment: drop, heal later
       }
-    appendSegment(spark, root, files ++ merged.getOrElse(Nil))
-    if (merged.isDefined)
-      // tolerate already-deleted (a racing fold consumed the same segment)
-      captured.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
+    }
+    val extras = {
+      val known = files.map(_.file).toSet
+      val present =
+        if (capturedStats.isEmpty) Set.empty[String]
+        else listDataFiles(spark, root).getOrElse(Nil).toSet
+      capturedStats.toSeq
+        .filter(s => !known(s.file) && present(s.file))
+        .groupBy(_.file).map(_._2.head).toSeq
+    }
+    appendSegment(spark, root, files ++ extras)
+    // tolerate already-deleted (a racing fold consumed the same segment)
+    deletable.foreach(c => f.delete(new Path(s"$root/$dirName/$c"), false))
   }
 
   /** Driver-side read of specific sidecar segments (JSON + legacy

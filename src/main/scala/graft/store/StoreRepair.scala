@@ -223,7 +223,14 @@ object StoreRepair {
         require(fs.delete(dst, true), s"repair: logless-rewrite drop failed $dst")
         require(fs.rename(bak, dst), s"repair: swap restore failed $bak -> $dst")
         moved += 1L
-      } else if (fs.exists(new Path(dst, StoreLog.dirName))) {
+      } else if (StoreLog.currentVersion(spark, root) > 0) {
+        // a log dir EXISTING in the root is not enough — it must hold a
+        // commit. An empty log dir (e.g. all claims dropped as dead on a
+        // store whose only commit was a torn claim) means the swapped-in
+        // rewrite is the whole operation, logless-store semantics: with
+        // currentVersion == 0 the main repair's orphan sweep never runs,
+        // so moving the backup's files home would duplicate every row
+        // durably. Fall through to the stale-backup drop instead.
         val bakQ = fs.makeQualified(bak)
         StoreMeta.listDataFiles(spark, bak.toString).getOrElse(Nil).foreach { rel =>
           val from = new Path(bakQ, rel)

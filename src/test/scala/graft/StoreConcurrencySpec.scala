@@ -465,26 +465,67 @@ class StoreConcurrencySpec extends AnyFunSuite {
     }.toSet
     assert(segs().size >= 3, "need several delta segments")
     val liveStats = StoreMeta.load(spark, path).get.files
+    def filesIn(seg: String): Set[String] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$metaDir/$seg")), "UTF-8")
+      "\"file\":\"([^\"]+)\"".r.findAllMatchIn(txt).map(_.group(1)).toSet
+    }
 
     // a racing fold (simulated by the seam) consumes one captured
-    // segment mid-read: this fold's captured read throws, and it must
-    // then delete NOTHING — the surviving captured segments may hold
-    // the only copy of a delta the racer never captured
+    // segment mid-read. Per-segment disposition: the vanished segment is
+    // the racer's to carry; every segment THIS fold read successfully is
+    // folded into its output and deleted — so a delta the racer never
+    // captured is folded, never discarded
     var captured: Seq[String] = Nil
+    var tailFiles: Set[String] = Set.empty
     StoreMeta.saveHooked(spark, path, liveStats.take(1)) { c =>
       captured = c
       assert(c.size >= 3)
+      tailFiles = c.tail.map(filesIn).reduce(_ ++ _)
       fs.delete(new org.apache.hadoop.fs.Path(s"$metaDir/${c.head}"), false)
     }
     val after = segs()
-    captured.tail.foreach { s =>
-      assert(after.contains(s),
-        s"fold with a failed captured read deleted uncaptured segment $s")
+    assert(after.size == 1, s"fold must collapse to one segment: $after")
+    val folded = filesIn(after.head)
+    tailFiles.foreach { df =>
+      assert(folded.contains(df),
+        s"stats for $df (from a segment the racer never captured) were " +
+          "discarded by the fold")
     }
     // and the sidecar still reconciles: every data file described
     val loaded = StoreMeta.load(spark, path).get
     val onDisk = StoreMeta.listDataFiles(spark, path).get.toSet
     assert(loaded.files.map(_.file).toSet == onDisk)
+    h.unpersist()
+  }
+
+  test("a torn sidecar segment is dropped by the next fold instead of " +
+      "forcing heal rescans forever") {
+    val path = tmp()
+    val h = bh.cache()
+    val ordered = h.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    ConsolidatedStore.append(spark, path, ordered.limit(30))
+    ConsolidatedStore.append(spark, path,
+      ordered.limit(60).except(ordered.limit(30)))
+    val metaDir = s"$path/${StoreMeta.dirName}"
+    val fs = new org.apache.hadoop.fs.Path(metaDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // a crashed writer's torn segment: unparseable JSON
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$metaDir/delta-torn.json"),
+      "{\"file\":\"trunc".getBytes("UTF-8"))
+    // the fold drops the corpse (its entries heal from the immutable
+    // data files) and keeps everything readable
+    StoreMeta.save(spark, path, StoreMeta.load(spark, path).get.files)
+    val remaining = fs.listStatus(
+      new org.apache.hadoop.fs.Path(metaDir)).toSeq.map(_.getPath.getName)
+    assert(!remaining.contains("delta-torn.json"),
+      "torn segment must not survive a fold")
+    val loaded = StoreMeta.load(spark, path).get
+    assert(!loaded.dirty, "post-fold load must be clean")
+    assert(loaded.files.map(_.file).toSet ==
+      StoreMeta.listDataFiles(spark, path).get.toSet)
     h.unpersist()
   }
 }

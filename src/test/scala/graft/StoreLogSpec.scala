@@ -107,6 +107,86 @@ class StoreLogSpec extends AnyFunSuite {
     assert(StoreLog.snapshot(spark, dir, 1).count() > pre)
   }
 
+  test("log checkpoints bound hot-path reads to the tail: head state " +
+      "reconstructs without the pre-checkpoint commits") {
+    val dir = freshDir("graft-log-ckpt")
+    val n = graft.store.StoreLog.CheckpointEvery + 5
+    (1 to n).foreach { v =>
+      assert(StoreLog.tryCommit(spark, dir, v, "append",
+        adds = Seq(s"f$v.parquet"),
+        removes = if (v % 10 == 0) Seq(s"f${v - 1}.parquet") else Nil,
+        txn = if (v % 7 == 0) Some(s"job:$v") else None))
+    }
+    val logDir = s"$dir/${StoreLog.dirName}"
+    val ckpt = new java.io.File(logDir).list()
+      .filter(_.startsWith("ckpt-v"))
+    assert(ckpt.nonEmpty, "a checkpoint must exist at the threshold")
+    val expectLive = (1 to n).map(v => s"f$v.parquet").toSet --
+      (1 to n).filter(_ % 10 == 0).map(v => s"f${v - 1}.parquet")
+    assert(StoreLog.committedLiveSet(spark, dir).get == expectLive)
+    assert(StoreLog.txnSeen(spark, dir, "job:7"))
+
+    // move every pre-checkpoint commit away: the hot-path readers must
+    // not need them (time travel does — not exercised here)
+    val parked = java.nio.file.Files.createTempDirectory("graft-parked")
+    (1 to StoreLog.CheckpointEvery - 1).foreach { v =>
+      val f = s"v${"%09d".format(v)}.json"
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$logDir/$f"), parked.resolve(f))
+    }
+    assert(StoreLog.committedLiveSet(spark, dir).get == expectLive,
+      "live set must reconstruct from checkpoint + tail alone")
+    assert(StoreLog.txnSeen(spark, dir, "job:7"),
+      "txn tokens must be carried by the checkpoint")
+    assert(!StoreLog.txnSeen(spark, dir, "job:999"))
+  }
+
+  test("pre-log CoW ops baseline first, then commit through the logged " +
+      "path — crash windows become repairable and v1 is the original") {
+    import graft.store.{StoreDelete, StoreMerge}
+    // delete on a raw-parquet store
+    val d1 = freshDir("graft-prelog-del")
+    graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+      .limit(80).write.parquet(d1)
+    val pre = spark.read.parquet(d1).count()
+    val cutoff = spark.read.parquet(d1)
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile_approx(backup_start_date, 0.5)")).head().getTimestamp(0)
+    StoreDelete.delete(spark, d1, col("backup_start_date") < lit(cutoff))
+    val cs = StoreLog.readCommits(spark, d1)
+    assert(cs.head.op == "baseline" && cs.head.removes.isEmpty)
+    assert(cs.last.op == "delete" && cs.last.removes.nonEmpty)
+    // pre-delete snapshot intact (the logless branch had no such version)
+    assert(StoreLog.snapshot(spark, d1, 1).count() === pre)
+
+    // optimizeSmall on a raw-parquet store (many small files)
+    val d2 = freshDir("graft-prelog-opt")
+    graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+      .limit(60).repartition(6).write.parquet(d2)
+    val pre2 = spark.read.parquet(d2).count()
+    val (rewritten, _) = graft.maintenance.Compaction
+      .optimizeSmall(spark, d2, minBytes = 1L << 26)
+    assert(rewritten >= 2L)
+    val cs2 = StoreLog.readCommits(spark, d2)
+    assert(cs2.head.op == "baseline" && cs2.last.op == "optimize")
+    assert(StoreLog.snapshot(spark, d2, 1).count() === pre2)
+    assert(ConsolidatedStore.read(spark, d2).count() === pre2)
+
+    // merge on a raw-parquet store
+    val d3 = freshDir("graft-prelog-merge")
+    graft.etl.BackupHistoryDerivation.canonicalFrame(spark, TestSpark.sf)
+      .limit(40).write.parquet(d3)
+    val pre3 = spark.read.parquet(d3).count()
+    val probe = spark.read.parquet(d3).drop("LogID").limit(10)
+      .withColumn("CompressedSizeMB",
+        col("CompressedSizeMB") + org.apache.spark.sql.functions.lit(7))
+    val m = StoreMerge.merge(spark, d3, probe)
+    assert(m.updated === 10L)
+    val cs3 = StoreLog.readCommits(spark, d3)
+    assert(cs3.head.op == "baseline" && cs3.last.op == "merge")
+    assert(StoreLog.snapshot(spark, d3, 1).count() === pre3)
+  }
+
   test("IVM with a count metric drops fully-deleted groups (= direct)") {
     import graft.store.{IncrementalAgg, StoreDelete}
     val dir = freshDir("graft-ivm-del")
