@@ -55,10 +55,36 @@ object EtlRunner {
     *   [[WatermarkStore.write]] (the whole-table reset) is an OPERATOR
     *   action for initialization/rewinds and is deliberately never
     *   called from this runner — resets must not race a live fleet.
+    *   Cross-JVM note: two RUNNERS overlapping on one store (cron
+    *   overlap, operator + schedule) need `concurrentLoads = true` as
+    *   well — the serialized append's version claim makes the second
+    *   writer's load ABORT loudly (never corrupt); only the optimistic
+    *   path lets both land.
     */
   def runOnce(
       spark: SparkSession,
       sources: Map[String, MsdbSources],
+      consolidatedPath: String,
+      watermarkPath: String,
+      parallelism: Int = 1,
+      concurrentLoads: Boolean = false): Seq[SourceBatchResult] =
+    runOnceDeferred(spark, sources.map { case (k, v) => k -> (() => v) },
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+
+  /** [[runOnce]] with DEFERRED source construction — the fleet entry
+    * point. A JDBC relation resolves its schema at CONSTRUCTION (one
+    * connection per relation, before any extract runs), so a fleet
+    * driver that eagerly builds `Map[String, MsdbSources]` for hundreds
+    * of servers dies on the first unreachable one — outside the
+    * per-server isolation this runner promises. Passing thunks (e.g.
+    * `() => JdbcBackupSource.sources(spark, srv)`) moves the connection
+    * into the per-server try: an unreachable server becomes a skipped
+    * `SourceBatchResult` with an error, exactly like a failed extract
+    * (ps:91-95).
+    */
+  def runOnceDeferred(
+      spark: SparkSession,
+      sources: Map[String, () => MsdbSources],
       consolidatedPath: String,
       watermarkPath: String,
       parallelism: Int = 1,
@@ -82,11 +108,13 @@ object EtlRunner {
     // Lineage truncation is safe here: a lost block fails the run, and
     // the reference driver's retry semantics (re-run the batch) are
     // exactly what the idempotent dedup-append is designed to absorb.
-    def extractOne(server: String, src: MsdbSources) = {
+    def extractOne(server: String, src: () => MsdbSources) = {
       val wm = watermarks.getOrElse(server, DefaultWatermark)
       try {
+        // src() INSIDE the try: JDBC relation construction connects to
+        // the server (schema resolution) and must skip-this-server too
         val batch = ExtractTransform.extract(
-          src, ExtractTransform.rewind(wm), sortOutput = false)
+          src(), ExtractTransform.rewind(wm), sortOutput = false)
           .localCheckpoint()
         // one pass for both the row count and the watermark candidate —
         // these were two separate actions (count, then max) per batch
@@ -146,18 +174,28 @@ object EtlRunner {
               Some(s"load failed: ${e.getClass.getSimpleName}"))
         } finally release(batch)
     }
-    if (!concurrentLoads || parallelism <= 1)
-      extracted.map { case (s, e) => loadOne(s, e) }
-    else {
-      import scala.concurrent._
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-        java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-      try Await.result(
-        Future.sequence(extracted.map { case (s, e) =>
-          Future(loadOne(s, e)) }), Duration.Inf)
-      finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
-    }
+    try {
+      if (!concurrentLoads || parallelism <= 1)
+        extracted.map { case (s, e) => loadOne(s, e) }
+      else {
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+        try Await.result(
+          Future.sequence(extracted.map { case (s, e) =>
+            Future(loadOne(s, e)) }), Duration.Inf)
+        finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
+      }
+    } finally
+      // an aborted serialized run (load failure rethrows, the reference's
+      // abort-the-run semantics) must not strand the remaining servers'
+      // checkpointed batches until ContextCleaner GC — release is
+      // idempotent, so re-releasing the already-loaded ones is free
+      extracted.foreach {
+        case (_, Right((batch, _, _))) => release(batch)
+        case _ => ()
+      }
   }
 
   /** Free a localCheckpoint'd batch's storage blocks as soon as its load

@@ -76,6 +76,15 @@ object ExtractTransform {
       .select("database_id", "group_id")
     val filtered = src.backupset
       .filter(col("backup_finish_date") >= lit(sinceInclusive))
+      // database/diff/log only: msdb also records file/filegroup/partial
+      // backups (type F/G/P/Q), which the reference's D/I/L decode
+      // (ps:31-33) maps to NULL — its NOT-NULL target column then fails
+      // the load row-by-row. Restore planning never consumes them, and
+      // our consolidated schema declares BackupType non-nullable (a
+      // schema lie would be a wrong-results hazard for pruned reads), so
+      // they are excluded at the source — the predicate pushes into the
+      // remote SELECT alongside the watermark bound
+      .filter(col("type").isin("D", "I", "L"))
     // restrict the file-list aggregation to sets in the watermark window
     // BEFORE the groupBy: the left join below could never match the other
     // sets anyway (semantics identical), but Catalyst cannot infer a

@@ -68,7 +68,8 @@ object BackupQueries {
     """, full_lsn AS (
       |  SELECT database_name, server_name, max(last_lsn) AS full_lsn
       |  FROM backup_history
-      |  WHERE backup_type = 'Full' AND server_name IS NOT NULL
+      |  WHERE backup_type = 'Full' AND device_type IN (2, 9)
+      |        AND server_name IS NOT NULL
       |  GROUP BY database_name, server_name
       |)
       |SELECT b.database_name, b.server_name, b.log_id,

@@ -59,17 +59,31 @@ object RestoreQueries {
     rankOneStripes(bounded, Seq("database_name", keyCol))
   }
 
-  /** All log backups past each (database, key)'s newest full, restore
+  /** All log backups past each (database, key)'s base full, restore
     * order (reference sql:188-268 vectorized). The per-group max-LSN
     * aggregate is tiny (|db × key|) → broadcast to the log scan, so the
     * big side never shuffles.
+    *
+    * The log chain must roll forward from the full that will actually be
+    * RESTORED, so the base must agree with [[latestFullBackupsPerKey]]'s
+    * pick: pass that frame's `(database_name, keyCol, last_lsn)` as
+    * `baseLsns` when composing (mirrors the reference scalar's explicit
+    * `@LastLSN` parameter, sql:200). The default derivation applies the
+    * same restorable-device filter the full picker does — a newer full
+    * on a non-restorable device (tape/VDI) must not truncate the chain
+    * below the full a restore can actually start from.
+    *
+    * @param baseLsns optional per-group base `(database_name, keyCol,
+    *                 full_lsn)` — typically the chosen full's last_lsn
     */
-  def remainingLogBackupsPerKey(bh: DataFrame, keyCol: String): DataFrame = {
-    val fullLsn = bh
+  def remainingLogBackupsPerKey(bh: DataFrame, keyCol: String,
+      baseLsns: Option[DataFrame] = None): DataFrame = {
+    val fullLsn = baseLsns.getOrElse(bh
       .filter(col("BackupType") === BackupTypes.Full)
+      .filter(restorableDevice)
       .filter(col(keyCol).isNotNull)
       .groupBy("database_name", keyCol)
-      .agg(max("last_lsn").as("full_lsn"))
+      .agg(max("last_lsn").as("full_lsn")))
     bh.filter(col("BackupType") === BackupTypes.Log)
       .join(broadcast(fullLsn), Seq("database_name", keyCol))
       .filter(col("last_lsn") > col("full_lsn"))

@@ -105,7 +105,11 @@ object FleetRestorePlanner {
     val fullLsn = fullSets.select(
       (gk :+ col("last_lsn").as("full_lsn") :+ col("full_copy_only")): _*)
 
-    // phase 2: newest diff past the full, unless the full was copy-only
+    // phase 2: newest diff past the full, unless the full was copy-only.
+    // Mirrors the reference SCRIPT proc's diff phase (sql:858-912) — no
+    // blocking-full truncation by design; see the fidelity note in
+    // RestoreScriptGenerator's phase 2 (the truncation is
+    // GetLastDiffBackup's semantics, q12/lastDiffBackupsPerKey)
     val diffSets = RestoreQueries.rankOneStripes(
         bh.filter(col("BackupType") === BackupTypes.Diff)
           .filter(col("backup_start_date") <= lit(restoreTo))

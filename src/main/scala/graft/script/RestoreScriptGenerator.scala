@@ -179,6 +179,14 @@ object RestoreScriptGenerator {
       BigDecimal(fullLsn), fullFrom, deviceCsv(fullStripes), None, fullCmd)
 
     // ---- phase 2: DIFF unless the full was copy-only (sql:837-1033) -----
+    // Fidelity note: the reference SCRIPT proc's diff phase is exactly
+    // rank-1 over `last_lsn > @full_lsn AND backup_start_date <=
+    // @RestoreToTime` (sql:858-912) — it does NOT apply the blocking-full
+    // truncation; that logic belongs to the standalone GetLastDiffBackup
+    // proc (sql:346-369), implemented in
+    // RestoreQueries.lastDiffBackupFor/lastDiffBackupsPerKey (q12). A
+    // diff based on a newer full the device filter excluded would be
+    // mis-selected by the REFERENCE too; byte-parity keeps that shape.
     val diffStep: Option[RestoreStep] =
       if (fullIsCopyOnly) None // 'goto Log_Backups' (sql:850)
       else {

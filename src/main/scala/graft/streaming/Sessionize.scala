@@ -58,7 +58,24 @@ object Sessionize {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Streaming: emit a SessionSummary when a user's gap times out. */
+  /** Streaming: emit a SessionSummary when a user's gap times out.
+    *
+    * Out-of-order contract (matches `session_window`'s shape as far as
+    * single-session state allows): events older than the WATERMARK are
+    * dropped (`flatMapGroupsWithState` does not filter late input
+    * itself); an in-watermark event landing inside the open session's
+    * `[start − gap, last + gap]` interval MERGES, extending `start`
+    * downward exactly as the batch twin's sorted pass would — not just
+    * `last` upward; an in-watermark event older than `start − gap` forms
+    * its own earlier session. Residual approximation vs the batch twin
+    * (documented, watermark-bounded): a non-latest session is emitted as
+    * soon as a later disjoint session exists, so an even-later-arriving
+    * in-watermark event that would have joined it in batch starts a new
+    * session instead of merging — full fidelity needs multi-session
+    * state (Spark's MergingSessions); the engine's oracle-gated
+    * session_window paths provide that, this operator trades it for
+    * O(1) per-user state.
+    */
   def sessionizeStream(
       spark: SparkSession,
       events: Dataset[SessionEvent],
@@ -77,26 +94,45 @@ object Sessionize {
             state.remove()
             Iterator(SessionSummary(user, s.start, s.last, s.n))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            var closed = List.empty[SessionSummary]
-            var cur = state.getOption
+            val wmUs = state.getCurrentWatermarkMs * 1000L
+            val sorted = rows.filter(e => micros(e.ts) >= wmUs)
+              .toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            // batch-local interval merge, seeded from the open session:
+            // ascending order means each event either merges into an
+            // existing interval (possibly bridging two) or opens a new
+            // one; everything but the latest interval closes
+            var sessions = state.getOption.toList
             sorted.foreach { e =>
-              cur match {
-                case Some(s) if micros(e.ts) - micros(s.last) <= gapUs =>
-                  val last = if (micros(e.ts) > micros(s.last)) e.ts else s.last
-                  cur = Some(s.copy(last = last, n = s.n + 1))
-                case Some(s) =>
-                  closed ::= SessionSummary(user, s.start, s.last, s.n)
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-              }
+              val eUs = micros(e.ts)
+              val (touch, rest) = sessions.partition(s =>
+                eUs >= micros(s.start) - gapUs && eUs <= micros(s.last) + gapUs)
+              val merged =
+                if (touch.isEmpty) SessionState(e.ts, e.ts, 1)
+                else SessionState(
+                  touch.minBy(s => micros(s.start)).start match {
+                    case st if micros(st) <= eUs => st
+                    case _ => e.ts
+                  },
+                  touch.maxBy(s => micros(s.last)).last match {
+                    case la if micros(la) >= eUs => la
+                    case _ => e.ts
+                  },
+                  touch.map(_.n).sum + 1)
+              sessions = (merged :: rest).sortBy(s => micros(s.start))
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last.getTime + gapMinutes * 60000L)
+            val (closed, open) = sessions match {
+              case Nil => (Nil, None)
+              case ss => (ss.init, Some(ss.last))
             }
-            closed.reverseIterator
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(math.max(
+                  s.last.getTime + gapMinutes * 60000L,
+                  state.getCurrentWatermarkMs + 1L))
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator.map(s => SessionSummary(user, s.start, s.last, s.n))
           }
       }
   }

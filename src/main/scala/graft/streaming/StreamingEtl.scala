@@ -79,6 +79,15 @@ object StreamingEtl {
     * AFTER each batch's append, mirroring advance-after-load
     * (ps:Invoke-SQLBackupHistoryETL.ps1:52-65).
     *
+    * @param concurrentAppends route each micro-batch through
+    *   [[graft.store.ConsolidatedStore.appendConcurrent]]'s optimistic
+    *   commit protocol. REQUIRED whenever more than one writer shares
+    *   `consolidatedPath` — the natural fleet deployment runs one
+    *   stream per source server into one store, and the default
+    *   serialized append's commit claim makes a racing second writer
+    *   ABORT loudly (fail the batch; the checkpoint retries it) rather
+    *   than corrupt, but only appendConcurrent lets both land. The
+    *   watermark advance is a cross-JVM-safe CRDT either way.
     * @return the started query; callers own its lifecycle.
     */
   def runStream(
@@ -87,18 +96,30 @@ object StreamingEtl {
       server: String,
       consolidatedPath: String,
       watermarkPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpointDir: String,
+      concurrentAppends: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     dedupStream(incoming).writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) {
-          val newWm = batch
-            .agg(max("backup_finish_date")).head().getTimestamp(0)
-          graft.store.ConsolidatedStore.append(
-            batch.sparkSession, consolidatedPath, batch.toDF())
-          graft.store.WatermarkStore.advance(
-            batch.sparkSession, watermarkPath, server, newWm)
-        }
+        // pin the micro-batch once: count+max and the append's own
+        // dedup scans would otherwise re-execute the source plan per
+        // action (three times per trigger)
+        val pinned = batch.toDF().localCheckpoint()
+        try {
+          val r = pinned.agg(count(lit(1)), max("backup_finish_date")).head()
+          if (r.getLong(0) > 0L) {
+            val newWm = r.getTimestamp(1)
+            if (concurrentAppends)
+              graft.store.ConsolidatedStore.appendConcurrent(
+                batch.sparkSession, consolidatedPath, pinned)
+            else
+              graft.store.ConsolidatedStore.append(
+                batch.sparkSession, consolidatedPath, pinned)
+            graft.store.WatermarkStore.advance(
+              batch.sparkSession, watermarkPath, server, newWm)
+          }
+        } finally graft.util.Checkpoints.release(pinned)
       }
       .start()
 

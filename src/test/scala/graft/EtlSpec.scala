@@ -323,6 +323,23 @@ class EtlSpec extends AnyFunSuite {
     assert(WatermarkStore.read(spark, wms).keySet == Set("good"))
   }
 
+  test("runOnceDeferred: a source whose CONSTRUCTION fails is skipped " +
+      "like a failed extract (JDBC schema resolution connects)") {
+    val cons = tmp(); val wms = tmp()
+    val good = MsdbDerivation.sources(spark, TestSpark.sf)
+    val results = EtlRunner.runOnceDeferred(
+      spark,
+      Map[String, () => graft.etl.MsdbSources](
+        "good" -> (() => good),
+        "unreachable" -> (() => throw new java.sql.SQLException(
+          "connection refused"))),
+      cons, wms, parallelism = 2)
+    val byServer = results.map(r => r.server -> r).toMap
+    assert(byServer("unreachable").error.exists(_.startsWith("extract failed")))
+    assert(byServer("good").error.isEmpty && byServer("good").appended > 0)
+    assert(WatermarkStore.read(spark, wms).keySet == Set("good"))
+  }
+
   test("retention: cutoff row survives, strictly-older rows are removed") {
     val df = Seq(
       (1L, "2024-01-01 00:00:00"),

@@ -160,6 +160,49 @@ class StreamingSpec extends AnyFunSuite {
       s"missing closed sessions: ${(expectedClosed -- streamed).take(3)}")
   }
 
+  test("sessionize stream: cross-batch out-of-order events extend the " +
+      "session start; watermark-late events drop") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sess-ooo").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def ev(id: Long, hhmm: String): (Long, java.sql.Timestamp, Long) =
+      (1L, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), id)
+    import spark.implicits._
+    def writePhase(rows: (Long, java.sql.Timestamp, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runPhase(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(ev(0L, "00:00")).toDF("user_id", "ts", "event_id").schema)
+        .parquet(in).as[SessionEvent]
+      val q = Sessionize.sessionizeStream(spark, stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // phase 1: one event at 12:00 → state [12:00, 12:00], watermark 11:30
+    writePhase(ev(1, "12:00"))
+    runPhase()
+    // phase 2, out of order: 11:00 is LATE (< watermark 11:30 — dropped,
+    // session_window semantics); 11:50 is in-watermark and inside
+    // [start−gap, last+gap] — merges, extending the start DOWNWARD
+    writePhase(ev(2, "11:00"), ev(3, "11:50"))
+    runPhase()
+    // phase 3: a distant event closes the session via the watermark
+    writePhase(ev(4, "14:00"))
+    runPhase()
+    val got = spark.read.parquet(out)
+      .select("session_start", "session_end", "n_events")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().toSet
+    val t = (s: String) => java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    assert(got.contains((t("11:50"), t("12:00"), 2L)),
+      s"expected start-extended merged session, got $got")
+    assert(!got.exists(_._1 == t("11:00")), s"late event leaked: $got")
+  }
+
   test("transformWithState exact dedup emits each key once across batches") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("event_id", "user_id", "event_type")
