@@ -22,6 +22,16 @@ object Skew {
   /** `joinType` supports "inner" and "left" (left-outer preserves the
     * skewed side: each skewed row carries exactly one salt and the
     * replicated dim carries every salt, so match/no-match is unchanged).
+    *
+    * The salt is a DETERMINISTIC hash of the whole row, never
+    * `monotonically_increasing_id`/`rand`: a nondeterministic expression
+    * feeding a shuffle key is the SPARK-23207 hazard — a fetch-failure
+    * recomputation re-salts rows differently, and reducers that already
+    * consumed the old map output duplicate or drop them. Content hashing
+    * spreads a hot key exactly when spreading helps (its rows differ in
+    * the non-key columns — a hub's edge list varies in the other
+    * endpoint); byte-identical duplicate rows share a salt, but such
+    * rows collapse under the same reducer key regardless of salting.
     */
   def saltedJoin(
       skewed: DataFrame,
@@ -34,7 +44,8 @@ object Skew {
       s"saltedJoin supports inner/left, got $joinType")
     val salted = skewed.withColumn(
       "__salt",
-      pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltBuckets.toLong))
+        .cast("int"))
     val replicated = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * document, preserving the remaining lines in their original order.
   *
   * Shape at 100 TB: one `posexplode` over lines, a map-side-combinable
-  * document-frequency aggregate on (source, line), a BROADCAST anti-join
-  * back (the boilerplate set is df-filtered and therefore tiny compared
-  * to the corpus — no shuffle of the exploded lines), and one final
-  * aggregate on doc_id to reassemble. Nothing quadratic, no skew
+  * document-frequency aggregate on (source, line), an anti-join back,
+  * and one final aggregate on doc_id to reassemble. The boilerplate set
+  * is df-filtered and SMALL RELATIVE TO THE CORPUS, but it is not
+  * bounded by construction — it grows with the number of sources (every
+  * site's nav/footer/banner lines), so the join is deliberately left to
+  * size-based planning: Spark broadcasts it while it fits and falls back
+  * to a shuffled anti-join when a web-scale source population pushes it
+  * past the broadcast limit (a forced broadcast() hint here would
+  * override that judgment and die on the 8 GB broadcast ceiling /
+  * driver OOM exactly on real corpora). Nothing quadratic, no skew
   * exposure: the hot keys (the boilerplate lines themselves) live only
-  * inside the combinable count, never on a join's build side.
+  * inside the combinable count.
   */
 object Boilerplate {
 
@@ -37,7 +43,7 @@ object Boilerplate {
       .select("source", "line")
 
     val kept = lines
-      .join(broadcast(boiler), Seq("source", "line"), "left_anti")
+      .join(boiler, Seq("source", "line"), "left_anti")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines_after"),

@@ -79,10 +79,8 @@ object Bpe {
         val (l, r, c) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
-        val next = vocab.withColumn("sym",
-          trim(replace(
-            concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $l $r "), lit(s" $l$r "))))
+        val next = vocab
+          .withColumn("sym", applyMerge(col("sym"), l, r))
           .localCheckpoint()
         vocab.unpersist()
         vocab = next
@@ -93,9 +91,35 @@ object Bpe {
     merges.result()
   }
 
+  /** One BPE merge (l, r) applied to a space-separated symbol spelling,
+    * with subword-nmt's greedy LEFT-TO-RIGHT pairing: a fold whose
+    * accumulator is the output string and whose TRAILING token is the
+    * pending symbol — when it equals `l` and the next token is `r`, the
+    * trailing token is rewritten to `lr` (a merged token never cascades
+    * as `l` within the same pass: `lr != l` unless r is empty). A
+    * non-overlapping literal replace of " l r " cannot express this:
+    * adjacent occurrences share the delimiting space, so a run like
+    * "a a a a" came out "aa a a" instead of "aa aa" — wrong pair
+    * statistics for every later round and a non-BPE encode on any text
+    * with character runs. The oracle replays the identical fold with
+    * DuckDB's `list_reduce`.
+    */
+  private[graft] def applyMerge(
+      sym: org.apache.spark.sql.Column, l: String, r: String)
+      : org.apache.spark.sql.Column = {
+    val toks = split(sym, " ")
+    aggregate(
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      element_at(toks, 1),
+      (acc, x) =>
+        when((acc === lit(l) || acc.endsWith(s" $l")) && x === lit(r),
+          concat(substr(acc, lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
   /** Apply learned merges to a corpus: the per-document symbol count
     * after encoding — a pure row-local projection (the merge ladder is
-    * k literal replaces compiled into the expression; no join, no
+    * k greedy folds compiled into the expression; no join, no
     * shuffle). This is the corpus-scale consumer of the learned
     * tokenizer: the shape that tokenizes 100 TB in one pass.
     */
@@ -107,11 +131,10 @@ object Bpe {
     val perWord = transform(words, w =>
       graft.functions.Let.let(
         merges.foldLeft(
-          concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))) {
-          case (acc, m) =>
-            replace(acc, lit(s" ${m.l_sym} ${m.r_sym} "), lit(s" ${m.l_sym}${m.r_sym} "))
+          trim(regexp_replace(w, "(.)", "$1 ")): org.apache.spark.sql.Column) {
+          case (acc, m) => applyMerge(acc, m.l_sym, m.r_sym)
         },
-        enc => size(split(trim(enc), " "))))
+        enc => size(split(enc, " "))))
     aggregate(perWord, lit(0L), (acc, n) => acc + n)
   }
 }

@@ -84,10 +84,16 @@ object Components {
           saltBuckets = adjSalt)
         .groupBy(col("b").as("id"))
         .agg(min("component").as("nbr"))
+      // materialize: `stepped` embeds the round's dominant cost (the
+      // salted adjacency join + neighbor-min) and is consumed THREE
+      // times below (holders, the distinct jump lookup, and the jump
+      // join's left side) — without pinning, that plan re-executes per
+      // consumer, tripling the round's shuffle volume
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("nbr"), col("component")))
             .as("c1"))
+        .localCheckpoint()
       // pointer jump: adopt the label of the current label-holder (a
       // label is always itself a node id, so the self-join resolves).
       // Resolving label(label) needs ONE row per DISTINCT current label,
@@ -114,6 +120,7 @@ object Components {
         .select("id", "component", "chg")
         .localCheckpoint()
       changed = acc.value
+      graft.util.Checkpoints.release(stepped) // next is materialized; free now
       labels = next.select("id", "component")
       iter += 1
     }

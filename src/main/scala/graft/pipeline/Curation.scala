@@ -17,9 +17,25 @@ object Curation {
     * md5(id-as-string). No RNG state — identical on every run, executor,
     * and engine (the DuckDB oracle reproduces it bit-for-bit), which is
     * what makes train/val/test membership stable across reprocessing.
+    *
+    * Operators never consume this RAW — they go through
+    * [[saltedFraction]] with a per-PURPOSE salt. A shared unsalted
+    * fraction makes every composed decision fully correlated: a 0.5
+    * sample keeps exactly the ids whose fraction is < 0.5, and a
+    * downstream 0.8/0.1/0.1 split then puts ALL survivors in train —
+    * val and test silently empty; shard assignment, epoch upsampling,
+    * and weighted sampling inherit the same bias. Salting makes each
+    * decision an independent uniform draw while staying deterministic.
     */
   def splitFraction(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** [[splitFraction]] under a purpose salt: `md5(purpose || '|' || id)`
+    * — independent across purposes, deterministic within one.
+    */
+  def saltedFraction(purpose: String, id: Column): Column =
+    conv(substring(md5(concat(lit(purpose + "|"), id.cast("string"))), 1, 4),
+      16, 10).cast("double") / 65536.0
 
   /** Deterministic train/val/test assignment as a pure projection (no
     * shuffle, no sample() nondeterminism). `splits` are (name, weight)
@@ -34,7 +50,7 @@ object Curation {
       splitCol: String = "split"): DataFrame = {
     require(splits.nonEmpty, "at least one split")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "weights sum to 1")
-    val frac = splitFraction(col(idCol))
+    val frac = saltedFraction("split", col(idCol))
     val cuts = splits.scanLeft(0.0)(_ + _._2).tail
     val head = when(frac < cuts.head, splits.head._1)
     val cased = splits.zip(cuts).drop(1).dropRight(1)
@@ -57,7 +73,7 @@ object Curation {
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, r).otherwise(acc)
     }
-    df.filter(splitFraction(col(idCol)) < rate)
+    df.filter(saltedFraction("sample", col(idCol)) < rate)
   }
 
   /** Temperature-scaled domain mixing (the multilingual/domain rebalance
@@ -107,7 +123,7 @@ object Curation {
     val nTok = size(tokens(col(textCol))).cast("long")
     // explicit floor: engines disagree on double->int casts (Spark
     // truncates, SQL-standard engines round)
-    val bucket = floor(splitFraction(col(idCol)) * buckets).cast("int")
+    val bucket = floor(saltedFraction("pack", col(idCol)) * buckets).cast("int")
     val w = Window.partitionBy("bucket")
       .orderBy(col("n_tok").desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -277,7 +293,7 @@ object Curation {
       when(col(domainCol) === d, r).otherwise(acc)
     }
     val copies = (floor(rate).cast("int")
-      + when(splitFraction(col(idCol)) < rate - floor(rate), 1).otherwise(0))
+      + when(saltedFraction("epoch", col(idCol)) < rate - floor(rate), 1).otherwise(0))
     // guard the empty case: Spark's sequence(0, -1) would step DOWN and
     // yield [0, -1] instead of an empty range
     val idxs = when(copies > 0, sequence(lit(0), copies - 1))
@@ -340,7 +356,7 @@ object Curation {
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val key = pow(splitFraction(col(idCol)), lit(1.0) / weight)
+    val key = pow(saltedFraction("weighted", col(idCol)), lit(1.0) / weight)
     df.withColumn("es_key", key)
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)

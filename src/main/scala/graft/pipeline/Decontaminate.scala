@@ -130,6 +130,13 @@ object Decontaminate {
       corpus: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchIdCol: String, benchVecCol: String,
       minSim: Double): DataFrame = {
+    // the lowest-id tie-break rides on numeric negation inside the
+    // max(struct) argmax — a string bench id would fail at runtime with
+    // an opaque cast error; fail at the API instead
+    require(bench.schema(benchIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticContaminationReport: $benchIdCol must be numeric " +
+        "(the deterministic lowest-id tie-break negates it)")
     val b = broadcast(bench.select(
       col(benchIdCol).as("__bid"),
       col(benchVecCol).cast("array<double>").as("__bv")))

@@ -87,18 +87,29 @@ object Dedup {
       minSim: Double = 0.5,
       maxShingleDocFreq: Long = 100): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // document-frequency cap as a count-over-partition window: one
-    // shuffle+sort of the cached shingle rows. The groupBy+join
-    // alternative was measured ~65% slower here (the sort-merge join
-    // re-shuffles sh AND the distinct-shingle side is too wide to
-    // broadcast), so the window is the keeper at both test and 100 TB
-    // shape — its single shuffle is on the same key the join would need.
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
-      .filter(col("df") <= maxShingleDocFreq)
-      .drop("df")
+    // document-frequency cap via the OVER-CAP key set: the groupBy count
+    // is map-side combinable (a boilerplate shingle shared by a billion
+    // docs reaches the reduce side as one row per map partition), the
+    // over-cap set is bounded by construction (|hot| <= corpus
+    // shingles / cap), and the broadcast anti-join removes hot shingles
+    // without ever concentrating their rows. The two rejected shapes: a
+    // count-over-partition WINDOW shuffles and sorts the hottest
+    // shingle's entire row set in ONE task — the degenerate input the
+    // cap exists to guard against stalls the guard itself — and a
+    // full-count sort-merge join re-shuffles sh against a
+    // too-wide-to-broadcast distinct-shingle side (measured ~65% slower
+    // at test scale back when the window was the keeper).
+    val hotSh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDocFreq).select("sh")
+    val rare = sh.join(broadcast(hotSh), Seq("sh"), "left_anti").cache()
+    // sizes over the CAPPED shingle space: the df-cap removes
+    // non-discriminative shingles from the similarity space, so both the
+    // intersection AND the union must be over the filtered set — an
+    // uncapped denominator systematically underestimates Jaccard
+    // (two identical boilerplate-heavy docs: inter is capped, union is
+    // not, and an exact duplicate pair can fall below the threshold —
+    // precisely the pair the operator exists to find)
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = rare.as("a")
       .join(rare.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -280,12 +291,17 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("__fp"), b * width).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = keyed.select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+    val banded0 = keyed
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bv"))
-      .withColumn("bucket_docs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bv")))
-      .filter(col("bucket_docs") <= maxBucketDocs)
-      .drop("bucket_docs")
+    // over-cap buckets removed via combinable count + broadcast
+    // anti-join (|hot| <= rows / cap by construction) — a
+    // count-over-partition window would sort the hottest bucket's whole
+    // row set in one task, stalling on exactly the degenerate input
+    // (a billion byte-identical docs) this cap guards against
+    val hotBv = banded0.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketDocs).select("band", "bv")
+    val banded = banded0.join(broadcast(hotBv), Seq("band", "bv"), "left_anti")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -36,7 +36,7 @@ object Export {
     val spark = df.sparkSession
     df
       .withColumn("shard",
-        floor(Curation.splitFraction(col(idCol)) * nShards).cast("int"))
+        floor(Curation.saltedFraction("shard", col(idCol)) * nShards).cast("int"))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
     manifest(spark, path, idCol)

@@ -47,6 +47,14 @@ object PageRank {
     // fold the out-degree INTO the edge list once — every round's
     // contribution join then touches exactly two relations, not three
     val e2 = e.join(outDeg, Seq("src")).localCheckpoint()
+    // the contribution join's hot key is an out-degree hub's src: its
+    // edge rows all hash to one reducer, and — like Components' rounds —
+    // the localCheckpoint'd (RDD-path) inputs never get an AQE re-plan,
+    // so the spread must be decided at plan time. Derived ONCE from the
+    // static edge list (Misra–Gries probe); uniform graphs derive 1 and
+    // pay nothing. The per-dst SUM after the join was never the problem
+    // (map-side combinable).
+    val contribSalt = graft.operators.Skew.adaptiveSaltBuckets(e2, Seq("src"))
     // carry a has_out flag on the node table: the per-round dangling
     // mass becomes a shuffle-free filter+agg over the checkpointed rank
     // partitions instead of a per-round anti-join
@@ -63,8 +71,10 @@ object PageRank {
       // one cheap per-round action over the checkpointed ranks
       val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
-      val contribs = e2
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+      val rankSrc = ranks.select(col("node").as("src"), col("rank"))
+      val contribs = (if (contribSalt <= 1) e2.join(rankSrc, Seq("src"))
+        else graft.operators.Skew
+          .saltedJoin(e2, rankSrc, Seq("src"), contribSalt))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("deg")).as("in_mass"))
       ranks = nodes

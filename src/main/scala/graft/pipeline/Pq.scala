@@ -52,7 +52,9 @@ object Pq {
   def sampleCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int): Codebooks = {
-    val first = corpus.select(col(vecCol)).head()
+    val first = corpus.select(col(vecCol)).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "sampleCodebooks: empty corpus — nothing to train codebooks on"))
     val dim = first.getSeq[Any](0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m

@@ -501,20 +501,23 @@ object Similarity {
     * vectors are dropped before the join — the same degenerate-bucket
     * guard as the dedup family's df-caps ([[Dedup.simhashPairs]]): a
     * block that hot needs a finer blocking key (e.g. IVF-list assignment,
-    * [[ivfTopK]]'s centroid argmax), not a bigger reducer. The window
-    * count shuffles on the same block key the join needs, so the guard
-    * adds no extra exchange.
+    * [[ivfTopK]]'s centroid argmax), not a bigger reducer. The guard is
+    * a map-side-combinable count + broadcast anti-join of the over-cap
+    * keys, so no stage ever concentrates a hot block's rows.
     */
   def embeddingDupPairs(
       corpus: DataFrame, idCol: String, vecCol: String, blockCol: String,
       minSim: Double, maxBlockDocs: Long = 10000): DataFrame = {
-    val c = corpus.select(
-        col(blockCol).as("block"), col(idCol).as("id"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("block_docs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("block")))
-      .filter(col("block_docs") <= maxBlockDocs)
-      .drop("block_docs")
+    val c0 = corpus.select(
+      col(blockCol).as("block"), col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    // over-cap blocks removed via combinable count + broadcast anti-join
+    // (|hot| <= rows / cap by construction) — a count-over-partition
+    // window would buffer the dominant block's vectors in one task,
+    // stalling on exactly the catch-all-cluster input this cap guards
+    val hotBlocks = c0.groupBy("block").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBlockDocs).select("block")
+    val c = c0.join(broadcast(hotBlocks), Seq("block"), "left_anti")
     c.as("a").join(c.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .withColumn("sim", round(dot(col("a.v"), col("b.v")), 4))

@@ -23,13 +23,26 @@ object SkipGram {
 
   /** Deterministic vocabulary: distinct tokens of the corpus, ids
     * assigned in lexicographic order (1-based).
+    *
+    * Ids come from `zipWithIndex` over the range-partitioned sort — a
+    * partition-local count pass plus offset arithmetic — NOT from
+    * `row_number` over a global (partitionBy-less) window, which would
+    * move the entire distinct-token table through ONE task: a
+    * corpus-scale vocabulary is hundreds of millions of tokens, and the
+    * single-partition sort is exactly the spill/OOM this file's "corpus
+    * text is scanned once" contract forbids.
     */
   def vocabulary(docs: DataFrame, textCol: String): DataFrame = {
-    val w = Window.orderBy("token")
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .distinct()
-      .withColumn("vocab_id", row_number().over(w).cast("long"))
+      .orderBy("token")
+      .as[String].rdd
+      .zipWithIndex()
+      .map { case (t, i) => (t, i + 1L) }
+      .toDF("token", "vocab_id")
   }
 
   /** (center, context) positives within ±`window`, order-preserving.

@@ -74,12 +74,17 @@ object Validation {
         val distinct = df.select(cols0.map(col): _*).distinct().count()
         (c.name, n, n - distinct)
       case (c @ ForeignKey(cols0, ref, refCols), _) =>
+        // qualified aliases: an FK column usually has the SAME name as
+        // the referenced column, and bare col(a) === col(b) would then
+        // resolve ambiguously across the two join children (analysis
+        // error — or, under legacy self-join resolution, a trivially
+        // true condition that reports zero orphans forever)
         val orphans = df
           .filter(cols0.map(col(_).isNotNull).reduce(_ && _))
-          .select(cols0.map(col): _*)
-          .join(ref.select(refCols.map(col): _*).distinct(),
-            cols0.zip(refCols).map { case (a, b) => col(a) === col(b) }
-              .reduce(_ && _),
+          .select(cols0.map(col): _*).alias("l")
+          .join(ref.select(refCols.map(col): _*).distinct().alias("r"),
+            cols0.zip(refCols).map { case (a, b) =>
+              col(s"l.$a") === col(s"r.$b") }.reduce(_ && _),
             "left_anti")
           .count()
         (c.name, n, orphans)

@@ -25,7 +25,7 @@ object CurationQueries {
   val q41Oracle: String =
     """WITH f AS (
       |  SELECT lang,
-      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |         ('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
       |           / 65536.0 AS frac
       |  FROM documents
       |)
@@ -159,7 +159,7 @@ object CurationQueries {
   val q55Oracle: String =
     """WITH f AS (
       |  SELECT lang,
-      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |         ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
       |           / 65536.0 AS frac
       |  FROM documents
       |)
@@ -237,7 +237,7 @@ object CurationQueries {
        |  SELECT doc_id,
        |         CAST(len(string_split(${PipelineQueries.normSql}, ' '))
        |              AS BIGINT) AS n_tok,
-       |         CAST(floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |         CAST(floor((('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
        |               / 65536.0) * $PackBuckets) AS INT) AS bucket
        |  FROM documents
        |),
@@ -295,7 +295,7 @@ object CurationQueries {
       |),
       |f AS (
       |  SELECT domain,
-      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |         ('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
       |           / 65536.0 AS frac
       |  FROM dom
       |)
@@ -402,7 +402,7 @@ object CurationQueries {
        |),
        |keyed AS (
        |  SELECT doc_id, lang, w,
-       |         pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |         pow(('0x' || substr(md5('weighted|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
        |               / 65536.0,
        |             1.0 / w) AS es_key
        |  FROM scored
@@ -434,7 +434,7 @@ object CurationQueries {
     s"""WITH base AS (
        |  SELECT doc_id, source,
        |         CASE $cases ELSE 1.0 END AS rate,
-       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |         ('0x' || substr(md5('epoch|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
        |           / 65536.0 AS frac
        |  FROM documents
        |),
@@ -473,7 +473,7 @@ object CurationQueries {
   val q110Oracle: String =
     s"""WITH s AS (
        |  SELECT doc_id,
-       |         floor((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+       |         floor((('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
        |                  / 65536.0) * $NExportShards) AS shard
        |  FROM documents
        |)

@@ -181,12 +181,14 @@ object PipelineQueries {
   val q24Oracle: String =
     s"""WITH $docsAugSql,
        |$shingleSql,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |rare AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
        |  ) WHERE df <= 100
        |),
+       |-- sizes over the CAPPED space: intersection and union must use
+       |-- the same (df-filtered) shingle set
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
        |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1080,11 +1082,18 @@ object PipelineQueries {
          |),
          |b$i AS (SELECT l_sym, r_sym, c FROM p$i
          |        ORDER BY c DESC, l_sym, r_sym LIMIT 1),
+         |-- greedy left-to-right merge (subword-nmt pairing): fold over
+         |-- the symbol list, trailing token = pending; a literal replace
+         |-- would skip adjacent occurrences sharing the delimiter space
          |w$i AS (
          |  SELECT word, f,
-         |         trim(replace(' ' || w.sym || ' ',
-         |                      ' ' || b.l_sym || ' ' || b.r_sym || ' ',
-         |                      ' ' || b.l_sym || b.r_sym || ' ')) AS sym
+         |         list_reduce(string_split(w.sym, ' '), (acc, x) ->
+         |           CASE WHEN (acc = b.l_sym
+         |                      OR ends_with(acc, concat(' ', b.l_sym)))
+         |                     AND x = b.r_sym
+         |                THEN concat(left(acc, len(acc) - len(b.l_sym)),
+         |                            b.l_sym, b.r_sym)
+         |                ELSE concat(acc, ' ', x) END) AS sym
          |  FROM w${i - 1} w, b$i b
          |)""".stripMargin
     }

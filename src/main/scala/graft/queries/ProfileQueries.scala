@@ -499,7 +499,7 @@ object ProfileQueries {
        |),
        |f AS (
        |  SELECT doc_id, group_id,
-       |         ('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 4))::INT
+       |         ('0x' || substr(md5('split|' || CAST(group_id AS VARCHAR)), 1, 4))::INT
        |           / 65536.0 AS frac
        |  FROM g
        |)
