@@ -291,9 +291,13 @@ object Dedup {
       struct(lit(b).as("band"),
         shiftright(col("__fp"), b * width).bitwiseAND(lit(mask)).as("bv"))
     }
+    // cached BEFORE both consumers (the cap aggregation and the
+    // anti-join feeding the self-join): the input fingerprint plan can
+    // be expensive (e.g. image decode) and must evaluate once
     val banded0 = keyed
       .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
       .select(col("doc_id"), col("x.band"), col("x.bv"))
+      .cache()
     // over-cap buckets removed via combinable count + broadcast
     // anti-join (|hot| <= rows / cap by construction) — a
     // count-over-partition window would sort the hottest bucket's whole
