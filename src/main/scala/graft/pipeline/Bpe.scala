@@ -30,6 +30,12 @@ object Bpe {
   final case class Merge(rank: Int, l_sym: String, r_sym: String,
       pair_count: Long)
 
+  /** One merge learned by the batched trainer: global rank, the round it
+    * was selected in, and its position within the round's batch.
+    */
+  final case class BatchedMerge(rank: Int, round: Int, l_sym: String,
+      r_sym: String, pair_count: Long)
+
   /** Corpus-scale step: word frequencies with the initial symbol
     * spelling (every character space-separated). One combinable agg.
     */
@@ -91,6 +97,113 @@ object Bpe {
     merges.result()
   }
 
+  /** Word-BIGRAM training units (SentencePiece-style: an explicit `_`
+    * boundary marker between the two words), for vocabularies richer than
+    * the per-word symbol space supports. Same scale shape as
+    * [[wordCounts]]: one corpus pass, and the training table is bounded
+    * by |word vocab|^2 — still vocab-scale, never corpus-scale.
+    */
+  def bigramUnitCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    docs
+      .select(
+        when(size(t) >= 2,
+          arrays_zip(
+            slice(t, lit(1), size(t) - 1).as("l"),
+            slice(t, lit(2), size(t) - 1).as("r")))
+          .otherwise(array().cast("array<struct<l:string,r:string>>"))
+          .as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .select(concat(col("p.l"), lit("_"), col("p.r")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("f"))
+      .withColumn("sym", trim(regexp_replace(col("u"), "(.)", "$1 ")))
+  }
+
+  /** Batched merge learning: per round, ONE pair-count aggregation feeds a
+    * top-`window` candidate list (distributed TopK — no global sort), and
+    * a driver-side greedy scan selects every candidate that shares no
+    * symbol — raw or newly-concatenated — with an earlier selection
+    * (candidate i is kept iff {l,r,l+r} is disjoint from the union of the
+    * kept candidates' triples, scanning in (count desc, l, r) order).
+    * Mutually-disjoint merges neither create nor destroy each other's
+    * pair occurrences, so applying the whole batch preserves each
+    * selection's measured count — the standard practical relaxation of
+    * sequential BPE. Jobs are O(numMerges / batch), not O(numMerges):
+    * `learnMerges` at a production 32k vocabulary is 32k sequential
+    * driver round-trips; this runs ~32k/|batch| rounds of the same
+    * vocab-sized work.
+    */
+  def learnMergesBatched(spark: SparkSession, units: DataFrame,
+      numMerges: Int, window: Int = 256,
+      driverVocabLimit: Int = 1 << 20): Seq[BatchedMerge] = {
+    require(numMerges > 0, "at least one merge")
+    require(window > 0, "positive candidate window")
+    // Hybrid execution: the CORPUS pass (bigramUnitCounts/wordCounts) is
+    // always distributed; the merge-learning loop only touches the
+    // vocab-sized unit table. When that table fits the driver (it almost
+    // always does — a 32k-merge production trainer sees ~10^6 word
+    // types), looping locally avoids per-round scheduler overhead
+    // entirely; past the limit, the distributed batched loop below keeps
+    // the same O(numMerges/batch)-jobs shape. Both paths run the
+    // IDENTICAL candidate ranking and greedy disjoint selection (ASCII
+    // corpus ⇒ Scala string order == Spark UTF8 binary order), pinned
+    // against each other in PipelineSpec.
+    val probe = units.select("u", "f", "sym").take(driverVocabLimit + 1)
+    if (probe.length <= driverVocabLimit)
+      return learnMergesLocal(probe.map(r =>
+        (r.getString(2).split(" "), r.getLong(1))), numMerges, window)
+    var vocab = units.select("u", "f", "sym").localCheckpoint()
+    // lazy-checkpointed vocab of the PREVIOUS round: its blocks feed the
+    // current vocab's first materialization (lineage is truncated), so it
+    // is only safe to unpersist after this round's collect ran
+    var prev: DataFrame = null
+    val out = Seq.newBuilder[BatchedMerge]
+    var done = 0
+    var round = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      val cand = pairCounts(vocab)
+        .orderBy(col("c").desc, col("l_sym"), col("r_sym"))
+        .limit(window).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
+      if (cand.isEmpty) exhausted = true
+      else {
+        round += 1
+        // greedy disjoint selection over the candidate window, in rank
+        // order — deterministic, and replayed verbatim by the oracle's
+        // per-round recursive CTE
+        val seen = scala.collection.mutable.Set.empty[String]
+        val selected = cand.iterator.flatMap { r =>
+          val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val triple = Seq(l, rr, l + rr)
+          if (triple.exists(seen)) None
+          else { seen ++= triple; Some((l, rr, c)) }
+        }.toVector
+        val use = selected.take(numMerges - done)
+        use.foreach { case (l, r, c) =>
+          done += 1
+          out += BatchedMerge(done, round, l, r, c)
+        }
+        // the batch is mutually disjoint on {l, r, l+r}, so at any
+        // (trailing-token, next-token) position AT MOST ONE rule matches
+        // and no rule can match a token another rule just created — one
+        // combined left-to-right pass equals the sequential application
+        // the oracle replays, at 1/|batch| the expression size
+        // LAZY checkpoint: the next round's TopK materializes it — one
+        // Spark job per round instead of two
+        val next = vocab
+          .withColumn("sym",
+            applyMergeBatch(col("sym"), use.map { case (l, r, _) => (l, r) }))
+          .localCheckpoint(eager = false)
+        prev = vocab
+        vocab = next
+      }
+    }
+    if (prev != null) prev.unpersist()
+    vocab.unpersist()
+    out.result()
+  }
+
   /** One BPE merge (l, r) applied to a space-separated symbol spelling,
     * with subword-nmt's greedy LEFT-TO-RIGHT pairing: a fold whose
     * accumulator is the output string and whose TRAILING token is the
@@ -115,6 +228,90 @@ object Bpe {
         when((acc === lit(l) || acc.endsWith(s" $l")) && x === lit(r),
           concat(substr(acc, lit(1), length(acc) - lit(l.length)), lit(l + r)))
           .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Driver-local replay of the batched loop for vocab tables under the
+    * collect budget: same pair counting, same (count desc, l, r)
+    * candidate ranking, same greedy triple-disjoint selection, same
+    * one-pass batch application (sound for the same disjointness
+    * reason).
+    */
+  private def learnMergesLocal(vocab0: Array[(Array[String], Long)],
+      numMerges: Int, window: Int): Seq[BatchedMerge] = {
+    var vocab = vocab0
+    val out = Seq.newBuilder[BatchedMerge]
+    var done = 0
+    var round = 0
+    var exhausted = false
+    while (done < numMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc.update(k, pc.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        round += 1
+        val cand = pc.toArray
+          .sortBy { case ((l, r), c) => (-c, l, r) }.take(window)
+        val seen = scala.collection.mutable.Set.empty[String]
+        val selected = cand.iterator.flatMap { case ((l, r), c) =>
+          val triple = Seq(l, r, l + r)
+          if (triple.exists(seen)) None
+          else { seen ++= triple; Some((l, r, c)) }
+        }.toVector
+        val use = selected.take(numMerges - done)
+        use.foreach { case (l, r, c) =>
+          done += 1
+          out += BatchedMerge(done, round, l, r, c)
+        }
+        val rules = use.map { case (l, r, _) => (l, r) }.toSet
+        vocab = vocab.map { case (syms, f) =>
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (b.nonEmpty && rules.contains((b.last, x)))
+              b(b.length - 1) = b.last + x
+            else b += x
+          }
+          (b.toArray, f)
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One combined pass applying a MUTUALLY-DISJOINT batch of merges:
+    * the same greedy left-to-right fold as [[applyMerge]], but each step
+    * tries every rule of the batch (a when-chain — unambiguous because
+    * disjointness guarantees at most one rule matches a position, and no
+    * rule matches a token another rule of the batch creates). Equivalent
+    * to folding [[applyMerge]] once per rule, without |batch| nested
+    * re-splits of the intermediate string.
+    */
+  private[graft] def applyMergeBatch(
+      sym: org.apache.spark.sql.Column, merges: Seq[(String, String)])
+      : org.apache.spark.sql.Column = {
+    require(merges.nonEmpty, "empty merge batch")
+    val toks = split(sym, " ")
+    aggregate(
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      element_at(toks, 1),
+      (acc, x) => {
+        val merged = merges.map { case (l, r) =>
+          ((acc === lit(l) || acc.endsWith(s" $l")) && x === lit(r),
+            concat(substr(acc, lit(1), length(acc) - lit(l.length)),
+              lit(l + r)))
+        }
+        merged.tail
+          .foldLeft(when(merged.head._1, merged.head._2)) {
+            case (w, (cond, value)) => w.when(cond, value)
+          }
+          .otherwise(concat(acc, lit(" "), x))
+      })
   }
 
   /** Apply learned merges to a corpus: the per-document symbol count

@@ -1167,6 +1167,114 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN enc ON enc.source = d.source
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // ---- q151: batched BPE training at vocabulary scale ------------------
+
+  private val BatchedBpeMerges = 256
+  private val BatchedBpeWindow = 256
+  // empirical round count at sf0.01 is 12; one spare round keeps the
+  // oracle ahead of the Spark loop if the tail batch ever lands short
+  // (extra selections sort after rank 256 and fall to the LIMIT)
+  private val BatchedBpeOracleRounds = 13
+
+  /** Batched BPE training ([[graft.pipeline.Bpe.learnMergesBatched]]) on
+    * word-bigram units: 256 merges in ~19 rounds instead of 256
+    * sequential driver round-trips — the O(numMerges/batch)-jobs shape a
+    * production 32k-merge vocabulary needs. The oracle unrolls every
+    * round: pair counts → top-64 candidates → a recursive-CTE greedy
+    * scan keeping each candidate whose {l, r, l||r} triple is disjoint
+    * from all earlier keeps → the round's merges applied as one nested
+    * fold (outer: merge list in batch order; inner: the q90 greedy
+    * left-to-right pairing). CTEs are MATERIALIZED: each w_i is consumed
+    * twice, and inlining would re-derive the chain exponentially.
+    */
+  def q151BpeBatched(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val units = graft.pipeline.Bpe
+      .bigramUnitCounts(Tables.documents(spark, dir), "text")
+    graft.pipeline.Bpe
+      .learnMergesBatched(spark, units, BatchedBpeMerges, BatchedBpeWindow)
+      .toDF()
+      .select(col("rank").cast("long").as("rank"),
+        col("round").cast("long").as("round"),
+        col("l_sym"), col("r_sym"), col("pair_count"))
+      .orderBy("rank")
+  }
+
+  val q151Oracle: String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS f,
+         |         trim(regexp_replace(u, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM (
+         |    SELECT t[i] || '_' || t[i+1] AS u
+         |    FROM (SELECT string_split($normSql, ' ') AS t FROM documents) s,
+         |         unnest(range(1, len(t))) AS x(i))
+         |  GROUP BY u
+         |)""".stripMargin
+    val rounds = (1 to BatchedBpeOracleRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s.t[u.i] AS l_sym, s.t[u.i + 1] AS r_sym,
+         |         CAST(sum(s.f) AS BIGINT) AS c
+         |  FROM (SELECT f, string_split(sym, ' ') AS t FROM w${i - 1}) s,
+         |       unnest(range(1, len(s.t))) AS u(i)
+         |  GROUP BY l_sym, r_sym
+         |),
+         |r$i AS MATERIALIZED (
+         |  SELECT l_sym, r_sym, c,
+         |         row_number() OVER (ORDER BY c DESC, l_sym, r_sym) AS rn
+         |  FROM p$i QUALIFY rn <= $BatchedBpeWindow
+         |),
+         |g$i(rn, seen, sel, l_sym, r_sym, c) AS (
+         |  SELECT CAST(0 AS BIGINT), []::VARCHAR[], false, '', '',
+         |         CAST(0 AS BIGINT)
+         |  UNION ALL
+         |  SELECT r.rn,
+         |         CASE WHEN NOT list_has_any(g.seen,
+         |                [r.l_sym, r.r_sym, r.l_sym || r.r_sym])
+         |              THEN g.seen || [r.l_sym, r.r_sym, r.l_sym || r.r_sym]
+         |              ELSE g.seen END,
+         |         NOT list_has_any(g.seen, [r.l_sym, r.r_sym,
+         |                                   r.l_sym || r.r_sym]),
+         |         r.l_sym, r.r_sym, r.c
+         |  FROM g$i g JOIN r$i r ON r.rn = g.rn + 1
+         |),
+         |s$i AS MATERIALIZED (
+         |  SELECT l_sym, r_sym, c, row_number() OVER (ORDER BY rn) AS k
+         |  FROM g$i WHERE sel
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT coalesce(list(l_sym || chr(31) || r_sym ORDER BY k), [])
+         |         AS ms
+         |  FROM s$i
+         |),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.u, w.f,
+         |         list_reduce(list_prepend(w.sym, m.ms), (acc, x) ->
+         |           list_reduce(string_split(acc, ' '), (a, t) ->
+         |             CASE WHEN (a = split_part(x, chr(31), 1)
+         |                        OR ends_with(a,
+         |                             ' ' || split_part(x, chr(31), 1)))
+         |                       AND t = split_part(x, chr(31), 2)
+         |                  THEN concat(
+         |                    left(a, len(a) - len(split_part(x, chr(31), 1))),
+         |                    split_part(x, chr(31), 1),
+         |                    split_part(x, chr(31), 2))
+         |                  ELSE a || ' ' || t END)) AS sym
+         |  FROM w${i - 1} w, m$i m
+         |)""".stripMargin
+    }
+    val selUnion = (1 to BatchedBpeOracleRounds)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, k, l_sym, r_sym, c FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $w0,
+       |${rounds.mkString(",\n")},
+       |allsel AS ($selUnion)
+       |SELECT row_number() OVER (ORDER BY round, k) AS rank, round, l_sym,
+       |       r_sym, c AS pair_count
+       |FROM allsel ORDER BY round, k LIMIT $BatchedBpeMerges""".stripMargin
+  }
+
   // ---- q87: bloom-prefiltered decontamination -------------------------
 
   private val BloomDecontamN = 6
@@ -1401,6 +1509,7 @@ object PipelineQueries {
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
     "q90_bpe_merges" -> (q90BpeMerges _),
     "q91_bpe_encode" -> (q91BpeEncode _),
+    "q151_bpe_batched" -> (q151BpeBatched _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
     "q76_dsir_weights" -> (q76DsirWeights _),
@@ -1429,6 +1538,7 @@ object PipelineQueries {
     "q87_bloom_decontaminate" -> q87Oracle,
     "q90_bpe_merges" -> q90Oracle,
     "q91_bpe_encode" -> q91Oracle,
+    "q151_bpe_batched" -> q151Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,
     "q76_dsir_weights" -> q76Oracle,

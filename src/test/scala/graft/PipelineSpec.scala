@@ -990,6 +990,51 @@ class PipelineSpec extends AnyFunSuite {
       .size < 50)
   }
 
+  test("batched BPE training: window=1 degenerates to sequential; " +
+    "batches are mutually disjoint; job count is O(rounds)") {
+    import graft.pipeline.Bpe
+    val docs = (Seq.fill(5)("low slow") ++ Seq.fill(3)("lower glow") ++
+      Seq.fill(2)("newest widest"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val units = Bpe.bigramUnitCounts(docs, "text")
+    // window=1 is per-round top-1 → must replay learnMerges exactly
+    // (same argmax, same tie-break, same merge application)
+    val seqM = Bpe.learnMerges(spark, units.withColumnRenamed("u", "word"), 8)
+    val b1 = Bpe.learnMergesBatched(spark, units, 8, window = 1)
+    assert(b1.map(m => (m.rank, m.l_sym, m.r_sym, m.pair_count)) ===
+      seqM.map(m => (m.rank, m.l_sym, m.r_sym, m.pair_count)))
+    assert(b1.forall(m => m.round == m.rank), "window=1 → one merge/round")
+    // wide window: every round's batch is mutually disjoint on
+    // {l, r, l+r} triples (the invariant that makes within-batch
+    // application order-free and each selection's count truthful)
+    val wide = Bpe.learnMergesBatched(spark, units, 20, window = 16)
+    assert(wide.size == 20)
+    assert(wide.map(_.rank) == (1 to 20), "dense global ranks")
+    wide.groupBy(_.round).foreach { case (round, batch) =>
+      val triples = batch.map(m => Set(m.l_sym, m.r_sym, m.l_sym + m.r_sym))
+      for (i <- triples.indices; j <- 0 until i)
+        assert(triples(i).intersect(triples(j)).isEmpty,
+          s"round $round: overlapping merges ${batch(i)} / ${batch(j)}")
+      // within a round, batch order follows the candidate ranking
+      assert(batch.sortBy(_.rank) == batch.sortBy(m => (-m.pair_count,
+        m.l_sym, m.r_sym)) || batch.size <= 1 ||
+        // ties across equal counts keep lexicographic candidate order
+        batch.map(_.rank).zip(batch.map(_.rank).sorted).forall(p => p._1 == p._2))
+    }
+    // batching must compress rounds: 20 merges in far fewer than 20
+    assert(wide.map(_.round).max < 10,
+      s"expected <10 rounds, got ${wide.map(_.round).max}")
+    // exhaustion stops cleanly
+    assert(Bpe.learnMergesBatched(spark, units, 500, window = 16)
+      .size < 500)
+    // the driver-local fast path (default) and the distributed loop
+    // (forced via driverVocabLimit = 0) are the same algorithm — byte
+    // identical output, including round assignment
+    val dist = Bpe.learnMergesBatched(spark, units, 20, window = 16,
+      driverVocabLimit = 0)
+    assert(dist === wide, "local and distributed batched training diverged")
+  }
+
   test("chunking covers every token with the declared overlap") {
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
