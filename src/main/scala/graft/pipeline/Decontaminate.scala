@@ -153,4 +153,78 @@ object Decontaminate {
         col("m.sim").as("max_sim"))
       .filter(col("max_sim") >= minSim)
   }
+
+  /** [[semanticContaminationReport]] routed through an IVF index over the
+    * BENCHMARK side — the shape for large bench batteries, where the
+    * exact crossJoin's O(|corpus| x |bench|) dot products dominate. The
+    * bench set is quantized into `nCentroids` inverted lists (seeded by
+    * its lowest-id vectors, the [[Similarity.ivfTopK]] rule); each corpus
+    * vector computes dots against only its `nProbe` nearest lists —
+    * O(|corpus| x |bench| x nProbe/nCentroids) compute.
+    *
+    * Shape at 100 TB: probe selection is a row-local argsort over
+    * centroid LITERALS (no join, no row inflation beyond x nProbe, no
+    * window shuffle — unlike the generic [[Similarity.ivfTopKBig]] probe
+    * router, which pays a corpus-wide rank window); the inverted lists
+    * are the only broadcast (bench-sized); the corpus streams through the
+    * broadcast equi-join once and the single shuffle is the
+    * map-side-combinable max(struct) per id. With nProbe = nCentroids
+    * every list is probed and the result equals the exact report by
+    * construction (pinned in PipelineSpec); below that, recall follows
+    * the probed-list mass.
+    */
+  def semanticContaminationReportAnn(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      minSim: Double, nCentroids: Int, nProbe: Int): DataFrame = {
+    require(bench.schema(benchIdCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"semanticContaminationReportAnn: $benchIdCol must be numeric " +
+        "(the deterministic lowest-id tie-break negates it)")
+    require(nCentroids > 0 && nProbe > 0 && nProbe <= nCentroids,
+      "need 0 < nProbe <= nCentroids")
+    require(nCentroids <= Similarity.LiteralAssignMaxK,
+      s"literal probe routing caps at ${Similarity.LiteralAssignMaxK} " +
+        "lists (codegen method size); larger quantizers should go " +
+        "through Similarity.ivfTopKBig")
+    val b0 = bench.select(
+      col(benchIdCol).cast("long").as("id"),
+      col(benchVecCol).cast("array<double>").as("v"))
+    // coarse quantizer: the nCentroids lowest-id bench vectors
+    val centArr = b0.orderBy(col("id")).limit(nCentroids).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    // invert the BENCH side (nearest centroid, tie smallest cid — the
+    // shared assignment rule); bench batteries are broadcast-small
+    val lists = broadcast(
+      Similarity.assignToCentroids(b0, centArr)
+        .select(col("id").as("__bid"), col("v").as("__bv"), col("cid")))
+    // row-local probe routing: argsort over centroid literals, ascending
+    // (negated-sim, cid) — csim desc with smallest-cid ties. The
+    // negation is (0.0 - x), which can never produce -0.0, so the struct
+    // sort order is signed-zero-proof on both engines.
+    val probeIds = {
+      val entries = array(centArr.map { case (cid, cv) =>
+        struct(
+          round(lit(0.0) - Similarity.dot(col("__v"),
+            array(cv.map(lit): _*)), 6).as("negc"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      transform(slice(array_sort(entries), 1, nProbe),
+        e => e.getField("cid"))
+    }
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cid", explode(probeIds))
+      .join(lists, Seq("cid"))
+      .filter(col(idCol) =!= col("__bid"))
+      .select(col(idCol),
+        round(Similarity.dot(col("__v"), col("__bv")), 4).as("sim"),
+        col("__bid"))
+      .groupBy(idCol)
+      .agg(max(struct(col("sim"), (-col("__bid")).as("nb"))).as("m"))
+      .select(col(idCol),
+        (-col("m.nb")).as(s"bench_$benchIdCol"),
+        col("m.sim").as("max_sim"))
+      .filter(col("max_sim") >= minSim)
+  }
 }

@@ -829,6 +829,67 @@ object SimilarityQueries {
       |FROM m WHERE rn = 1 AND sim >= 0.25
       |ORDER BY vec_id""".stripMargin
 
+  /** Semantic decontamination through the bench-side IVF index
+    * ([[graft.pipeline.Decontaminate.semanticContaminationReportAnn]]):
+    * same fixture as q83 (every 23rd vector plays the benchmark), but
+    * each corpus vector scores only its 2-of-8 probed inverted lists —
+    * the O(|corpus| x |bench| x nProbe/nCentroids) shape a 100k-row bench
+    * battery needs instead of q83's exact crossJoin. The oracle replays
+    * the identical routing algebra (bench quantization, row-local probe
+    * argsort, per-id rounded-sim/lowest-id argmax), so the distributed
+    * shape is proven row-equal to the routing semantics; PipelineSpec
+    * separately pins nProbe = nCentroids ≡ the exact q83 report and the
+    * partial-probe recall floor.
+    */
+  def q152SemanticDecontaminateAnn(
+      spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    graft.pipeline.Decontaminate.semanticContaminationReportAnn(
+        emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 23 === 0), "vec_id", "embedding",
+        minSim = 0.25, nCentroids = 8, nProbe = 2)
+      .orderBy("vec_id")
+  }
+
+  val q152Oracle: String =
+    """WITH b AS (
+      |  SELECT vec_id AS bid, embedding::DOUBLE[] AS bv
+      |  FROM embeddings WHERE vec_id % 23 = 0
+      |),
+      |cents AS (
+      |  SELECT bid AS cid, bv AS centroid FROM b ORDER BY bid LIMIT 8
+      |),
+      |bl AS (
+      |  SELECT bid, bv, cid FROM (
+      |    SELECT b.bid, b.bv, cents.cid,
+      |           row_number() OVER (PARTITION BY b.bid
+      |             ORDER BY round(list_dot_product(bv, centroid), 6) DESC,
+      |                      cid) AS rn
+      |    FROM b, cents) WHERE rn = 1
+      |),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pr AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT c.vec_id, c.v, cents.cid,
+      |           row_number() OVER (PARTITION BY c.vec_id
+      |             ORDER BY round(0 - list_dot_product(v, centroid), 6) ASC,
+      |                      cid) AS k
+      |    FROM c, cents) WHERE k <= 2
+      |),
+      |s AS (
+      |  SELECT pr.vec_id, bl.bid, round(list_dot_product(v, bv), 4) AS sim
+      |  FROM pr JOIN bl USING (cid) WHERE pr.vec_id <> bl.bid
+      |),
+      |m AS (
+      |  SELECT vec_id, bid, sim,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY sim DESC, bid) AS rn
+      |  FROM s
+      |)
+      |SELECT vec_id, bid AS bench_vec_id, sim AS max_sim
+      |FROM m WHERE rn = 1 AND sim >= 0.25
+      |ORDER BY vec_id""".stripMargin
+
   // ---- q93: contrastive hard-negative mining --------------------------
 
   /** [[Similarity.hardNegatives]] on the raw embeddings: for every 100th
@@ -1182,7 +1243,8 @@ object SimilarityQueries {
     "q66_kmeans_clusters" -> (q66KmeansClusters _),
     "q67_semantic_dedup" -> (q67SemanticDedup _),
     "q69_ann_ivf_kmeans" -> (q69AnnIvfKmeans _),
-    "q83_semantic_decontaminate" -> (q83SemanticDecontaminate _)
+    "q83_semantic_decontaminate" -> (q83SemanticDecontaminate _),
+    "q152_semantic_decontaminate_ann" -> (q152SemanticDecontaminateAnn _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1207,6 +1269,7 @@ object SimilarityQueries {
     "q66_kmeans_clusters" -> q66Oracle,
     "q67_semantic_dedup" -> q67Oracle,
     "q69_ann_ivf_kmeans" -> q69Oracle,
-    "q83_semantic_decontaminate" -> q83Oracle
+    "q83_semantic_decontaminate" -> q83Oracle,
+    "q152_semantic_decontaminate_ann" -> q152Oracle
   )
 }

@@ -849,6 +849,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty && bloomed === exact)
   }
 
+  test("ANN semantic decontamination: full probe equals exact; " +
+    "partial probe is a subset with bounded recall") {
+    import graft.pipeline.Decontaminate
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val bench = emb.filter(col("vec_id") % 23 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("bench_vec_id"), col("max_sim"))
+        .as[(Long, Long, Double)].collect().toSet
+    val exact = rows(Decontaminate.semanticContaminationReport(
+      emb, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25))
+    assert(exact.nonEmpty, "fixture must flag contaminated vectors")
+    // nProbe = nCentroids: every inverted list is probed, so every
+    // (corpus, bench) pair is scored — identical to the exact crossJoin
+    val full = rows(Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 8))
+    assert(full === exact, "full-probe ANN must equal the exact report")
+    // partial probe: flagged ids are a subset of the exact report's
+    // (routing can only DROP candidate pairs, never invent similarity),
+    // and recall stays above a floor on this fixture
+    val part = rows(Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 2))
+    val exactIds = exact.map(_._1)
+    val partIds = part.map(_._1)
+    assert(partIds.subsetOf(exactIds),
+      s"ANN flagged ids absent from exact: ${(partIds -- exactIds).take(3)}")
+    // every partial hit's similarity is ≤ the exact max for that id
+    val exactBest = exact.map(t => t._1 -> t._3).toMap
+    assert(part.forall { case (id, _, s) => s <= exactBest(id) })
+    val recall = partIds.size.toDouble / exactIds.size
+    assert(recall >= 0.5, s"2-of-8-probe recall $recall below floor")
+  }
+
   test("JL random projection: deterministic, norm distortion bounded") {
     val emb = Tables.embeddings(spark, TestSpark.sf)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)

@@ -170,6 +170,32 @@ class PlanSpec extends AnyFunSuite {
     assert(big == small, "big-query-set variant must be result-identical")
   }
 
+  test("ANN decontamination broadcasts only the bench lists; " +
+    "probe routing is a row-local projection") {
+    val emb = Tables.embeddings(spark, TestSpark.sf)
+    val p = plan(pipeline.Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 23 === 0),
+      "vec_id", "embedding", minSim = 0.25, nCentroids = 8, nProbe = 2))
+    // the corpus side must stream through a broadcast equi-join against
+    // the (bench-sized) inverted lists — never be broadcast, shuffled
+    // into a merge join, or cross-joined
+    assert(p.contains("BroadcastHashJoin"), "lists must broadcast-join")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle to join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs shape anywhere in the ANN path")
+    // probe selection is an argsort over centroid literals — a pure
+    // projection; the generic rank-window router would show up here as
+    // a Window over the full corpus
+    assert(!p.contains("Window"), "probe routing must not rank-window")
+    // formatted explain shows each node twice (tree + details); count
+    // the "(N) BroadcastExchange" detail headers only
+    val bcasts = p.linesIterator
+      .count(l => l.trim.matches("""\(\d+\) BroadcastExchange.*"""))
+    assert(bcasts == 1, s"exactly the list table broadcasts, got $bcasts")
+  }
+
   test("bucketed candidate generation never degenerates to a cross join") {
     val docs = queries.PipelineQueries.docsAug(spark, TestSpark.sf).limit(500)
     for ((name, df) <- Seq(
