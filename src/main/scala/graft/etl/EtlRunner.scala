@@ -8,12 +8,20 @@ import org.apache.spark.sql.functions.{count, lit, max}
 import graft.store.{ConsolidatedStore, WatermarkStore}
 
 /** One ETL cycle result for one source server. */
+/** @param wmReadRetries listing-instability events
+  *   ([[graft.store.WatermarkStore.ReadHealth]] total: retries + stale
+  *   fallbacks + best-effort merges) observed during this run's
+  *   control-table read — same value on every result of a run. Nonzero
+  *   is sound (the CRDT absorbs staleness) but persistent values flag a
+  *   pathological fold-storm on the watermark table.
+  */
 final case class SourceBatchResult(
     server: String,
     extracted: Long,
     appended: Long,
     newWatermark: Option[Timestamp],
-    error: Option[String]
+    error: Option[String],
+    wmReadRetries: Long = 0L
 )
 
 /** The reference's driver loop (`Invoke-SQLBackupHistoryETL.ps1:31-73`)
@@ -89,7 +97,13 @@ object EtlRunner {
       watermarkPath: String,
       parallelism: Int = 1,
       concurrentLoads: Boolean = false): Seq[SourceBatchResult] = {
+    val wmHealth0 = WatermarkStore.ReadStats.snapshot
     val watermarks = WatermarkStore.read(spark, watermarkPath)
+    // contention observed reading the control table, stamped on every
+    // per-server result (the read is once per run). JVM-global counters:
+    // a concurrent sibling run's retries can bleed in — observability,
+    // not accounting.
+    val wmReadRetries = (WatermarkStore.ReadStats.snapshot - wmHealth0).total
     val ordered = sources.toSeq.sortBy(_._1)
 
     // phase 1 (parallelizable): extract + materialize. Spark is lazy, so
@@ -175,18 +189,21 @@ object EtlRunner {
         } finally release(batch)
     }
     try {
-      if (!concurrentLoads || parallelism <= 1)
-        extracted.map { case (s, e) => loadOne(s, e) }
-      else {
-        import scala.concurrent._
-        import scala.concurrent.duration.Duration
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
-          java.util.concurrent.Executors.newFixedThreadPool(parallelism))
-        try Await.result(
-          Future.sequence(extracted.map { case (s, e) =>
-            Future(loadOne(s, e)) }), Duration.Inf)
-        finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
-      }
+      val results =
+        if (!concurrentLoads || parallelism <= 1)
+          extracted.map { case (s, e) => loadOne(s, e) }
+        else {
+          import scala.concurrent._
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+            java.util.concurrent.Executors.newFixedThreadPool(parallelism))
+          try Await.result(
+            Future.sequence(extracted.map { case (s, e) =>
+              Future(loadOne(s, e)) }), Duration.Inf)
+          finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
+        }
+      if (wmReadRetries == 0) results
+      else results.map(_.copy(wmReadRetries = wmReadRetries))
     } finally
       // an aborted serialized run (load failure rethrows, the reference's
       // abort-the-run semantics) must not strand the remaining servers'

@@ -126,4 +126,46 @@ class WatermarkConcurrencySpec extends AnyFunSuite {
     assert(m == Map("a" -> ts(3000L), "b" -> ts(2000L)),
       s"retry must land on the folded state, got $m")
   }
+
+  test("a fold-storm that keeps the listing unstable is COUNTED and falls " +
+    "back to the last fully-read state instead of failing") {
+    val path = tmp()
+    WatermarkStore.advance(spark, path, "a", ts(1000L))
+    val before = WatermarkStore.ReadStats.snapshot
+    var n = 0
+    // every listing is followed by a fresh advance, so the post-read
+    // stability check never passes — but every read itself succeeds:
+    // the budget must exhaust into the stale-but-valid fallback
+    val m = WatermarkStore.readHooked(spark, path) { _ =>
+      n += 1
+      WatermarkStore.advance(spark, path, "a", ts(1000L + n * 1000L))
+    }
+    val d = WatermarkStore.ReadStats.snapshot - before
+    assert(d.unstableRetries == 16, s"every attempt counted: $d")
+    assert(d.staleFallbacks == 1 && d.bestEffortReads == 0, s"$d")
+    // stale-but-valid: some issued value for a, never a conjured one
+    val got = m("a").getTime
+    assert(got >= 1000L && got <= 1000L + n * 1000L && got % 1000 == 0,
+      s"fallback must return an issued value, got $got")
+  }
+
+  test("constant fold deletes that fail every full read end in a counted " +
+    "best-effort merge of the readable segments") {
+    val path = tmp()
+    WatermarkStore.advance(spark, path, "a", ts(5000L))
+    val before = WatermarkStore.ReadStats.snapshot
+    val m = WatermarkStore.readHooked(spark, path) { files =>
+      // the racing fold's shape every attempt: replacement published
+      // first, then every file this reader just listed is deleted — so
+      // every readSegments sees a vanished file and no attempt completes
+      WatermarkStore.advance(spark, path, "a", ts(5000L))
+      files.foreach(f => Files.delete(Paths.get(path, f)))
+    }
+    val d = WatermarkStore.ReadStats.snapshot - before
+    assert(d.bestEffortReads == 1 && d.staleFallbacks == 0,
+      s"expected exactly one best-effort read: $d")
+    assert(d.unstableRetries == 16, s"every attempt counted: $d")
+    assert(m == Map("a" -> ts(5000L)),
+      s"best-effort merge must surface the issued value, got $m")
+  }
 }
