@@ -86,7 +86,7 @@ object Dedup {
       n: Int = 3,
       minSim: Double = 0.5,
       maxShingleDocFreq: Long = 100): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n).cache()
+    val sh = shingleRows(docs, idCol, textCol, n)
     // document-frequency cap via the OVER-CAP key set: the groupBy count
     // is map-side combinable (a boilerplate shingle shared by a billion
     // docs reaches the reduce side as one row per map partition), the
@@ -101,7 +101,10 @@ object Dedup {
     // at test scale back when the window was the keeper).
     val hotSh = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDocFreq).select("sh")
-    val rare = sh.join(broadcast(hotSh), Seq("sh"), "left_anti").cache()
+    val rare = sh.join(broadcast(hotSh), Seq("sh"), "left_anti")
+    // pinned for the multi-consumer plan below; one generation per
+    // operator — a re-invocation unpersists these (CacheSlots)
+    graft.util.CacheSlots.rotate("dedup.jaccardPairs", sh, rare)
     // sizes over the CAPPED shingle space: the df-cap removes
     // non-discriminative shingles from the similarity space, so both the
     // intersection AND the union must be over the filtered set — an
@@ -182,7 +185,8 @@ object Dedup {
 
   private def minhashPairsFromShingles(
       sh: DataFrame, k: Int, bands: Int, minEstSim: Double): DataFrame = {
-    val sigs = signaturesFromShingleRows(sh, k).cache()
+    val sigs = graft.util.CacheSlots.rotateOne("dedup.minhashPairs",
+      signaturesFromShingleRows(sh, k))
     val bandsDf = lshBands(sigs, k, bands)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
@@ -269,7 +273,9 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       bits: Int = 64, maxHamming: Int = 3,
       maxBucketDocs: Long = 1000): DataFrame =
-    hammingPairs(simhash(docs, idCol, textCol, bits).cache(),
+    hammingPairs(
+      graft.util.CacheSlots.rotateOne("dedup.simhashPairs",
+        simhash(docs, idCol, textCol, bits)),
       "doc_id", "simhash", bits, maxHamming, maxBucketDocs)
 
   /** Banded hamming-distance pairs over ANY precomputed 64-bit
@@ -294,10 +300,10 @@ object Dedup {
     // cached BEFORE both consumers (the cap aggregation and the
     // anti-join feeding the self-join): the input fingerprint plan can
     // be expensive (e.g. image decode) and must evaluate once
-    val banded0 = keyed
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
-      .select(col("doc_id"), col("x.band"), col("x.bv"))
-      .cache()
+    val banded0 = graft.util.CacheSlots.rotateOne("dedup.hammingPairs",
+      keyed
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.band"), col("x.bv")))
     // over-cap buckets removed via combinable count + broadcast
     // anti-join (|hot| <= rows / cap by construction) — a
     // count-over-partition window would sort the hottest bucket's whole

@@ -510,10 +510,10 @@ object Similarity {
       minSim: Double, maxBlockDocs: Long = 10000): DataFrame = {
     // cached BEFORE both consumers (cap aggregation + self-join sides):
     // the input vector/assignment plan must evaluate once
-    val c0 = corpus.select(
-      col(blockCol).as("block"), col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"))
-      .cache()
+    val c0 = graft.util.CacheSlots.rotateOne("similarity.embeddingDupPairs",
+      corpus.select(
+        col(blockCol).as("block"), col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v")))
     // over-cap blocks removed via combinable count + broadcast anti-join
     // (|hot| <= rows / cap by construction) — a count-over-partition
     // window would buffer the dominant block's vectors in one task,

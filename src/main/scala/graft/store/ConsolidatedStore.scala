@@ -167,7 +167,7 @@ object ConsolidatedStore {
     * metadata renames (milliseconds); a state that persists past the
     * wait is a dead replacer — fail loudly and point at repair.
     */
-  private def awaitCommittedCoverage(spark: SparkSession, path: String,
+  private[store] def awaitCommittedCoverage(spark: SparkSession, path: String,
       loaded0: StoreMeta.Loaded): StoreMeta.Loaded = {
     var loaded = loaded0
     var polls = 0

@@ -54,9 +54,17 @@ object StoreDelete {
       partitionBy: Seq[String] = Nil,
       sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
       fileVerdict: FileStats => Option[Boolean] = _ => None): DeleteStats = {
-    val loaded = StoreMeta.load(spark, path).getOrElse(throw
+    val loaded0 = StoreMeta.load(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"delete needs a graft-managed layout (foreign subdirs found): $path"))
+    // wait out a racing replacer's archive→commit window before trusting
+    // the loaded stats (the append-side awaitCommittedCoverage rule): a
+    // committed-live file that is off disk mid-swap would otherwise be
+    // silently EXCLUDED from the candidate set, and if an unrelated
+    // append bumps the version this delete's commit rebases disjointly —
+    // predicate-matching rows in that file durably survive a
+    // "successful" delete with no error anywhere
+    val loaded = ConsolidatedStore.awaitCommittedCoverage(spark, path, loaded0)
     // delete the COMMITTED live set only (same rule as
     // Compaction.rewriteCow): the sidecar load heals in every file the
     // directory lists — including a concurrent appender's
@@ -126,6 +134,12 @@ object StoreDelete {
     val newFiles = staged.map(_._2).getOrElse(Nil)
 
     val removed = dropped ++ partial
+    // belt-and-braces: nothing to remove and nothing staged must not
+    // claim an archive home or write an empty replacing commit (an
+    // empty-removes commit is never vacuumed and every repair re-walks
+    // its history dir)
+    if (removed.isEmpty && staged.isEmpty)
+      return DeleteStats(deleted, 0L, 0L)
     // a pre-log store BASELINES first (v1 = every live file), then takes
     // the logged path like everyone else: the old logless branch deleted
     // un-archived originals after the promote, and a crash inside that
