@@ -42,14 +42,22 @@ object Skew {
     require(saltBuckets > 0, "saltBuckets must be positive")
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
-    val salted = skewed.withColumn(
-      "__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltBuckets.toLong))
-        .cast("int"))
+    val salted = skewed.withColumn("__salt", saltColumn(skewed, saltBuckets))
     val replicated = dim.withColumn(
       "__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** The salt assignment itself — a pure function of the row's content
+    * (whole-row xxhash64 mod buckets). Exposed package-private so
+    * SkewSpec can pin the SPARK-23207 invariant directly: same row ⇒
+    * same salt on EVERY evaluation, because a fetch-failure
+    * recomputation is just another evaluation.
+    */
+  private[graft] def saltColumn(df: DataFrame, saltBuckets: Int)
+      : org.apache.spark.sql.Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets.toLong))
+      .cast("int")
 
   /** Derive the salt spread from the data instead of guessing: ONE
     * map-side-combinable Misra–Gries pass over the skewed side's key

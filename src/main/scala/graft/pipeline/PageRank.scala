@@ -33,13 +33,20 @@ object PageRank {
 
   /** @param edges directed edges; the first two columns are (src, dst).
     *              Duplicate edges are collapsed (a link counts once).
+    * @param saltBuckets contribution-join salt spread; None derives it
+    *   from the edge list (one Misra–Gries probe). Callers ranking a
+    *   STATIC graph repeatedly should derive once and pass it — the
+    *   probe is a full pass over the edge list, and the graph's skew
+    *   does not change between runs (the q105 memo contract).
     * @return (node, rank) for every node appearing as src or dst; ranks
     *         sum to 1 up to float error.
     */
   def pageRank(
-      edges: DataFrame, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      edges: DataFrame, damping: Double = 0.85, iters: Int = 10,
+      saltBuckets: Option[Int] = None): DataFrame = {
     require(damping > 0 && damping < 1, "damping in (0, 1)")
     require(iters >= 0, "iters must be nonnegative")
+    require(saltBuckets.forall(_ >= 1), "saltBuckets must be >= 1")
     val e = edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
       .distinct()
@@ -54,7 +61,8 @@ object PageRank {
     // static edge list (Misra–Gries probe); uniform graphs derive 1 and
     // pay nothing. The per-dst SUM after the join was never the problem
     // (map-side combinable).
-    val contribSalt = graft.operators.Skew.adaptiveSaltBuckets(e2, Seq("src"))
+    val contribSalt = saltBuckets.getOrElse(
+      graft.operators.Skew.adaptiveSaltBuckets(e2, Seq("src")))
     // carry a has_out flag on the node table: the per-round dangling
     // mass becomes a shuffle-free filter+agg over the checkpointed rank
     // partitions instead of a per-round anti-join

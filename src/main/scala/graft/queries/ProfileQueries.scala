@@ -744,10 +744,29 @@ object ProfileQueries {
     * dangling mass, the (1−d)/N teleport) is replayed in the same
     * evaluation order by $PrIters unrolled CTE rounds.
     */
+  /** Memoized contribution-join salt spread for q105: the pair graph is
+    * static per (session, dir), so its skew profile is too — the
+    * Misra–Gries probe runs once alongside the pair-graph memo instead
+    * of once per pageRank call. Derivation is over the same (src
+    * multiplicity, row count) the in-operator probe would see: the MG
+    * key is src alone, and folding out-degrees onto distinct edges
+    * changes neither.
+    */
+  private val prSaltMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  private def prContribSalt(spark: SparkSession, dir: String): Int =
+    prSaltMemo.getOrElseUpdate((spark, dir),
+      graft.operators.Skew.adaptiveSaltBuckets(
+        winnowPairGraph(spark, dir)
+          .select(col("id_a").as("src"), col("id_b").as("dst")).distinct(),
+        Seq("src")))
+
   def q105PageRank(spark: SparkSession, dir: String): DataFrame =
     graft.pipeline.PageRank.pageRank(
         winnowPairGraph(spark, dir).select("id_a", "id_b"),
-        damping = 0.85, iters = PrIters)
+        damping = 0.85, iters = PrIters,
+        saltBuckets = Some(prContribSalt(spark, dir)))
       .orderBy(col("rank").desc, col("node"))
       .limit(15)
       .select(col("node"), round(col("rank"), 6).as("pr_score"))

@@ -169,6 +169,44 @@ class SkewSpec extends AnyFunSuite {
         s"max task read $maxRead rows >= hub degree $hubN")
   }
 
+  test("salt is a pure function of the row: re-evaluation never re-salts") {
+    // the SPARK-23207 insurance, pinned: a fetch-failure recomputation
+    // is just another evaluation of the salt expression, so the same
+    // row must land in the same bucket EVERY time. A future "improve
+    // the spread" edit that sneaks rand()/monotonically_increasing_id
+    // back in fails here immediately.
+    val skewed = spark.range(5000)
+      .select(
+        when(col("id") < 4000, 0L).otherwise(col("id") % 50).as("k"),
+        (col("id") * 31 % 997).as("payload"))
+    def assignment(): Map[(Long, Long), Int] =
+      skewed.withColumn("__salt", Skew.saltColumn(skewed, 8))
+        .select("k", "payload", "__salt").as[(Long, Long, Int)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val a1 = assignment()
+    val a2 = assignment()
+    assert(a1 == a2, "salt assignment must be identical across evaluations")
+    assert(a1.values.toSet.size > 1, "the hot key must actually spread")
+    // the property is not vacuous: a rand()-based salt (the bug the
+    // deterministic hash replaced) changes assignment between
+    // evaluations on this same input
+    def randAssignment(): Map[(Long, Long), Int] =
+      skewed.withColumn("__salt",
+          pmod((rand() * 1e9).cast("long"), lit(8L)).cast("int"))
+        .select("k", "payload", "__salt").as[(Long, Long, Int)]
+        .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(randAssignment() != randAssignment(),
+      "canary: a nondeterministic salt must fail the invariant")
+    // end-to-end rerun equality on the planted hub: two full runs of
+    // the adaptive salted join are byte-identical
+    val dim = spark.range(50)
+      .select(col("id").as("k"), concat(lit("d"), col("id")).as("attr"))
+    def run() = Skew.adaptiveSaltedJoin(skewed, dim, Seq("k"))
+      .select("k", "payload", "attr").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(run() == run(), "salted join reruns must be identical")
+  }
+
   test("salted join handles empty and salt=1 degenerate cases") {
     val empty = Seq.empty[(Long, Long)].toDF("k", "payload")
     val dim = Seq((0L, "d")).toDF("k", "attr")
