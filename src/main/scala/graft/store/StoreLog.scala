@@ -101,10 +101,18 @@ object StoreLog {
       .sorted
   }
 
+  /** Test seam: observes every metadata-file read ([[readBytesOf]]).
+    * StoreLogSpec counts reads under a given root to pin the
+    * O(CheckpointEvery) bounds of the checkpointed paths.
+    */
+  @volatile private[graft] var metaReadProbe: Path => Unit = null
+
   /** Read a small metadata file fully, driver-side (commit records,
     * sidecar and watermark segments — all tiny by construction).
     */
   private[store] def readBytesOf(spark: SparkSession, p: Path): Array[Byte] = {
+    val probe = metaReadProbe
+    if (probe != null) probe(p)
     val in = fs(spark, p).open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -154,8 +162,21 @@ object StoreLog {
 
   // ---- log checkpoints (see CheckpointEvery) ----
 
+  /** `homes`: cumulative remove index through `version` — for every file
+    * ever removed by a commit `<= version`, the ascending list of remove
+    * versions (uuid file names make re-removal after a re-add
+    * essentially impossible, but the list keeps the index exact if it
+    * ever happens). This is what makes TIME TRAVEL O(CheckpointEvery):
+    * [[liveFilesAt]] resolves each archived file's history home from the
+    * newest checkpoint's index + the tail commits instead of replaying
+    * every commit since the store was born. None on checkpoints written
+    * before the index existed — home resolution then falls back to
+    * reading the post-`version` commits (correct, just slower) until the
+    * next checkpoint rewrites the index.
+    */
   private final case class Checkpoint(
-      version: Int, live: Seq[String], txns: Seq[String])
+      version: Int, live: Seq[String], txns: Seq[String],
+      homes: Option[Map[String, Seq[Int]]])
 
   private def ckptPath(root: String, v: Int): Path =
     new Path(s"$root/$dirName/${f"ckpt-v$v%09d"}.json")
@@ -184,7 +205,8 @@ object StoreLog {
       Some(Checkpoint(
         (jv \ "version").extract[Int],
         (jv \ "live").extract[Seq[String]],
-        (jv \ "txns").extract[Seq[String]]))
+        (jv \ "txns").extract[Seq[String]],
+        (jv \ "homes").extractOpt[Map[String, Seq[Int]]]))
     } catch {
       // torn by a dead writer, or vanished — fall back to an older
       // checkpoint / full replay; a checkpoint is a pure accelerator
@@ -200,10 +222,7 @@ object StoreLog {
         scala.collection.mutable.Set[String]) = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val txns = scala.collection.mutable.Set.empty[String]
-    val base = listCheckpointVersions(spark, root)
-      .filter(_ <= version).sorted(Ordering[Int].reverse)
-      .iterator.map(cv => readCheckpointOpt(spark, root, cv))
-      .collectFirst { case Some(c) => c }
+    val base = newestReadableCheckpoint(spark, root, version)
     base.foreach { c => live ++= c.live; txns ++= c.txns }
     val from = base.map(_.version).getOrElse(0)
     listVersions(spark, root).filter(v => v > from && v <= version)
@@ -213,6 +232,14 @@ object StoreLog {
       }
     (live, txns)
   }
+
+  /** Newest readable checkpoint at or below `atMost`. */
+  private def newestReadableCheckpoint(
+      spark: SparkSession, root: String, atMost: Int): Option[Checkpoint] =
+    listCheckpointVersions(spark, root)
+      .filter(_ <= atMost).sorted(Ordering[Int].reverse)
+      .iterator.map(cv => readCheckpointOpt(spark, root, cv))
+      .collectFirst { case Some(c) => c }
 
   /** Live files at `version`, checkpoint-accelerated — the appenders'
     * replay. Insertion-ordered.
@@ -231,10 +258,27 @@ object StoreLog {
     try {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
-      val (live, txns) = stateAt(spark, root, v)
+      // build from the newest base checkpoint CARRYING a remove index;
+      // an index-less base (pre-index checkpoint) forces one full replay
+      // here, which repairs the store onto the indexed fast path
+      val base = newestReadableCheckpoint(spark, root, v)
+        .filter(_.homes.isDefined)
+      val live = scala.collection.mutable.LinkedHashSet.empty[String]
+      val txns = scala.collection.mutable.Set.empty[String]
+      val homes = scala.collection.mutable.Map.empty[String, Seq[Int]]
+      base.foreach { c =>
+        live ++= c.live; txns ++= c.txns; homes ++= c.homes.get
+      }
+      val from = base.map(_.version).getOrElse(0)
+      listVersions(spark, root).filter(x => x > from && x <= v).foreach { x =>
+        val c = readCommitPatiently(spark, root, x)
+        live ++= c.adds; live --= c.removes; c.txn.foreach(txns += _)
+        c.removes.foreach(r => homes(r) = homes.getOrElse(r, Nil) :+ x)
+      }
       val bytes = JsonMethods.compact(JsonMethods.render(
         ("version" -> v) ~ ("live" -> live.toSeq) ~
-          ("txns" -> txns.toSeq.sorted))).getBytes(StandardCharsets.UTF_8)
+          ("txns" -> txns.toSeq.sorted) ~
+          ("homes" -> homes.toMap))).getBytes(StandardCharsets.UTF_8)
       val p = ckptPath(root, v)
       createExclusive(fs(spark, p), p, bytes)
     } catch {
@@ -662,17 +706,34 @@ object StoreLog {
     */
   def liveFilesAt(
       spark: SparkSession, root: String, version: Int): Seq[(String, String)] = {
-    val commits = readCommits(spark, root)
-    require(commits.nonEmpty, s"store $root has no commit log")
-    require(version >= 1 && version <= commits.last.version,
-      s"version $version out of range 1..${commits.last.version}")
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits.takeWhile(_.version <= version).foreach { c =>
-      live ++= c.adds; live --= c.removes
-    }
+    val head = currentVersion(spark, root)
+    require(head >= 1, s"store $root has no commit log")
+    require(version >= 1 && version <= head,
+      s"version $version out of range 1..$head")
+    // live set at `version`: checkpoint <= version + tail — O(CheckpointEvery)
+    val live = stateAt(spark, root, version)._1
+    // archive-home resolution = first removing commit AFTER `version`
+    // per still-live file. The newest checkpoint's cumulative remove
+    // index covers (version, ckpt]; the tail commits cover (ckpt, head]
+    // — so reading v1 of a years-old store is O(CheckpointEvery) too,
+    // not a replay of every commit since birth. A checkpoint without the
+    // index (pre-index store) is skipped for homes: the tail then starts
+    // at `version` (full-fidelity fallback).
     val removedAt = scala.collection.mutable.Map.empty[String, Int]
-    commits.dropWhile(_.version <= version).foreach { c =>
-      c.removes.foreach(fl => if (live(fl)) removedAt.getOrElseUpdate(fl, c.version))
+    val base = newestReadableCheckpoint(spark, root, head)
+      .filter(_.homes.isDefined)
+    base.foreach { c =>
+      c.homes.get.foreach { case (fl, vs) =>
+        if (live(fl))
+          vs.find(_ > version).foreach(mv =>
+            removedAt.getOrElseUpdate(fl, mv))
+      }
+    }
+    val from = math.max(base.map(_.version).getOrElse(0), version)
+    listVersions(spark, root).filter(x => x > from && x <= head).foreach { x =>
+      val c = readCommitPatiently(spark, root, x)
+      c.removes.foreach(fl =>
+        if (live(fl)) removedAt.getOrElseUpdate(fl, x))
     }
     live.toSeq.map { fl =>
       val base = removedAt.get(fl) match {

@@ -141,6 +141,51 @@ class StoreLogSpec extends AnyFunSuite {
     assert(!StoreLog.txnSeen(spark, dir, "job:999"))
   }
 
+  test("time travel on an old store is checkpoint-bounded: reading v1 of " +
+      "a 200-commit log touches <= checkpoint+tail metadata files") {
+    val dir = freshDir("graft-log-tt")
+    val n = 200
+    // commit v adds f$v; every 10th commit removes an EARLY file, so old
+    // versions' files get archive homes far in the future — the shape
+    // that made home resolution O(#commits)
+    (1 to n).foreach { v =>
+      assert(StoreLog.tryCommit(spark, dir, v, "append",
+        adds = Seq(s"f$v.parquet"),
+        removes = if (v % 10 == 0) Seq(s"f${v / 10}.parquet") else Nil))
+    }
+    // reference resolution by full replay of the known commit pattern
+    def expectAt(version: Int): Set[(String, String)] = {
+      val live = (1 to version).map(v => s"f$v.parquet").toSet --
+        (1 to version).filter(_ % 10 == 0).map(v => s"f${v / 10}.parquet")
+      live.map { fl =>
+        val id = fl.stripPrefix("f").stripSuffix(".parquet").toInt
+        val rm = id * 10 // f$id is removed by commit id*10 (if <= n)
+        val base =
+          if (rm > version && rm <= n)
+            s"$dir/${StoreLog.historyDirName}/v${"%09d".format(rm)}"
+          else dir
+        (fl, base)
+      }
+    }
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    StoreLog.metaReadProbe = p =>
+      if (p.toString.contains(dir)) { reads.incrementAndGet(); () }
+    try {
+      val v1 = StoreLog.liveFilesAt(spark, dir, 1).toSet
+      assert(v1 == expectAt(1), s"v1 resolution wrong: $v1")
+      val n1 = reads.get()
+      assert(n1 <= StoreLog.CheckpointEvery,
+        s"v1 read $n1 metadata files — time travel is not " +
+          "checkpoint-bounded (log has $n commits)")
+      // a mid-log version resolves exactly too, still bounded
+      reads.set(0)
+      val v150 = StoreLog.liveFilesAt(spark, dir, 150).toSet
+      assert(v150 == expectAt(150), "v150 resolution wrong")
+      assert(reads.get() <= StoreLog.CheckpointEvery,
+        s"v150 read ${reads.get()} metadata files")
+    } finally StoreLog.metaReadProbe = null
+  }
+
   test("pre-log CoW ops baseline first, then commit through the logged " +
       "path — crash windows become repairable and v1 is the original") {
     import graft.store.{StoreDelete, StoreMerge}
