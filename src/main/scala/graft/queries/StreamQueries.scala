@@ -284,14 +284,14 @@ object StreamQueries {
       |ORDER BY window_start_epoch, event_type""".stripMargin
 
   /** Gap-sessionization through the REAL streaming path:
-    * flatMapGroupsWithState with event-time timeouts, drained via the
-    * file sink. A session is emitted either when a later same-user event
-    * closes it inside the (single, AvailableNow) data batch, or when the
-    * final watermark (max event time − 30 min) passes its timeout
-    * (session end + 30 min, ms-floored) in the trailing no-data batch —
-    * so the emitted set is: every non-final session of each user, plus
-    * final sessions old enough to have timed out. Epoch-micros BIGINT
-    * projection keeps the oracle exact-integer (q71 lesson).
+    * flatMapGroupsWithState with multi-session state and event-time
+    * timeouts, drained via the file sink. Exact watermark semantics
+    * (round 12): a session is emitted iff the final watermark (max
+    * event time − 30 min, ms-floored) strictly passes its µs-exact
+    * close (`end_us + gap_us < wm_ms * 1000`) — sessions the watermark
+    * has not sealed stay in state regardless of later same-user
+    * sessions. Epoch-micros BIGINT projection keeps the oracle
+    * exact-integer (q71 lesson).
     */
   def q80StreamingSessionsLive(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -335,16 +335,10 @@ object StreamQueries {
       |mx AS (
       |  SELECT epoch_us(CAST(max(ts) AS TIMESTAMP)) // 1000 - 1800000 AS wm_ms
       |  FROM events
-      |),
-      |ranked AS (
-      |  SELECT p.*,
-      |         row_number() OVER (PARTITION BY user_id
-      |                            ORDER BY session_id DESC) AS rn
-      |  FROM per_session p
       |)
       |SELECT user_id, session_start_us, session_end_us, n_events
-      |FROM ranked, mx
-      |WHERE rn > 1 OR session_end_us // 1000 + 1800000 < wm_ms
+      |FROM per_session, mx
+      |WHERE session_end_us + 1800000000 < wm_ms * 1000
       |ORDER BY user_id, session_start_us""".stripMargin
 
   /** The stream-stream interval join through the REAL streaming path

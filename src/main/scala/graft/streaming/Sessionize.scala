@@ -13,6 +13,7 @@ final case class SessionSummary(
     n_events: Long)
 private final case class SessionState(
     start: Timestamp, last: Timestamp, n: Long)
+private final case class OpenSessions(sessions: Seq[SessionState])
 
 /** Gap-based sessionization — the canonical custom-state streaming
   * operator (windows/sessions are ABSENT in the reference; this is part
@@ -58,23 +59,25 @@ object Sessionize {
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  /** Streaming: emit a SessionSummary when a user's gap times out.
+  /** Streaming: emit a SessionSummary when the WATERMARK closes it —
+    * exact multi-session state (the MergingSessions semantics).
     *
-    * Out-of-order contract (matches `session_window`'s shape as far as
-    * single-session state allows): events older than the WATERMARK are
-    * dropped (`flatMapGroupsWithState` does not filter late input
-    * itself); an in-watermark event landing inside the open session's
-    * `[start − gap, last + gap]` interval MERGES, extending `start`
-    * downward exactly as the batch twin's sorted pass would — not just
-    * `last` upward; an in-watermark event older than `start − gap` forms
-    * its own earlier session. Residual approximation vs the batch twin
-    * (documented, watermark-bounded): a non-latest session is emitted as
-    * soon as a later disjoint session exists, so an even-later-arriving
-    * in-watermark event that would have joined it in batch starts a new
-    * session instead of merging — full fidelity needs multi-session
-    * state (Spark's MergingSessions); the engine's oracle-gated
-    * session_window paths provide that, this operator trades it for
-    * O(1) per-user state.
+    * Out-of-order contract, now exact within the watermark: events older
+    * than the watermark are dropped (`flatMapGroupsWithState` does not
+    * filter late input itself); every OPEN session stays in the per-key
+    * state list, so an in-watermark event merges into whichever
+    * session's `[start − gap, last + gap]` interval it lands in —
+    * extending `start` downward or `last` upward, BRIDGING two sessions
+    * it touches on both sides, or opening a fresh (possibly earlier)
+    * session of its own. A session is emitted only once no in-watermark
+    * event can still reach it: `end_us + gap_us < wm_ms * 1000`
+    * (µs-exact — admissible events satisfy `ts_us >= wm_ms * 1000`, so
+    * the strict inequality is the precise can-never-grow test; the q148
+    * session_window lesson says ms-floored comparisons admit sub-ms
+    * events the state would still accept). State per key is the OPEN
+    * sessions only — bounded by the key's in-flight burst, evicted
+    * against the watermark via event-time timeouts armed at the earliest
+    * open session's close.
     */
   def sessionizeStream(
       spark: SparkSession,
@@ -82,26 +85,42 @@ object Sessionize {
       gapMinutes: Int): Dataset[SessionSummary] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
+    // emit everything the watermark has sealed; keep + re-arm the rest
+    def evict(user: Long, all: Seq[SessionState], wmUs: Long,
+        state: GroupState[OpenSessions]): Iterator[SessionSummary] = {
+      val (closed, open) = all.partition(s => micros(s.last) + gapUs < wmUs)
+      if (open.nonEmpty) {
+        state.update(OpenSessions(open.sortBy(s => micros(s.start))))
+        // earliest close, ms-floored: <= the exact close, so the timeout
+        // fires no later than the eviction becomes due; the max() keeps
+        // Spark's timeout>watermark requirement on the sub-ms edge
+        val nextClose = open
+          .map(s => s.last.getTime + gapMinutes * 60000L).min
+        state.setTimeoutTimestamp(
+          math.max(nextClose, state.getCurrentWatermarkMs + 1L))
+      } else if (state.exists) state.remove()
+      closed.sortBy(s => (micros(s.start), micros(s.last))).iterator
+        .map(s => SessionSummary(user, s.start, s.last, s.n))
+    }
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionSummary](
+      .flatMapGroupsWithState[OpenSessions, SessionSummary](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent],
-            state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionSummary(user, s.start, s.last, s.n))
-          } else {
-            val wmUs = state.getCurrentWatermarkMs * 1000L
+            state: GroupState[OpenSessions]) =>
+          val wmUs = state.getCurrentWatermarkMs * 1000L
+          if (state.hasTimedOut)
+            evict(user, state.getOption.map(_.sessions).getOrElse(Nil),
+              wmUs, state)
+          else {
             val sorted = rows.filter(e => micros(e.ts) >= wmUs)
               .toSeq.sortBy(e => (micros(e.ts), e.event_id))
-            // batch-local interval merge, seeded from the open session:
-            // ascending order means each event either merges into an
-            // existing interval (possibly bridging two) or opens a new
-            // one; everything but the latest interval closes
-            var sessions = state.getOption.toList
+            // interval merge over ALL open sessions: each event merges
+            // into every session it touches (bridging when it touches
+            // two) or opens a new one
+            var sessions =
+              state.getOption.map(_.sessions.toList).getOrElse(Nil)
             sorted.foreach { e =>
               val eUs = micros(e.ts)
               val (touch, rest) = sessions.partition(s =>
@@ -120,19 +139,7 @@ object Sessionize {
                   touch.map(_.n).sum + 1)
               sessions = (merged :: rest).sortBy(s => micros(s.start))
             }
-            val (closed, open) = sessions match {
-              case Nil => (Nil, None)
-              case ss => (ss.init, Some(ss.last))
-            }
-            open match {
-              case Some(s) =>
-                state.update(s)
-                state.setTimeoutTimestamp(math.max(
-                  s.last.getTime + gapMinutes * 60000L,
-                  state.getCurrentWatermarkMs + 1L))
-              case None => if (state.exists) state.remove()
-            }
-            closed.iterator.map(s => SessionSummary(user, s.start, s.last, s.n))
+            evict(user, sessions, wmUs, state)
           }
       }
   }

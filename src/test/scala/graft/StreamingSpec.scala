@@ -149,15 +149,18 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "session_start", "session_end", "n_events")
       .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
       .collect().toSet
-    // sessions the final watermark closed must match batch exactly
+    // exact watermark semantics: the emitted set is EXACTLY the batch
+    // sessions the final watermark sealed (end_us + gap_us < wm_ms*1000);
+    // unsealed sessions stay in state regardless of later sessions
     assert(streamed.nonEmpty)
-    assert(streamed.subsetOf(batch),
-      s"streaming-only sessions: ${(streamed -- batch).take(3)}")
-    // everything except each user's last (still-open) session must be out
-    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.maxBy(_._3.getTime)).toMap
-    val expectedClosed = batch.filterNot { case s @ (u, _, _, _) => lastPerUser(u) == s }
-    assert(expectedClosed.subsetOf(streamed),
-      s"missing closed sessions: ${(expectedClosed -- streamed).take(3)}")
+    def us(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val wmMs = events.agg(max("ts")).head().getTimestamp(0).getTime - 1800000L
+    val expectedClosed = batch.filter { case (_, _, end, _) =>
+      us(end) + 1800000000L < wmMs * 1000L }
+    assert(streamed == expectedClosed,
+      s"streaming-only: ${(streamed -- expectedClosed).take(3)}; " +
+        s"missing: ${(expectedClosed -- streamed).take(3)}")
   }
 
   test("sessionize stream: cross-batch out-of-order events extend the " +
@@ -201,6 +204,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((t("11:50"), t("12:00"), 2L)),
       s"expected start-extended merged session, got $got")
     assert(!got.exists(_._1 == t("11:00")), s"late event leaked: $got")
+  }
+
+  test("sessionize stream: two simultaneously open sessions merge when a " +
+      "cross-batch event bridges them") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sess-multi").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def ev(id: Long, hhmm: String): (Long, java.sql.Timestamp, Long) =
+      (1L, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), id)
+    import spark.implicits._
+    def writePhase(rows: (Long, java.sql.Timestamp, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runPhase(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(ev(0L, "00:00")).toDF("user_id", "ts", "event_id").schema)
+        .parquet(in).as[SessionEvent]
+      val q = Sessionize.sessionizeStream(spark, stream, gapMinutes = 30)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    def emitted(): Set[(java.sql.Timestamp, java.sql.Timestamp, Long)] =
+      spark.read.parquet(out)
+        .select("session_start", "session_end", "n_events")
+        .as[(java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+    val t = (s: String) => java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    // phase 1: 12:00 and 12:50 are disjoint (gap 30) → TWO open sessions
+    // per key; watermark 12:20. The single-open-session state would have
+    // emitted [12:00] here — exact semantics must hold it open.
+    writePhase(ev(1, "12:00"), ev(2, "12:50"))
+    runPhase()
+    assert(emitted().isEmpty,
+      s"no session is watermark-sealed yet, got ${emitted()}")
+    // phase 2: 12:25 (>= wm 12:20) touches BOTH open sessions
+    // (12:00+30 >= 12:25 >= 12:50-30) → bridges them into one
+    writePhase(ev(3, "12:25"))
+    runPhase()
+    assert(emitted().isEmpty, s"merged session still open: ${emitted()}")
+    // phase 3: 14:00 advances the watermark to 13:30 → the bridged
+    // session [12:00, 12:50] (closes 13:20) is sealed and emitted as ONE
+    // 3-event session; [14:00] stays open
+    writePhase(ev(4, "14:00"))
+    runPhase()
+    assert(emitted() == Set((t("12:00"), t("12:50"), 3L)),
+      s"expected the bridged 3-event session alone, got ${emitted()}")
   }
 
   test("transformWithState exact dedup emits each key once across batches") {
