@@ -1142,6 +1142,104 @@ object EtlQueries {
       |       n * (n + 1) // 2 AS sum_logid
       |FROM k""".stripMargin)
 
+  /** Fleet-PARALLEL ETL under the correctness gate: four servers with
+    * OVERLAPPING watermark windows run one `runOnce(parallelism = 4,
+    * concurrentLoads = true)` against a single store — every load goes
+    * through `appendConcurrent`'s optimistic commit protocol and every
+    * advance through the watermark CRDD, concurrently. Deterministic
+    * surface: per-server extract counts (pure window algebra), the final
+    * per-server watermarks (every window contains the batch max), and
+    * the store's closed-form distinct union (n_rows = n_ids = max LogID
+    * = k, sum = k(k+1)/2, total appended across the fleet = k). The
+    * per-server APPENDED split is schedule-dependent by documented
+    * contract and deliberately not emitted.
+    */
+  def q153FleetParallelEtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fleet").toString
+    val store = s"$tmp/consolidated"
+    val wmPath = s"$tmp/watermarks"
+    val src = MsdbDerivation.sources(spark, dir)
+    def usOf(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromUs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    val mx = ExtractTransform
+      .extract(src, ExtractTransform.rewind(EtlRunner.DefaultWatermark),
+        sortOutput = false)
+      .agg(max("backup_finish_date")).head().getTimestamp(0)
+    // staggered seed watermarks BELOW the batch max: srv1 extracts
+    // everything (default 1900 watermark), srv2..4 start 20/10/2 days
+    // back — four overlapping windows that all contain the max
+    val offsetDays = Map("srv2" -> 20L, "srv3" -> 10L, "srv4" -> 2L)
+    graft.store.WatermarkStore.write(spark, wmPath,
+      offsetDays.map { case (s, d) =>
+        s -> fromUs(usOf(mx) - d * 86400000000L) })
+    val servers = Seq("srv1", "srv2", "srv3", "srv4").map(_ -> src).toMap
+    val results = EtlRunner.runOnce(spark, servers, store, wmPath,
+      parallelism = 4, concurrentLoads = true)
+    require(results.forall(_.error.isEmpty),
+      s"fleet run reported failures: ${results.filter(_.error.nonEmpty)}")
+    val stored = ConsolidatedStore.read(spark, store)
+      .agg(count(lit(1)), countDistinct(col("LogID")), max(col("LogID")),
+        sum(col("LogID"))).head()
+    val fleetRow = ("fleet", results.map(_.appended).sum,
+      stored.getLong(0), stored.getLong(1), stored.getLong(2),
+      stored.getLong(3), mx)
+    val perServer = results.map(r => (r.server, r.extracted, 0L, 0L, 0L, 0L,
+      r.newWatermark.orNull.asInstanceOf[java.sql.Timestamp]))
+    (fleetRow +: perServer.sortBy(_._1))
+      .toDF("server", "n_extracted", "n_rows", "n_ids", "max_logid",
+        "sum_logid", "wm")
+      .orderBy("server")
+  }
+
+  /** Per-server thresholds replayed exactly: seed_us = mx_us − d·86400e6;
+    * the runner's rewind ms-floors the seed then subtracts 5 min, and the
+    * extract filter is `finish >= threshold` — all exact integer µs
+    * algebra on both sides.
+    */
+  val q153Oracle: String = MsdbDerivation.oracle(
+    ", " + extractCte + ",\n" +
+      """mx AS (SELECT max(backup_finish_date) AS wm FROM extract0),
+        |k AS (
+        |  SELECT CAST(count(DISTINCT (last_lsn, first_lsn, database_name,
+        |                              physical_device_name)) AS BIGINT) AS n
+        |  FROM extract0
+        |),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM extract0),
+        |w2 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM extract0, mx
+        |  WHERE epoch_us(backup_finish_date) >=
+        |        ((epoch_us(mx.wm) - 20 * 86400000000) // 1000 - 300000) * 1000
+        |),
+        |w3 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM extract0, mx
+        |  WHERE epoch_us(backup_finish_date) >=
+        |        ((epoch_us(mx.wm) - 10 * 86400000000) // 1000 - 300000) * 1000
+        |),
+        |w4 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM extract0, mx
+        |  WHERE epoch_us(backup_finish_date) >=
+        |        ((epoch_us(mx.wm) - 2 * 86400000000) // 1000 - 300000) * 1000
+        |)
+        |SELECT 'fleet' AS server, k.n AS n_extracted, k.n AS n_rows,
+        |       k.n AS n_ids, k.n AS max_logid,
+        |       k.n * (k.n + 1) // 2 AS sum_logid, mx.wm
+        |FROM k, mx
+        |UNION ALL
+        |SELECT 'srv1', n1.n, 0, 0, 0, 0, mx.wm FROM n1, mx
+        |UNION ALL
+        |SELECT 'srv2', w2.n, 0, 0, 0, 0, mx.wm FROM w2, mx
+        |UNION ALL
+        |SELECT 'srv3', w3.n, 0, 0, 0, 0, mx.wm FROM w3, mx
+        |UNION ALL
+        |SELECT 'srv4', w4.n, 0, 0, 0, 0, mx.wm FROM w4, mx
+        |ORDER BY server""".stripMargin)
+
   /** Copy-on-write delete racing a concurrent appender's publish→claim
     * window, under the correctness gate. A full-table retention purge
     * fires through the appender's `beforeCommit` seam — the window where
@@ -1312,6 +1410,7 @@ object EtlQueries {
     "q147_pit_restore_pruned" -> (q147PitRestorePruned _),
     "q146_store_repair" -> (q146StoreRepair _),
     "q145_concurrent_append" -> (q145ConcurrentAppend _),
+    "q153_fleet_parallel_etl" -> (q153FleetParallelEtl _),
     "q150_delete_vs_append" -> (q150DeleteVsAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
@@ -1337,6 +1436,7 @@ object EtlQueries {
     "q147_pit_restore_pruned" -> q147Oracle,
     "q146_store_repair" -> q146Oracle,
     "q145_concurrent_append" -> q145Oracle,
+    "q153_fleet_parallel_etl" -> q153Oracle,
     "q150_delete_vs_append" -> q150Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
     "q101_store_time_travel" -> q101Oracle,
