@@ -72,12 +72,15 @@ object CorpusClean {
         (rewritten, dropped)
       }
 
-    val exact = working
-      .withColumn("__fp", md5(col("__norm"))) // = fingerprint(textCol)
-      .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__fp", "__keep")
-      .cache()
+    // exact survives into the RETURNED survivors plan, so it cannot be
+    // unpersisted here like the other stages — one generation per
+    // operator via CacheSlots (re-invocation unpersists the previous)
+    val exact = graft.util.CacheSlots.rotateOne("corpusClean.exact",
+      working
+        .withColumn("__fp", md5(col("__norm"))) // = fingerprint(textCol)
+        .withColumn("__keep", min(col(idCol)).over(Window.partitionBy("__fp")))
+        .filter(col(idCol) === col("__keep"))
+        .drop("__fp", "__keep"))
     val nExact = exact.count()
 
     val removed = Dedup
