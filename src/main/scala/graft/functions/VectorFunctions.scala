@@ -211,6 +211,12 @@ object VectorFunctions {
           exprs(1).eval().asInstanceOf[Number].intValue()),
         "built-in")
     }
+    val bp = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count")
+    if (!reg.functionExists(bp)) {
+      reg.createOrReplaceTempFunction(
+        "bpe_count", exprs => BpeEncodedCount(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
     val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
     if (!reg.functionExists(cm)) {
       // the analyzer wraps a bare AggregateFunction into an
@@ -286,6 +292,22 @@ object VectorFunctions {
     register(SparkSession.active)
     call_function("bloom_contains", bloom,
       org.apache.spark.sql.functions.xxhash64(v))
+  }
+
+  /** Column API for [[BpeEncodedCount]]: encoded-symbol total of a
+    * tokenized document under a BPE merge ladder (rank order).
+    */
+  def bpeCount(words: Column, merges: Seq[(String, String)]): Column = {
+    register(SparkSession.active)
+    // cast keeps an EMPTY ladder typed array<string> (array() is
+    // array<null> and would fail the type check)
+    call_function("bpe_count", words,
+      org.apache.spark.sql.functions.array(
+        merges.map(m => org.apache.spark.sql.functions.lit(m._1)): _*)
+        .cast("array<string>"),
+      org.apache.spark.sql.functions.array(
+        merges.map(m => org.apache.spark.sql.functions.lit(m._2)): _*)
+        .cast("array<string>"))
   }
 
   /** Column API for [[MisraGriesAgg]]: at-most-k frequent-item

@@ -145,14 +145,25 @@ object Bpe {
     // types), looping locally avoids per-round scheduler overhead
     // entirely; past the limit, the distributed batched loop below keeps
     // the same O(numMerges/batch)-jobs shape. Both paths run the
-    // IDENTICAL candidate ranking and greedy disjoint selection (ASCII
-    // corpus ⇒ Scala string order == Spark UTF8 binary order), pinned
-    // against each other in PipelineSpec.
-    val probe = units.select("u", "f", "sym").take(driverVocabLimit + 1)
-    if (probe.length <= driverVocabLimit)
-      return learnMergesLocal(probe.map(r =>
+    // IDENTICAL candidate ranking and greedy disjoint selection (the
+    // local sort compares by UTF-8 bytes — Spark's UTF8String binary
+    // order — so supplementary characters tie-break identically),
+    // pinned against each other in PipelineSpec.
+    // Materialize the unit table once (the corpus pass), then decide:
+    // the count probe and the keep-path collect both read the
+    // checkpointed blocks, so the over-limit path never materializes
+    // vocab rows on the driver just to discard them (take(limit+1) did
+    // exactly that), and the keep path still costs ONE corpus pass —
+    // a bare limit().count() probe on the un-materialized frame re-ran
+    // the whole corpus aggregation a second time (~2x on q151).
+    val mat = units.select("u", "f", "sym").localCheckpoint()
+    if (mat.limit(driverVocabLimit + 1).count() <= driverVocabLimit) {
+      val rows = mat.collect()
+      mat.unpersist()
+      return learnMergesLocal(rows.map(r =>
         (r.getString(2).split(" "), r.getLong(1))), numMerges, window)
-    var vocab = units.select("u", "f", "sym").localCheckpoint()
+    }
+    var vocab = mat
     // lazy-checkpointed vocab of the PREVIOUS round: its blocks feed the
     // current vocab's first materialization (lineage is truncated), so it
     // is only safe to unpersist after this round's collect ran
@@ -221,18 +232,43 @@ object Bpe {
       sym: org.apache.spark.sql.Column, l: String, r: String)
       : org.apache.spark.sql.Column = {
     val toks = split(sym, " ")
+    // CODE-POINT length of l: Spark's length()/substr() count code
+    // points, Java's String.length counts UTF-16 units — mixing them
+    // chopped one unit short per supplementary character in l
+    val lCp = l.codePointCount(0, l.length)
     aggregate(
       slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
       element_at(toks, 1),
       (acc, x) =>
         when((acc === lit(l) || acc.endsWith(s" $l")) && x === lit(r),
-          concat(substr(acc, lit(1), length(acc) - lit(l.length)), lit(l + r)))
+          concat(substr(acc, lit(1), length(acc) - lit(lCp)), lit(l + r)))
           .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — Spark's
+    * UTF8String binary order. The local path ranks candidates with this
+    * instead of Scala's String order (UTF-16 code units): the two
+    * diverge on supplementary characters, and the driver-local vs
+    * distributed decision is a SIZE heuristic — the same corpus must
+    * learn the same merge table on either path.
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   /** Driver-local replay of the batched loop for vocab tables under the
     * collect budget: same pair counting, same (count desc, l, r)
-    * candidate ranking, same greedy triple-disjoint selection, same
+    * candidate ranking (l/r compared by UTF-8 bytes, see
+    * [[utf8Compare]]), same greedy triple-disjoint selection, same
     * one-pass batch application (sound for the same disjointness
     * reason).
     */
@@ -257,7 +293,14 @@ object Bpe {
       else {
         round += 1
         val cand = pc.toArray
-          .sortBy { case ((l, r), c) => (-c, l, r) }.take(window)
+          .sortWith { case (((l1, r1), c1), ((l2, r2), c2)) =>
+            if (c1 != c2) c1 > c2
+            else {
+              val dl = utf8Compare(l1, l2)
+              if (dl != 0) dl < 0 else utf8Compare(r1, r2) < 0
+            }
+          }
+          .take(window)
         val seen = scala.collection.mutable.Set.empty[String]
         val selected = cand.iterator.flatMap { case ((l, r), c) =>
           val triple = Seq(l, r, l + r)
@@ -302,8 +345,10 @@ object Bpe {
       element_at(toks, 1),
       (acc, x) => {
         val merged = merges.map { case (l, r) =>
+          // code-point length, not UTF-16 units (see applyMerge)
+          val lCp = l.codePointCount(0, l.length)
           ((acc === lit(l) || acc.endsWith(s" $l")) && x === lit(r),
-            concat(substr(acc, lit(1), length(acc) - lit(l.length)),
+            concat(substr(acc, lit(1), length(acc) - lit(lCp)),
               lit(l + r)))
         }
         merged.tail
@@ -315,23 +360,22 @@ object Bpe {
   }
 
   /** Apply learned merges to a corpus: the per-document symbol count
-    * after encoding — a pure row-local projection (the merge ladder is
-    * k greedy folds compiled into the expression; no join, no
+    * after encoding — a pure row-local projection (no join, no
     * shuffle). This is the corpus-scale consumer of the learned
-    * tokenizer: the shape that tokenizes 100 TB in one pass.
+    * tokenizer: the shape that tokenizes 100 TB in one pass. The merge
+    * ladder runs inside [[graft.functions.BpeEncodedCount]], a native
+    * whole-stage-codegen'd expression: expressing it as k chained
+    * [[applyMerge]] folds is semantically identical but each fold is a
+    * higher-order function the expression interpreter evaluates per
+    * token per merge (CodegenFallback — it also severs the surrounding
+    * codegen span), which doubled this query's wall time; the fold form
+    * remains the TRAINING-loop shape where the input is vocab-sized.
+    * Equality of the two forms (runs, multi-char symbols, ladder
+    * cascades) is pinned in PipelineSpec. Empty words (the normalize of
+    * an empty text) carry no symbols in both forms.
     */
   def encodedSymbolCount(textCol: org.apache.spark.sql.Column,
-      merges: Seq[Merge]): org.apache.spark.sql.Column = {
-    // empty "words" (the normalize of an empty text) carry no symbols
-    val words = filter(tokens(textCol), w => w =!= lit(""))
-    // per word: init spelling, fold the merges, count symbols
-    val perWord = transform(words, w =>
-      graft.functions.Let.let(
-        merges.foldLeft(
-          trim(regexp_replace(w, "(.)", "$1 ")): org.apache.spark.sql.Column) {
-          case (acc, m) => applyMerge(acc, m.l_sym, m.r_sym)
-        },
-        enc => size(split(enc, " "))))
-    aggregate(perWord, lit(0L), (acc, n) => acc + n)
-  }
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.bpeCount(
+      tokens(textCol), merges.map(m => (m.l_sym, m.r_sym)))
 }

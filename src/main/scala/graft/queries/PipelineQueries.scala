@@ -1127,10 +1127,11 @@ object PipelineQueries {
 
   /** Corpus encoding with the learned tokenizer: per-source document,
     * word, and encoded-symbol totals. The Spark side is a pure row-local
-    * projection (the merge ladder folds into k literal replaces — the
-    * one-pass 100 TB tokenization shape); the oracle instead joins each
-    * word to its FINAL vocab spelling, so the projection must agree with
-    * the vocab fixpoint word by word.
+    * projection (the merge ladder runs inside one codegen'd expression,
+    * [[graft.functions.BpeEncodedCount]] — the one-pass 100 TB
+    * tokenization shape); the oracle instead joins each word to its
+    * FINAL vocab spelling, so the projection must agree with the vocab
+    * fixpoint word by word.
     */
   def q91BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1171,16 +1172,18 @@ object PipelineQueries {
 
   private val BatchedBpeMerges = 256
   private val BatchedBpeWindow = 256
-  // empirical round count at sf0.01 is 12; one spare round keeps the
-  // oracle ahead of the Spark loop if the tail batch ever lands short
-  // (extra selections sort after rank 256 and fall to the LIMIT)
-  private val BatchedBpeOracleRounds = 13
+  // empirical round count at sf0.01 is 12; a 2x overshoot keeps the
+  // oracle ahead of the Spark loop under fixture drift or short tail
+  // batches — extra rounds are harmless (their selections sort after
+  // rank 256 and fall to the final LIMIT; an exhausted round's empty
+  // merge list leaves w_i = w_{i-1})
+  private val BatchedBpeOracleRounds = 24
 
   /** Batched BPE training ([[graft.pipeline.Bpe.learnMergesBatched]]) on
-    * word-bigram units: 256 merges in ~19 rounds instead of 256
+    * word-bigram units: 256 merges in ~12 rounds instead of 256
     * sequential driver round-trips — the O(numMerges/batch)-jobs shape a
     * production 32k-merge vocabulary needs. The oracle unrolls every
-    * round: pair counts → top-64 candidates → a recursive-CTE greedy
+    * round: pair counts → top-256 candidates → a recursive-CTE greedy
     * scan keeping each candidate whose {l, r, l||r} triple is disjoint
     * from all earlier keeps → the round's merges applied as one nested
     * fold (outer: merge list in batch order; inner: the q90 greedy

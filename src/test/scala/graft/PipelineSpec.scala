@@ -1070,6 +1070,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(dist === wide, "local and distributed batched training diverged")
   }
 
+  test("codegen'd BPE encode equals the fold form on adversarial " +
+    "spellings") {
+    import graft.pipeline.Bpe
+    // runs sharing the delimiter space, cascading ladders (aa then
+    // aa+a), multi-char symbols, a supplementary character, empties
+    val supp = new String(Character.toChars(0x10000))
+    val merges = Seq(
+      Bpe.Merge(1, "a", "a", 0L), Bpe.Merge(2, "aa", "a", 0L),
+      Bpe.Merge(3, "b", "c", 0L), Bpe.Merge(4, "bc", "bc", 0L),
+      Bpe.Merge(5, supp, "x", 0L))
+    val words = Seq("aaaa", "aaaaaaa", "a", "", "bcbcbc", "abcabcb",
+      s"${supp}x${supp}xa", "xyzzy", "aaabc")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "w")
+    // fold form: k chained applyMerge folds over the spaced spelling
+    val foldN = df.select(col("id"), graft.functions.Let.let(
+        merges.foldLeft(trim(regexp_replace(col("w"), "(.)", "$1 "))
+          : org.apache.spark.sql.Column) {
+          case (acc, m) => Bpe.applyMerge(acc, m.l_sym, m.r_sym)
+        },
+        enc => when(col("w") === "", 0L)
+          .otherwise(size(split(enc, " ")).cast("long"))).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val exprN = df.select(col("id"),
+        graft.functions.VectorFunctions.bpeCount(array(col("w")), merges
+          .map(m => (m.l_sym, m.r_sym))).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(exprN === foldN, "expression and fold forms diverged")
+    // closed-form spot checks: aaaa → (aa)(aa) → (aaa)a? no — greedy
+    // l-t-r: a a a a → aa aa (merge 1), then aa+a never matches (both
+    // tokens are 'aa') → 2; aaaaaaa (7) → aa aa aa a → aaa? merge 2
+    // rewrites (aa,a): aa aa (aa a→aaa) → wait, trailing-only pairing:
+    // merge1: aa aa aa a; merge2 (aa,a): last pair (aa,a) → aa aa aaa
+    // = 3 tokens
+    assert(exprN(0L) == 2L && exprN(1L) == 3L && exprN(3L) == 0L)
+    // empty ladder: pure code-point count (array() cast path)
+    val zero = df.select(col("id"),
+        graft.functions.VectorFunctions
+          .bpeCount(array(col("w")), Seq.empty).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(zero(0L) == 4L && zero(6L) == 5L && zero(3L) == 0L)
+  }
+
+  test("batched BPE local path tie-breaks by UTF-8 bytes like the " +
+    "distributed path") {
+    import graft.pipeline.Bpe
+    // U+FFFD (UTF-8 EF BF BD) vs U+10000 (UTF-8 F0 90 80 80): UTF-16
+    // code-unit order says U+10000 < U+FFFD (D800 < FFFD) — the exact
+    // divergence the byte comparator closes
+    val hi = new String(Character.toChars(0x10000))
+    assert(Bpe.utf8Compare("\uFFFD", hi) < 0 && "\uFFFD".compareTo(hi) > 0)
+    val units = Seq(
+      ("\uFFFDz", 5L, "\uFFFD z"),
+      (hi + "z", 5L, s"$hi z")).toDF("u", "f", "sym")
+    val local = Bpe.learnMergesBatched(spark, units, 2, window = 1)
+    val dist = Bpe.learnMergesBatched(spark, units, 2, window = 1,
+      driverVocabLimit = 0)
+    assert(local === dist, "tie-break diverged between paths")
+    assert(local.head.l_sym == "\uFFFD", "UTF-8 byte order must win ties")
+  }
+
   test("chunking covers every token with the declared overlap") {
     import graft.pipeline.Curation
     val docs = Tables.documents(spark, TestSpark.sf)
