@@ -162,31 +162,31 @@ object Decontaminate {
     * vector computes dots against only its `nProbe` nearest lists —
     * O(|corpus| x |bench| x nProbe/nCentroids) compute.
     *
-    * Shape at 100 TB: probe selection is a row-local argsort over
-    * centroid LITERALS (no join, no row inflation beyond x nProbe, no
-    * window shuffle — unlike the generic [[Similarity.ivfTopKBig]] probe
-    * router, which pays a corpus-wide rank window); the inverted lists
-    * are the only broadcast (bench-sized); the corpus streams through the
-    * broadcast equi-join once and the single shuffle is the
-    * map-side-combinable max(struct) per id. With nProbe = nCentroids
-    * every list is probed and the result equals the exact report by
-    * construction (pinned in PipelineSpec); below that, recall follows
-    * the probed-list mass.
+    * Shape at 100 TB: up to `maxLiteralK` lists, probe selection is a
+    * row-local argsort over centroid LITERALS (no join, no row inflation
+    * beyond x nProbe, no window shuffle); past it — where the generated
+    * method would blow the JVM's 64 KB codegen ceiling — routing
+    * automatically takes the [[Similarity.ivfTopKBig]] probe shape
+    * (broadcast centroid table, per-corpus-row rank window), same
+    * ranking and tie-break, pinned equal in PipelineSpec. Either way the
+    * inverted lists are the only broadcast (bench-sized); the corpus
+    * streams through the broadcast equi-join once and the final shuffle
+    * is the map-side-combinable max(struct) per id. With
+    * nProbe = nCentroids every list is probed and the result equals the
+    * exact report by construction (pinned in PipelineSpec); below that,
+    * recall follows the probed-list mass.
     */
   def semanticContaminationReportAnn(
       corpus: DataFrame, idCol: String, vecCol: String,
       bench: DataFrame, benchIdCol: String, benchVecCol: String,
-      minSim: Double, nCentroids: Int, nProbe: Int): DataFrame = {
+      minSim: Double, nCentroids: Int, nProbe: Int,
+      maxLiteralK: Int = Similarity.LiteralAssignMaxK): DataFrame = {
     require(bench.schema(benchIdCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"semanticContaminationReportAnn: $benchIdCol must be numeric " +
         "(the deterministic lowest-id tie-break negates it)")
     require(nCentroids > 0 && nProbe > 0 && nProbe <= nCentroids,
       "need 0 < nProbe <= nCentroids")
-    require(nCentroids <= Similarity.LiteralAssignMaxK,
-      s"literal probe routing caps at ${Similarity.LiteralAssignMaxK} " +
-        "lists (codegen method size); larger quantizers should go " +
-        "through Similarity.ivfTopKBig")
     val b0 = bench.select(
       col(benchIdCol).cast("long").as("id"),
       col(benchVecCol).cast("array<double>").as("v"))
@@ -198,23 +198,45 @@ object Decontaminate {
     val lists = broadcast(
       Similarity.assignToCentroids(b0, centArr)
         .select(col("id").as("__bid"), col("v").as("__bv"), col("cid")))
-    // row-local probe routing: argsort over centroid literals, ascending
-    // (negated-sim, cid) — csim desc with smallest-cid ties. The
-    // negation is (0.0 - x), which can never produce -0.0, so the struct
-    // sort order is signed-zero-proof on both engines.
-    val probeIds = {
-      val entries = array(centArr.map { case (cid, cv) =>
-        struct(
-          round(lit(0.0) - Similarity.dot(col("__v"),
-            array(cv.map(lit): _*)), 6).as("negc"),
-          lit(cid).as("cid"))
-      }.toIndexedSeq: _*)
-      transform(slice(array_sort(entries), 1, nProbe),
-        e => e.getField("cid"))
-    }
-    corpus
+    val corpusV = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .withColumn("cid", explode(probeIds))
+    val routed = if (centArr.length <= maxLiteralK) {
+      // row-local probe routing: argsort over centroid literals,
+      // ascending (negated-sim, cid) — csim desc with smallest-cid ties.
+      // The negation is (0.0 - x), which can never produce -0.0, so the
+      // struct sort order is signed-zero-proof on both engines.
+      val probeIds = {
+        val entries = array(centArr.map { case (cid, cv) =>
+          struct(
+            round(lit(0.0) - Similarity.dot(col("__v"),
+              array(cv.map(lit): _*)), 6).as("negc"),
+            lit(cid).as("cid"))
+        }.toIndexedSeq: _*)
+        transform(slice(array_sort(entries), 1, nProbe),
+          e => e.getField("cid"))
+      }
+      corpusV.withColumn("cid", explode(probeIds))
+    } else {
+      // large-quantizer route (the ivfTopKBig probe shape): broadcast
+      // the centroid table, rank lists per corpus row, keep nProbe.
+      // Costs one rank window over |corpus| x nCentroids rows — the
+      // documented trade past the codegen ceiling. round(dot) ranked
+      // DESC with smallest-cid ties is exactly the literal argsort's
+      // order (HALF_UP rounding commutes with negation).
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      val cents = broadcast(
+        centArr.toSeq.toDF("cid", "__cv")
+          .select(col("cid"), col("__cv").cast("array<double>").as("__cv")))
+      corpusV.crossJoin(cents)
+        .withColumn("__csim", round(Similarity.dot(col("__v"), col("__cv")), 6))
+        .withColumn("__pr", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+            .orderBy(col("__csim").desc, col("cid"))))
+        .filter(col("__pr") <= nProbe)
+        .select(col(idCol), col("__v"), col("cid"))
+    }
+    routed
       .join(lists, Seq("cid"))
       .filter(col(idCol) =!= col("__bid"))
       .select(col(idCol),

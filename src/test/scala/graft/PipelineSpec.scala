@@ -882,6 +882,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(part.forall { case (id, _, s) => s <= exactBest(id) })
     val recall = partIds.size.toDouble / exactIds.size
     assert(recall >= 0.5, s"2-of-8-probe recall $recall below floor")
+    // large-quantizer route (nCentroids past the codegen ceiling —
+    // forced here via maxLiteralK = 0): the window-ranked probe router
+    // must equal the exact report at full probe and the literal route
+    // bit-for-bit at partial probe (same ranking, same tie-break)
+    val fullBig = rows(Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 8, maxLiteralK = 0))
+    assert(fullBig === exact, "window-routed full probe diverged from exact")
+    val partBig = rows(Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 2, maxLiteralK = 0))
+    assert(partBig === part, "window and literal probe routes diverged")
+    // and a GENUINE past-the-ceiling quantizer (300 > LiteralAssignMaxK
+    // = 256, bench = the full embedding table): both the probe router
+    // and the bench-side inversion take their large-k arms at real
+    // size — no codegen blowup, still exact at full probe
+    val exactAll = rows(Decontaminate.semanticContaminationReport(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+      minSim = 0.25))
+    val annAll = rows(Decontaminate.semanticContaminationReportAnn(
+      emb, "vec_id", "embedding", emb, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 300, nProbe = 300))
+    assert(annAll === exactAll, "300-list full probe diverged from exact")
   }
 
   test("JL random projection: deterministic, norm distortion bounded") {
