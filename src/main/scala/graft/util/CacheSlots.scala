@@ -35,8 +35,20 @@ object CacheSlots {
     * canonicalization on real operator trees measured 40-90 ms per
     * call and perturbed AQE cache planning (a reproducible +0.5 s and
     * a different stage count on the q24 bench row).
+    *
+    * Rotation is ATOMIC (one global lock): un-synchronized, two
+    * concurrent rotations of the same key could interleave so the
+    * losing generation is cached after the winner unpersisted it —
+    * a CacheManager entry no later rotation can reach, the exact leak
+    * this registry exists to bound. The lock covers driver-side
+    * bookkeeping only (unpersist(blocking=false), lazy cache
+    * registration), so it is microseconds, not job-length. Note the
+    * deliberate limit: a generation is keyed per OPERATOR, so
+    * concurrent invocations with different inputs still unpersist each
+    * other's caches — the in-flight loser recomputes from lineage
+    * (slower, never wrong; every cached plan here is deterministic).
     */
-  def rotate(key: String, dfs: DataFrame*): Seq[DataFrame] = {
+  def rotate(key: String, dfs: DataFrame*): Seq[DataFrame] = synchronized {
     val prev = slots.put(key, dfs.toVector)
     if (prev != null) prev.foreach(_.unpersist(false))
     dfs.foreach(_.cache())
