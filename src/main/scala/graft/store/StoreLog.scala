@@ -206,7 +206,16 @@ object StoreLog {
         (jv \ "version").extract[Int],
         (jv \ "live").extract[Seq[String]],
         (jv \ "txns").extract[Seq[String]],
-        (jv \ "homes").extractOpt[Map[String, Seq[Int]]]))
+        // explicit presence check: json4s extracts a MISSING field to an
+        // EMPTY Map (extractOpt returns Some(Map())), which would make a
+        // pre-index checkpoint masquerade as "indexed, nothing ever
+        // removed" — liveFilesAt would then skip the pre-checkpoint
+        // commits and silently resolve wrong archive homes instead of
+        // taking the documented tail-replay fallback
+        (jv \ "homes") match {
+          case JNothing | JNull => None
+          case h => Some(h.extract[Map[String, Seq[Int]]])
+        }))
     } catch {
       // torn by a dead writer, or vanished — fall back to an older
       // checkpoint / full replay; a checkpoint is a pure accelerator
@@ -255,37 +264,83 @@ object StoreLog {
   private def maybeCheckpoint(
       spark: SparkSession, root: String, v: Int): Unit = {
     if (v % CheckpointEvery != 0) return
-    try {
-      import org.json4s.JsonDSL._
-      import org.json4s.jackson.JsonMethods
-      // build from the newest base checkpoint CARRYING a remove index;
-      // an index-less base (pre-index checkpoint) forces one full replay
-      // here, which repairs the store onto the indexed fast path
-      val base = newestReadableCheckpoint(spark, root, v)
-        .filter(_.homes.isDefined)
-      val live = scala.collection.mutable.LinkedHashSet.empty[String]
-      val txns = scala.collection.mutable.Set.empty[String]
-      val homes = scala.collection.mutable.Map.empty[String, Seq[Int]]
-      base.foreach { c =>
-        live ++= c.live; txns ++= c.txns; homes ++= c.homes.get
-      }
-      val from = base.map(_.version).getOrElse(0)
-      listVersions(spark, root).filter(x => x > from && x <= v).foreach { x =>
-        val c = readCommitPatiently(spark, root, x)
-        live ++= c.adds; live --= c.removes; c.txn.foreach(txns += _)
-        c.removes.foreach(r => homes(r) = homes.getOrElse(r, Nil) :+ x)
-      }
-      val bytes = JsonMethods.compact(JsonMethods.render(
-        ("version" -> v) ~ ("live" -> live.toSeq) ~
-          ("txns" -> txns.toSeq.sorted) ~
-          ("homes" -> homes.toMap))).getBytes(StandardCharsets.UTF_8)
-      val p = ckptPath(root, v)
-      createExclusive(fs(spark, p), p, bytes)
-    } catch {
+    try writeCheckpoint(spark, root, v)
+    catch {
       case scala.util.control.NonFatal(e) =>
         log.warn(s"log checkpoint v$v on $root failed " +
           "(accelerator only — readers replay commits): " + e)
     }
+  }
+
+  /** Force a checkpoint at the current head — the maintenance entry
+    * point that upgrades a store on demand instead of waiting for the
+    * next natural multiple of [[CheckpointEvery]]. Two uses: a store
+    * whose checkpoints predate the `homes` remove index keeps the
+    * slower tail-replay time travel until a checkpoint REWRITE — this
+    * writes one now (the index builds via one full replay, after which
+    * every snapshot read is checkpoint-bounded); and a vacuum-heavy
+    * store sheds its pruned index entries immediately (see the pruning
+    * note in [[writeCheckpoint]]). Idempotent and multi-writer-safe:
+    * the checkpoint file is create-no-overwrite and pure derived data.
+    * Returns the head version (0 = empty log, nothing written).
+    */
+  def checkpointNow(spark: SparkSession, root: String): Int = {
+    val head = currentVersion(spark, root)
+    if (head >= 1) writeCheckpoint(spark, root, head)
+    head
+  }
+
+  private def writeCheckpoint(
+      spark: SparkSession, root: String, v: Int): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    // build from the newest base checkpoint CARRYING a remove index;
+    // an index-less base (pre-index checkpoint) forces one full replay
+    // here, which repairs the store onto the indexed fast path
+    val base = newestReadableCheckpoint(spark, root, v)
+      .filter(_.homes.isDefined)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val txns = scala.collection.mutable.Set.empty[String]
+    val homes = scala.collection.mutable.Map.empty[String, Seq[Int]]
+    base.foreach { c =>
+      live ++= c.live; txns ++= c.txns; homes ++= c.homes.get
+    }
+    val from = base.map(_.version).getOrElse(0)
+    listVersions(spark, root).filter(x => x > from && x <= v).foreach { x =>
+      val c = readCommitPatiently(spark, root, x)
+      live ++= c.adds; live --= c.removes; c.txn.foreach(txns += _)
+      c.removes.foreach(r => homes(r) = homes.getOrElse(r, Nil) :+ x)
+    }
+    // prune index entries whose archive home dir was VACUUMED: the
+    // files are gone, so the entry can no longer serve a snapshot (the
+    // read fails loudly either way), and left alone the cumulative
+    // index grows O(every remove since the store was born) on
+    // delete/compaction-heavy stores — an unbounded metadata blob.
+    // One history-dir listing bounds the index to the retention
+    // window. A store with NO history dir (log-level use, or no
+    // replace op yet) keeps its entries: absence of the dir tree says
+    // nothing about vacuuming there. Committed archive dirs never
+    // move (re-homing only touches uncommitted parked archives), so
+    // the listing is stable against concurrent replacers.
+    val histDir = new Path(s"$root/$historyDirName")
+    val hfs = fs(spark, histDir)
+    if (hfs.exists(histDir)) {
+      val present = hfs.listStatus(histDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
+          n.drop(1).toInt
+        }.toSet
+      val pruned = homes.toSeq.flatMap { case (fl, vs) =>
+        val kept = vs.filter(present)
+        if (kept.isEmpty) None else Some(fl -> kept)
+      }
+      homes.clear(); homes ++= pruned
+    }
+    val bytes = JsonMethods.compact(JsonMethods.render(
+      ("version" -> v) ~ ("live" -> live.toSeq) ~
+        ("txns" -> txns.toSeq.sorted) ~
+        ("homes" -> homes.toMap))).getBytes(StandardCharsets.UTF_8)
+    val p = ckptPath(root, v)
+    createExclusive(fs(spark, p), p, bytes)
   }
 
   private def parse(json: String): Commit = {

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -184,6 +186,89 @@ class StoreLogSpec extends AnyFunSuite {
       assert(reads.get() <= StoreLog.CheckpointEvery,
         s"v150 read ${reads.get()} metadata files")
     } finally StoreLog.metaReadProbe = null
+  }
+
+  test("checkpointNow upgrades a pre-index store: v1 reads become " +
+      "checkpoint-bounded without waiting for a natural rewrite") {
+    val dir = freshDir("graft-log-upg")
+    val n = 200
+    (1 to n).foreach { v =>
+      assert(StoreLog.tryCommit(spark, dir, v, "append",
+        adds = Seq(s"f$v.parquet"),
+        removes = if (v % 10 == 0) Seq(s"f${v / 10}.parquet") else Nil))
+    }
+    // simulate a store whose checkpoints predate the homes index:
+    // strip the field from every checkpoint file
+    import org.json4s.jackson.JsonMethods
+    val logDir = java.nio.file.Paths.get(s"$dir/${StoreLog.dirName}")
+    java.nio.file.Files.list(logDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("ckpt-v")).foreach { p =>
+        val jv = JsonMethods.parse(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        val stripped = jv.removeField { case (name, _) => name == "homes" }
+        java.nio.file.Files.write(p,
+          JsonMethods.compact(JsonMethods.render(stripped)).getBytes("UTF-8"))
+      }
+    def expectAt(version: Int): Set[(String, String)] = {
+      val live = (1 to version).map(v => s"f$v.parquet").toSet --
+        (1 to version).filter(_ % 10 == 0).map(v => s"f${v / 10}.parquet")
+      live.map { fl =>
+        val id = fl.stripPrefix("f").stripSuffix(".parquet").toInt
+        val rm = id * 10
+        val base =
+          if (rm > version && rm <= n)
+            s"$dir/${StoreLog.historyDirName}/v${"%09d".format(rm)}"
+          else dir
+        (fl, base)
+      }
+    }
+    // pre-upgrade: correct via the tail-replay fallback (slow path)
+    assert(StoreLog.liveFilesAt(spark, dir, 1).toSet == expectAt(1))
+    // the upgrade op: one eager checkpoint at the head rebuilds the index
+    assert(StoreLog.checkpointNow(spark, dir) == n)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    StoreLog.metaReadProbe = p =>
+      if (p.toString.contains(dir)) { reads.incrementAndGet(); () }
+    try {
+      val v1 = StoreLog.liveFilesAt(spark, dir, 1).toSet
+      assert(v1 == expectAt(1), s"post-upgrade v1 resolution wrong")
+      assert(reads.get() <= StoreLog.CheckpointEvery,
+        s"v1 read ${reads.get()} metadata files after checkpointNow — " +
+          "the upgrade did not restore the checkpoint bound")
+    } finally StoreLog.metaReadProbe = null
+  }
+
+  test("checkpoint rewrite prunes homes entries whose archive dirs were " +
+      "vacuumed; live entries survive") {
+    val dir = freshDir("graft-log-prune")
+    (1 to 70).foreach { v =>
+      assert(StoreLog.tryCommit(spark, dir, v, "append",
+        adds = Seq(s"f$v.parquet"),
+        removes = if (v % 10 == 0) Seq(s"f${v / 10}.parquet") else Nil))
+    }
+    // archive dirs for every remove commit (10..70), then vacuum two
+    (1 to 7).foreach { i =>
+      assert(new java.io.File(
+        s"$dir/${StoreLog.historyDirName}/v${"%09d".format(i * 10)}").mkdirs())
+    }
+    Seq(10, 20).foreach { v =>
+      val d = new java.io.File(
+        s"$dir/${StoreLog.historyDirName}/v${"%09d".format(v)}")
+      assert(d.delete(), s"fixture vacuum of $d failed")
+    }
+    assert(StoreLog.checkpointNow(spark, dir) == 70)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$dir/${StoreLog.dirName}/ckpt-v${"%09d".format(70)}.json")), "UTF-8")
+    val homes = (JsonMethods.parse(txt) \ "homes")
+      .extract[Map[String, Seq[Int]]]
+    assert(homes.keySet == Set("f3", "f4", "f5", "f6", "f7")
+      .map(_ + ".parquet"),
+      s"pruned index wrong: ${homes.keySet}")
+    assert((3 to 7).forall(i => homes(s"f$i.parquet") == Seq(i * 10)))
   }
 
   test("pre-log CoW ops baseline first, then commit through the logged " +
