@@ -97,13 +97,14 @@ object EtlRunner {
       watermarkPath: String,
       parallelism: Int = 1,
       concurrentLoads: Boolean = false): Seq[SourceBatchResult] = {
-    val wmHealth0 = WatermarkStore.ReadStats.snapshot
-    val watermarks = WatermarkStore.read(spark, watermarkPath)
     // contention observed reading the control table, stamped on every
-    // per-server result (the read is once per run). JVM-global counters:
-    // a concurrent sibling run's retries can bleed in — observability,
-    // not accounting.
-    val wmReadRetries = (WatermarkStore.ReadStats.snapshot - wmHealth0).total
+    // per-server result (the read is once per run). Per-CALL health from
+    // the read itself — a concurrent sibling run's retries never bleed
+    // into this run's stamp (the JVM-global ReadStats still accumulate
+    // the fleet-wide view)
+    val (watermarks, wmHealth) =
+      WatermarkStore.readWithHealth(spark, watermarkPath)
+    val wmReadRetries = wmHealth.total
     val ordered = sources.toSeq.sortBy(_._1)
 
     // phase 1 (parallelizable): extract + materialize. Spark is lazy, so

@@ -143,6 +143,16 @@ object WatermarkStore {
   def read(spark: SparkSession, path: String): Map[String, Timestamp] =
     readHooked(spark, path)(_ => ())
 
+  /** [[read]] returning the health of THIS call alongside the state —
+    * the exact per-read attribution a runner stamps on its results.
+    * The JVM-global [[ReadStats]] counters still accumulate (fleet-wide
+    * observability), but a caller using this return value never counts
+    * a concurrent sibling run's retries as its own.
+    */
+  def readWithHealth(
+      spark: SparkSession, path: String): (Map[String, Timestamp], ReadHealth) =
+    readHookedWithHealth(spark, path)(_ => ())
+
   /** [[read]] with a test seam: `afterListing(files)` runs between the
     * segment listing and the segment read — exactly the window a racing
     * fold's deletes land in. The concurrency spec deletes a listed
@@ -170,21 +180,35 @@ object WatermarkStore {
     * and idempotent dedup absorb it). A quiescent read is exact.
     */
   private[graft] def readHooked(spark: SparkSession, path: String)(
-      afterListing: Seq[String] => Unit): Map[String, Timestamp] = {
+      afterListing: Seq[String] => Unit): Map[String, Timestamp] =
+    readHookedWithHealth(spark, path)(afterListing)._1
+
+  private[graft] def readHookedWithHealth(spark: SparkSession, path: String)(
+      afterListing: Seq[String] => Unit)
+      : (Map[String, Timestamp], ReadHealth) = {
+    // per-call health, accumulated locally and MIRRORED into the
+    // JVM-global counters: the return value attributes exactly this
+    // read's contention (no sibling-run bleed), the globals keep the
+    // cumulative fleet view
+    var retries = 0L
+    var stale = 0L
+    var bestEffort = 0L
+    def health = ReadHealth(retries, stale, bestEffort)
     var attempt = 0
     var lastGood: Map[String, Timestamp] = null
     while (attempt < 16) {
       val files = segmentFiles(spark, path)
-      if (files.isEmpty) return Map.empty
+      if (files.isEmpty) return (Map.empty, health)
       afterListing(files)
       try {
         val m = readSegments(spark, path, files)
-        if (segmentFiles(spark, path).toSet == files.toSet) return m
+        if (segmentFiles(spark, path).toSet == files.toSet) return (m, health)
         lastGood = m
       } catch {
         case e: Exception if StoreLog.fileVanished(e) => ()
       }
       ReadStats.unstableRetries.incrementAndGet()
+      retries += 1
       attempt += 1
       // folds are ms-scale; a brief exponential backoff lets the racing
       // fold finish instead of chasing its deletes listing-for-listing
@@ -195,11 +219,12 @@ object WatermarkStore {
       // max-merge makes acting on it safe (the ETL rewind window +
       // idempotent dedup absorb the staleness) — but never silently
       ReadStats.staleFallbacks.incrementAndGet()
+      stale += 1
       log.warn(s"watermark read on $path exhausted its listing-stability " +
         "budget (16 attempts); returning the last fully-read state " +
         "(stale-but-valid under max-merge). Constant folding on this " +
         "table is pathological - check advance fan-out.")
-      lastGood
+      (lastGood, health)
     } else {
       // no attempt ever completed a full read: merge the segments that
       // DO read on a fresh listing, skipping vanished files. Still sound
@@ -208,18 +233,41 @@ object WatermarkStore {
       // or resurface next read - and strictly better than failing the
       // run over reader-side contention on a healthy table.
       ReadStats.bestEffortReads.incrementAndGet()
+      bestEffort += 1
       log.warn(s"watermark read on $path never completed a full segment " +
         "read under constant folding; best-effort max-merge of readable " +
         "segments (stale-but-valid under max-merge)")
-      val files = segmentFiles(spark, path)
-      files
-        .flatMap { f =>
-          try readSegments(spark, path, Seq(f)).toSeq
-          catch { case e: Exception if StoreLog.fileVanished(e) => Nil }
-        }
+      def pass(): Map[String, Timestamp] =
+        segmentFiles(spark, path)
+          .flatMap { f =>
+            try readSegments(spark, path, Seq(f)).toSeq
+            catch { case e: Exception if StoreLog.fileVanished(e) => Nil }
+          }
+          .groupBy(_._1)
+          .map { case (s, xs) => s -> xs.map(_._2).reduce((a, b) =>
+            if (a.compareTo(b) >= 0) a else b) }
+      // TWO passes, max-merged: one pass can lose a server ENTIRELY when
+      // its only readable segment vanishes between the listing and the
+      // per-file read — a silent reset to the default watermark (sound
+      // under idempotent dedup, but a full re-extract). Replacements are
+      // published before deletes, so the second fresh listing carries the
+      // folded segment for anything the first pass lost. A server seen by
+      // only one pass is ESCALATED by name: that is the signature of a
+      // vanish inside a single pass, not steady-state folding.
+      val first = pass()
+      val second = pass()
+      val merged = (first.toSeq ++ second.toSeq)
         .groupBy(_._1)
         .map { case (s, xs) => s -> xs.map(_._2).reduce((a, b) =>
           if (a.compareTo(b) >= 0) a else b) }
+      val lopsided = (first.keySet union second.keySet) diff
+        (first.keySet intersect second.keySet)
+      if (lopsided.nonEmpty)
+        log.warn(s"watermark best-effort read on $path saw servers in only " +
+          s"one of two passes: ${lopsided.toSeq.sorted.mkString(", ")} — " +
+          "a third concurrent pass may still be missing a server (its " +
+          "next advance or read self-heals under max-merge)")
+      (merged, health)
     }
   }
 

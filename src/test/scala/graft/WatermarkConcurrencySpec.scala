@@ -168,4 +168,40 @@ class WatermarkConcurrencySpec extends AnyFunSuite {
     assert(m == Map("a" -> ts(5000L)),
       s"best-effort merge must surface the issued value, got $m")
   }
+
+  test("per-read health is scoped to the call: a quiescent reader sees " +
+    "zero retries while a sibling read thrashes the global counters") {
+    val thrashed = tmp()
+    val quiet = tmp()
+    WatermarkStore.advance(spark, thrashed, "a", ts(1000L))
+    WatermarkStore.advance(spark, quiet, "q", ts(9000L))
+    // sibling thread: the fold-storm shape — every listing is followed
+    // by a fresh advance, so its read burns the full retry budget and
+    // bumps the JVM-global ReadStats the whole time
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val storm = pool.submit(new java.util.concurrent.Callable[
+        (Map[String, java.sql.Timestamp], WatermarkStore.ReadHealth)] {
+      def call() = {
+        var n = 0
+        WatermarkStore.readHookedWithHealth(spark, thrashed) { _ =>
+          n += 1
+          WatermarkStore.advance(spark, thrashed, "a", ts(1000L + n * 1000L))
+        }
+      }
+    })
+    // quiescent reads DURING the storm: per-call health must stay zero
+    // even though the globals are moving underneath
+    val quietHealths = (1 to 5).map { _ =>
+      val (m, h) = WatermarkStore.readWithHealth(spark, quiet)
+      assert(m == Map("q" -> ts(9000L)))
+      h
+    }
+    val (_, stormHealth) = storm.get()
+    pool.shutdown()
+    assert(quietHealths.forall(_.total == 0L),
+      s"sibling contention bled into quiescent reads: $quietHealths")
+    assert(stormHealth.unstableRetries == 16 &&
+      stormHealth.staleFallbacks == 1 && stormHealth.bestEffortReads == 0,
+      s"the thrashed read must own exactly its budget: $stormHealth")
+  }
 }
