@@ -28,6 +28,48 @@ private final case class OpenSessions(sessions: Seq[SessionState])
   */
 object Sessionize {
 
+  /** High-water-mark accumulator (merge/add = max) — task retries can
+    * only re-observe a value, never inflate it.
+    */
+  final class MaxAccumulator
+      extends org.apache.spark.util.AccumulatorV2[Long, Long] {
+    private var _v = 0L
+    override def isZero: Boolean = _v == 0L
+    override def copy(): MaxAccumulator = {
+      val c = new MaxAccumulator; c._v = _v; c
+    }
+    override def reset(): Unit = _v = 0L
+    override def add(v: Long): Unit = _v = math.max(_v, v)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+      _v = math.max(_v, other.value)
+    override def value: Long = _v
+  }
+
+  /** Open-session state observability for [[sessionizeStream]]. The
+    * exact multi-session state is a per-key OPEN-session list; under a
+    * stalled watermark that list grows with the number of disjoint
+    * in-flight sessions — correct (exactness requires it) but invisible
+    * until it is an OOM. These two gauges make the growth observable:
+    *
+    *  - `maxOpenPerKey`: high-water mark of any one key's open-session
+    *    list (a max accumulator — retry-proof);
+    *  - `openSessions`: net open sessions across all keys, maintained
+    *    as signed deltas at every state transition. Task RETRIES can
+    *    re-add a delta, so treat it as observability, not accounting
+    *    (the max gauge is the alarm; this one gives the trend).
+    *
+    * Read the values between micro-batches (driver-side); alert when
+    * `maxOpenPerKey` keeps rising across batches — that is a stalled
+    * watermark or a key whose events never pause for a full gap.
+    */
+  final class SessionizeMetrics(spark: SparkSession) extends Serializable {
+    val openSessions = spark.sparkContext
+      .longAccumulator("sessionize.openSessions")
+    val maxOpenPerKey = new MaxAccumulator
+    spark.sparkContext.register(maxOpenPerKey, "sessionize.maxOpenPerKey")
+  }
+
   /** Batch: tag each event with a per-user session_id (1-based).
     * Gap arithmetic in microseconds (second-truncation would disagree
     * with an exact oracle at the boundary).
@@ -82,13 +124,21 @@ object Sessionize {
   def sessionizeStream(
       spark: SparkSession,
       events: Dataset[SessionEvent],
-      gapMinutes: Int): Dataset[SessionSummary] = {
+      gapMinutes: Int,
+      metrics: Option[SessionizeMetrics] = None): Dataset[SessionSummary] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
-    // emit everything the watermark has sealed; keep + re-arm the rest
+    // emit everything the watermark has sealed; keep + re-arm the rest.
+    // `prevOpen` = the key's open-session count BEFORE this transition,
+    // so the metrics delta keeps the global net-open gauge exact
     def evict(user: Long, all: Seq[SessionState], wmUs: Long,
-        state: GroupState[OpenSessions]): Iterator[SessionSummary] = {
+        state: GroupState[OpenSessions], prevOpen: Int)
+        : Iterator[SessionSummary] = {
       val (closed, open) = all.partition(s => micros(s.last) + gapUs < wmUs)
+      metrics.foreach { m =>
+        m.openSessions.add(open.size.toLong - prevOpen)
+        m.maxOpenPerKey.add(open.size.toLong)
+      }
       if (open.nonEmpty) {
         state.update(OpenSessions(open.sortBy(s => micros(s.start))))
         // earliest close, ms-floored: <= the exact close, so the timeout
@@ -110,9 +160,10 @@ object Sessionize {
         (user: Long, rows: Iterator[SessionEvent],
             state: GroupState[OpenSessions]) =>
           val wmUs = state.getCurrentWatermarkMs * 1000L
+          val prevOpen = state.getOption.map(_.sessions.size).getOrElse(0)
           if (state.hasTimedOut)
             evict(user, state.getOption.map(_.sessions).getOrElse(Nil),
-              wmUs, state)
+              wmUs, state, prevOpen)
           else {
             val sorted = rows.filter(e => micros(e.ts) >= wmUs)
               .toSeq.sortBy(e => (micros(e.ts), e.event_id))
@@ -139,7 +190,7 @@ object Sessionize {
                   touch.map(_.n).sum + 1)
               sessions = (merged :: rest).sortBy(s => micros(s.start))
             }
-            evict(user, sessions, wmUs, state)
+            evict(user, sessions, wmUs, state, prevOpen)
           }
       }
   }

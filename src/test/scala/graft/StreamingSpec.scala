@@ -206,6 +206,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == t("11:00")), s"late event leaked: $got")
   }
 
+  test("sessionize stream metrics: open-session gauges track state growth " +
+      "and shrink on eviction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sess-metrics").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    def ev(id: Long, hhmm: String): (Long, java.sql.Timestamp, Long) =
+      (1L, java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00"), id)
+    import spark.implicits._
+    val metrics = new Sessionize.SessionizeMetrics(spark)
+    def writePhase(rows: (Long, java.sql.Timestamp, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runPhase(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq(ev(0L, "00:00")).toDF("user_id", "ts", "event_id").schema)
+        .parquet(in).as[SessionEvent]
+      val q = Sessionize
+        .sessionizeStream(spark, stream, gapMinutes = 30, Some(metrics))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    // phase 1: two disjoint sessions for ONE user (12:00, 13:00 — a
+    // 30-minute gap apart); the watermark (12:30) seals neither
+    writePhase(ev(1, "12:00"), ev(2, "13:00"))
+    runPhase()
+    assert(metrics.openSessions.value == 2L,
+      s"two open sessions expected, gauge = ${metrics.openSessions.value}")
+    assert(metrics.maxOpenPerKey.value == 2L,
+      s"per-key high-water 2 expected, got ${metrics.maxOpenPerKey.value}")
+    // phase 2: 16:00 opens a THIRD before the watermark moves (the
+    // stalled-watermark growth shape the gauges exist to surface), then
+    // the advanced watermark (15:30) seals the first two
+    writePhase(ev(3, "16:00"))
+    runPhase()
+    assert(metrics.openSessions.value == 1L,
+      s"eviction must shrink the gauge to 1, got ${metrics.openSessions.value}")
+    assert(metrics.maxOpenPerKey.value == 3L,
+      s"high-water must capture the 3-open burst, got " +
+        s"${metrics.maxOpenPerKey.value}")
+    val got = spark.read.parquet(out)
+      .select("session_start", "n_events").as[(java.sql.Timestamp, Long)]
+      .collect().toSet
+    val t = (s: String) => java.sql.Timestamp.valueOf(s"2024-01-01 $s:00")
+    assert(got == Set((t("12:00"), 1L), (t("13:00"), 1L)),
+      s"sealed sessions wrong: $got")
+  }
+
   test("sessionize stream: two simultaneously open sessions merge when a " +
       "cross-batch event bridges them") {
     val root = java.nio.file.Files
