@@ -13,7 +13,9 @@ import graft.store.{ConsolidatedStore, StoreDelete, StoreMerge, StoreMeta}
   * `database_name` universe, appended as its own file set — the fleet
   * growth shape: more databases/servers, not deeper history per key),
   * then times the PRUNED operations q64/q114/q115/q142 exercise on
-  * both and prints one JSON line of per-op wall times and ratios.
+  * both, plus the q153 fleet-contention race (4 concurrent
+  * `appendConcurrent` writers per store, counting claim losses = redone
+  * batches), and prints one JSON line of per-op wall times and ratios.
   *
   * Expectations the committed BASELINE.md table records:
   *
@@ -149,6 +151,62 @@ object ScaleProbe {
       retentionDays = 45,
       now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
 
+    // q153 shape: W writers race appendConcurrent on ONE store — every
+    // load goes through the optimistic version-claim protocol; losers
+    // retract their published files and redo O(batch) work against the
+    // winner's state. The fleet brief's growth axis is writers x data:
+    // this times the same 4-writer race on the 1x and 10x stores and
+    // counts claim attempts (attempts - writers = claims lost = redone
+    // batches). Batches are per-writer re-namespaced, so contention is
+    // pure protocol (version claims + LogID re-basing + sidecar folds),
+    // not cross-writer dedup, and the row invariant is closed-form.
+    val writers = sys.env.getOrElse("SPARK_GRAFT_WRITERS", "4").toInt
+    val trickleRows = trickle.count()
+    val fleetBatches = (0 until writers).map { i =>
+      trickle.withColumn("database_name",
+        concat(col("database_name"), lit(s"_w$i"))).cache()
+    }
+    fleetBatches.foreach(_.count())
+    final case class FleetStats(
+        wallSec: Double, maxWriterSec: Double, attempts: Long, rows: Long)
+    def fleetProbe(path: String): FleetStats = {
+      var best: FleetStats = null
+      (0 until reps).foreach { _ =>
+        val cl = cloneOf(path)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+        try {
+          val attempts = new java.util.concurrent.atomic.AtomicLong
+          val rows = new java.util.concurrent.atomic.AtomicLong
+          System.gc()
+          val t0 = System.nanoTime()
+          val walls = (0 until writers).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Double] {
+              def call(): Double = {
+                val w0 = System.nanoTime()
+                var myAttempts = 0L
+                val n = ConsolidatedStore.appendConcurrentHooked(
+                  spark, cl, fleetBatches(i),
+                  Seq("database_name", "last_lsn"), maxAttempts = 16,
+                  Nil)((a, _) => myAttempts = a)
+                attempts.addAndGet(myAttempts)
+                rows.addAndGet(n)
+                (System.nanoTime() - w0) / 1e9
+              }
+            })
+          }.map(_.get())
+          val wall = (System.nanoTime() - t0) / 1e9
+          require(rows.get == writers * trickleRows,
+            s"fleet probe row invariant broke: ${rows.get} vs " +
+              s"${writers * trickleRows}")
+          if (best == null || wall < best.wallSec)
+            best = FleetStats(wall, walls.max, attempts.get, rows.get)
+        } finally pool.shutdown()
+      }
+      best
+    }
+    val fleetBase = fleetProbe(base)
+    val fleetBig = fleetProbe(big)
+
     def ratio(op: String): Double =
       out(s"${op}_10x") / math.max(1e-9, out(s"${op}_base"))
     val ops = Seq("read_chain", "append", "merge", "purge")
@@ -161,6 +219,16 @@ object ScaleProbe {
       f"""\"$op\":{\"base_sec\":${out(s"${op}_base")}%.3f,""" +
         f"""\"x10_sec\":${out(s"${op}_10x")}%.3f,\"ratio\":${ratio(op)}%.2f}"""
     }.mkString(","))
+    json.append("},\"fleet\":{\"writers\":").append(writers)
+      .append(",\"batch_rows\":").append(trickleRows)
+    def fleetJson(tag: String, s: FleetStats): String =
+      f"""\"$tag\":{\"wall_sec\":${s.wallSec}%.3f,""" +
+        f"""\"max_writer_sec\":${s.maxWriterSec}%.3f,""" +
+        f"""\"claims_won\":$writers,""" +
+        f"""\"claims_lost\":${s.attempts - writers},""" +
+        f"""\"rows\":${s.rows}}"""
+    json.append(",").append(fleetJson("base", fleetBase))
+      .append(",").append(fleetJson("x10", fleetBig))
     json.append("}}")
     println(json.toString)
     spark.stop()
