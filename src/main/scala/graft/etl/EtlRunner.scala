@@ -107,6 +107,50 @@ object EtlRunner {
     val wmReadRetries = wmHealth.total
     val ordered = sources.toSeq.sortBy(_._1)
 
+    // Duplicate-delivery extract sharing: two servers whose thunks yield
+    // the SAME MsdbSources instance at the SAME effective watermark
+    // produce byte-identical extract plans (the q64 shape — one fixture
+    // delivered under two server names; also any fleet driver that
+    // fans one physical source out under aliases). Extract once, share
+    // the checkpointed batch, and refcount so the LAST sharer's load
+    // releases the blocks (the eager-release memory bound is kept).
+    // Identity is reference identity — separately-constructed sources
+    // never share, so the real fleet path (distinct servers) keeps full
+    // per-server isolation and parallelism.
+    final class SrcKey(val ref: AnyRef, val wm: Timestamp) {
+      override def hashCode: Int =
+        System.identityHashCode(ref) * 31 + wm.hashCode
+      override def equals(o: Any): Boolean = o match {
+        case k: SrcKey => (k.ref eq ref) && k.wm == wm
+        case _ => false
+      }
+    }
+    // One extracted batch + its lazily-computed append preamble (the
+    // key-dedup shuffle + envelope collect are store-INdependent, so
+    // sharers reuse them too — not just the extract). refs counts the
+    // sharers still holding it; the last one's load releases both
+    // checkpoints.
+    final class SharedBatch(
+        val batch: DataFrame, val n: Long, val wm: Option[Timestamp]) {
+      val refs = new java.util.concurrent.atomic.AtomicInteger(0)
+      private[this] var prep: graft.store.ConsolidatedStore.PreparedBatch = _
+      def prepared: graft.store.ConsolidatedStore.PreparedBatch =
+        synchronized {
+          if (prep == null)
+            prep = graft.store.ConsolidatedStore.prepare(batch)
+          prep
+        }
+      def releaseIfLast(): Unit =
+        if (refs.decrementAndGet() <= 0) releaseAll()
+      def releaseAll(): Unit = {
+        release(batch)
+        val p = synchronized(prep)
+        if (p != null) release(p.deduped)
+      }
+    }
+    val extractMemo = new java.util.concurrent.ConcurrentHashMap[
+      SrcKey, Either[String, SharedBatch]]()
+
     // phase 1 (parallelizable): extract + materialize. Spark is lazy, so
     // "extract failure" is only observable at materialization — the eager
     // localCheckpoint inside the try is what makes skip-this-server-only
@@ -128,14 +172,25 @@ object EtlRunner {
       try {
         // src() INSIDE the try: JDBC relation construction connects to
         // the server (schema resolution) and must skip-this-server too
-        val batch = ExtractTransform.extract(
-          src(), ExtractTransform.rewind(wm), sortOutput = false)
-          .localCheckpoint()
-        // one pass for both the row count and the watermark candidate —
-        // these were two separate actions (count, then max) per batch
-        val r = batch.agg(count(lit(1)), max("backup_finish_date")).head()
-        Right((batch, r.getLong(0),
-          if (r.isNullAt(1)) None else Some(r.getTimestamp(1))))
+        val s = src()
+        val since = ExtractTransform.rewind(wm)
+        // computeIfAbsent serializes concurrent sharers of one key (the
+        // second waits, then reuses); distinct keys stay fully parallel.
+        // A failed extract memoizes its Left — every sharer of the same
+        // source+watermark would fail identically.
+        val res = extractMemo.computeIfAbsent(new SrcKey(s, since), _ =>
+          try {
+            val batch = ExtractTransform
+              .extract(s, since, sortOutput = false)
+              .localCheckpoint()
+            // one pass for both the row count and the watermark
+            // candidate — these were two separate actions per batch
+            val r = batch.agg(count(lit(1)), max("backup_finish_date")).head()
+            Right(new SharedBatch(batch, r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getTimestamp(1))))
+          } catch { case e: Exception => Left(e.getClass.getSimpleName) })
+        res.foreach(_.refs.incrementAndGet())
+        res
       } catch { case e: Exception => Left(e.getClass.getSimpleName) }
     }
     val extracted =
@@ -156,23 +211,29 @@ object EtlRunner {
     // default; `concurrentLoads` overlaps the appends through the
     // optimistic commit protocol; watermark advances need no lock (the
     // control table is a per-server max-merge CRDT).
-    def loadOne(server: String,
-        e: Either[String, (DataFrame, Long, Option[Timestamp])])
+    def loadOne(server: String, e: Either[String, SharedBatch])
         : SourceBatchResult = e match {
       case Left(err) =>
         // extract failed: skip server, keep going (ps:91-95)
         SourceBatchResult(server, 0, 0, None, Some(s"extract failed: $err"))
-      case Right((batch, n, wmCandidate)) =>
+      case Right(sb) =>
+        val n = sb.n
         try {
           if (n == 0) {
             // empty batch: do not advance the watermark (ps:69-71)
             SourceBatchResult(server, 0, 0, None, None)
           } else {
-            val newWm = wmCandidate.get
+            val newWm = sb.wm.get
             val appended =
               if (concurrentLoads)
-                ConsolidatedStore.appendConcurrent(spark, consolidatedPath, batch)
-              else ConsolidatedStore.append(spark, consolidatedPath, batch)
+                ConsolidatedStore.appendConcurrent(spark, consolidatedPath,
+                  sb.batch)
+              else
+                // the store-independent preamble (dedup + envelopes) is
+                // shared across sharers of this batch and across this
+                // server's own retries
+                ConsolidatedStore.appendPrepared(spark, consolidatedPath,
+                  sb.prepared)
             WatermarkStore.advance(spark, watermarkPath, server, newWm)
             SourceBatchResult(server, n, appended, Some(newWm), None)
           }
@@ -187,7 +248,10 @@ object EtlRunner {
           case scala.util.control.NonFatal(e) if concurrentLoads =>
             SourceBatchResult(server, n, 0, None,
               Some(s"load failed: ${e.getClass.getSimpleName}"))
-        } finally release(batch)
+        } finally
+          // refcounted eager release: the LAST sharer of a memoized
+          // batch frees the checkpoint blocks; sole owners free at once
+          sb.releaseIfLast()
     }
     try {
       val results =
@@ -211,7 +275,7 @@ object EtlRunner {
       // checkpointed batches until ContextCleaner GC — release is
       // idempotent, so re-releasing the already-loaded ones is free
       extracted.foreach {
-        case (_, Right((batch, _, _))) => release(batch)
+        case (_, Right(sb)) => sb.releaseAll()
         case _ => ()
       }
   }

@@ -155,6 +155,41 @@ object ConsolidatedStore {
     }
   }
 
+  /** A batch's store-independent append preamble, computed once and
+    * reusable across appends of the SAME batch to any store state: the
+    * key-deduped rows (checkpointed — the dedup shuffle never re-runs)
+    * and their per-database envelopes. The duplicate-delivery shape:
+    * one extract delivered under several server names, or a batch
+    * retried after a failed load, pays this once.
+    */
+  private[graft] final case class PreparedBatch(
+      deduped: DataFrame, envelopes: Seq[KeyRanges])
+
+  private[graft] def prepare(incoming: DataFrame): PreparedBatch = {
+    val d = incoming.dropDuplicates(dedupKey).localCheckpoint()
+    PreparedBatch(d, batchEnvelopes(d))
+  }
+
+  /** [[append]] on a [[prepare]]d batch — skips the per-call dedup
+    * shuffle and envelope collect. The caller owns the checkpoint's
+    * lifecycle ([[graft.util.Checkpoints.release]] when done).
+    */
+  private[graft] def appendPrepared(spark: SparkSession, path: String,
+      prep: PreparedBatch,
+      partitionBy: Seq[String] = Nil,
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      foldEvery: Int = StoreMeta.SegmentFoldThreshold): Long = {
+    StoreMeta.load(spark, path) match {
+      case Some(loaded) =>
+        appendPrunedPrepared(spark, path, prep.deduped, prep.envelopes,
+          partitionBy, sortWithin,
+          awaitCommittedCoverage(spark, path, loaded), foldEvery)
+      case None =>
+        appendFullScanPrepared(spark, path, prep.deduped, partitionBy,
+          sortWithin)
+    }
+  }
+
   /** Wait out a racing CoW replacer's archive→promote→commit window
     * before an append trusts its loaded stats. [[StoreMeta.load]] heals
     * everything the DIRECTORY holds, so a committed-live file absent
@@ -307,11 +342,29 @@ object ConsolidatedStore {
       spark: SparkSession, path: String, incoming: DataFrame,
       partitionBy: Seq[String], sortWithin: Seq[String],
       loaded: StoreMeta.Loaded, foldEvery: Int): Long = {
-    def foldIfDirty(): Unit =
-      if (loaded.dirty) StoreMeta.save(spark, path, loaded.files)
     val deduped = incoming.dropDuplicates(dedupKey).cache()
-    try {
-      val envelopes = batchEnvelopes(deduped)
+    try
+      appendPrunedPrepared(spark, path, deduped, batchEnvelopes(deduped),
+        partitionBy, sortWithin, loaded, foldEvery)
+    finally deduped.unpersist()
+  }
+
+  /** [[appendPruned]] on a batch whose dedup + envelopes were computed
+    * by the caller — the duplicate-delivery fast path: both are
+    * store-independent, so a batch delivered under several server names
+    * (or retried) pays the dedup shuffle and the envelope collect ONCE
+    * and every append reuses them. The caller owns `deduped`'s
+    * cache/checkpoint lifecycle.
+    */
+  private[graft] def appendPrunedPrepared(
+      spark: SparkSession, path: String, deduped: DataFrame,
+      envelopes: Seq[KeyRanges],
+      partitionBy: Seq[String], sortWithin: Seq[String],
+      loaded: StoreMeta.Loaded, foldEvery: Int): Long = {
+    def foldIfDirty(): Unit = {
+      if (loaded.dirty) StoreMeta.save(spark, path, loaded.files)
+    }
+    {
       if (envelopes.isEmpty) { foldIfDirty(); return 0L }
       val overlapping = loaded.files
         .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
@@ -365,7 +418,7 @@ object ConsolidatedStore {
         } else foldIfDirty()
         n
       } finally if (fresh ne deduped) fresh.unpersist()
-    } finally deduped.unpersist()
+    }
   }
 
   /** Multi-writer idempotent append under OPTIMISTIC CONCURRENCY — the
@@ -536,9 +589,26 @@ object ConsolidatedStore {
     */
   private[graft] def appendFullScan(
       spark: SparkSession, path: String, incoming: DataFrame,
+      partitionBy: Seq[String], sortWithin: Seq[String]): Long =
+    appendFullScanImpl(spark, path, incoming.dropDuplicates(dedupKey),
+      partitionBy, sortWithin)
+
+  /** [[appendFullScan]] on an already key-deduped batch (see
+    * [[prepare]]) — the bootstrap append of a duplicate-delivery run.
+    */
+  private[graft] def appendFullScanPrepared(
+      spark: SparkSession, path: String, deduped: DataFrame,
+      partitionBy: Seq[String], sortWithin: Seq[String]): Long =
+    appendFullScanImpl(spark, path, deduped, partitionBy, sortWithin)
+
+  private def appendFullScanImpl(
+      spark: SparkSession, path: String, deduped: DataFrame,
       partitionBy: Seq[String], sortWithin: Seq[String]): Long = {
     val existing = read(spark, path)
-    val fresh = mergeNew(existing, incoming).cache()
+    val existingKeys = existing.select(dedupKey.map(col): _*).alias("ex")
+    val fresh = deduped.alias("in")
+      .join(existingKeys, keyCondition("in", "ex"), "left_anti")
+      .cache()
     try {
       val n = fresh.count()
       if (n > 0) {
