@@ -3,7 +3,7 @@ package graft.etl
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{count, lit, max}
+import org.apache.spark.sql.functions.{col, count, first, lit, max, sum}
 
 import graft.store.{ConsolidatedStore, WatermarkStore}
 
@@ -125,28 +125,26 @@ object EtlRunner {
         case _ => false
       }
     }
-    // One extracted batch + its lazily-computed append preamble (the
-    // key-dedup shuffle + envelope collect are store-INdependent, so
-    // sharers reuse them too — not just the extract). refs counts the
-    // sharers still holding it; the last one's load releases both
-    // checkpoints.
+    // One extracted-and-deduped batch + its lazily-collected envelopes
+    // (both store-INdependent, so sharers reuse them — not just the
+    // extract). `checkpointed` is the single materialization backing
+    // `deduped`; refs counts the sharers still holding it, and the last
+    // one's load releases the blocks.
     final class SharedBatch(
-        val batch: DataFrame, val n: Long, val wm: Option[Timestamp]) {
+        val checkpointed: DataFrame, val deduped: DataFrame,
+        val n: Long, val wm: Option[Timestamp]) {
       val refs = new java.util.concurrent.atomic.AtomicInteger(0)
       private[this] var prep: graft.store.ConsolidatedStore.PreparedBatch = _
       def prepared: graft.store.ConsolidatedStore.PreparedBatch =
         synchronized {
           if (prep == null)
-            prep = graft.store.ConsolidatedStore.prepare(batch)
+            prep = graft.store.ConsolidatedStore.PreparedBatch(deduped,
+              graft.store.ConsolidatedStore.batchEnvelopes(deduped))
           prep
         }
       def releaseIfLast(): Unit =
         if (refs.decrementAndGet() <= 0) releaseAll()
-      def releaseAll(): Unit = {
-        release(batch)
-        val p = synchronized(prep)
-        if (p != null) release(p.deduped)
-      }
+      def releaseAll(): Unit = release(checkpointed)
     }
     val extractMemo = new java.util.concurrent.ConcurrentHashMap[
       SrcKey, Either[String, SharedBatch]]()
@@ -180,13 +178,30 @@ object EtlRunner {
         // source+watermark would fail identically.
         val res = extractMemo.computeIfAbsent(new SrcKey(s, since), _ =>
           try {
-            val batch = ExtractTransform
-              .extract(s, since, sortOutput = false)
+            val raw = ExtractTransform.extract(s, since, sortOutput = false)
+            // fuse the idempotent-dedup shuffle with the batch
+            // bookkeeping: one groupBy over the dedup key keeps a
+            // consistent arbitrary row per key (all `first()`s in one
+            // aggregation read the same first-seen row — dropDuplicates'
+            // exact contract, including NULLs grouped equal) while
+            // per-key count/max recover the RAW extracted count and the
+            // watermark candidate. The source is read ONCE and the ONE
+            // checkpoint backs both the result row and every load —
+            // previously the raw batch was materialized only to be
+            // aggregated and re-shuffled by each append's dropDuplicates.
+            val keys = graft.store.ConsolidatedStore.dedupKey
+            val keySet = keys.toSet
+            val aggs =
+              raw.columns.filterNot(keySet).toSeq.map(c => first(c).as(c)) ++
+                Seq(count(lit(1)).as("_dup_cnt"),
+                  max("backup_finish_date").as("_wm_max"))
+            val ck = raw.groupBy(keys.map(raw(_)): _*)
+              .agg(aggs.head, aggs.tail: _*)
               .localCheckpoint()
-            // one pass for both the row count and the watermark
-            // candidate — these were two separate actions per batch
-            val r = batch.agg(count(lit(1)), max("backup_finish_date")).head()
-            Right(new SharedBatch(batch, r.getLong(0),
+            val r = ck.agg(sum("_dup_cnt"), max("_wm_max")).head()
+            val deduped = ck.select(raw.columns.map(col).toSeq: _*)
+            Right(new SharedBatch(ck, deduped,
+              if (r.isNullAt(0)) 0L else r.getLong(0),
               if (r.isNullAt(1)) None else Some(r.getTimestamp(1))))
           } catch { case e: Exception => Left(e.getClass.getSimpleName) })
         res.foreach(_.refs.incrementAndGet())
@@ -227,7 +242,7 @@ object EtlRunner {
             val appended =
               if (concurrentLoads)
                 ConsolidatedStore.appendConcurrent(spark, consolidatedPath,
-                  sb.batch)
+                  sb.deduped)
               else
                 // the store-independent preamble (dedup + envelopes) is
                 // shared across sharers of this batch and across this

@@ -165,13 +165,8 @@ object ConsolidatedStore {
   private[graft] final case class PreparedBatch(
       deduped: DataFrame, envelopes: Seq[KeyRanges])
 
-  private[graft] def prepare(incoming: DataFrame): PreparedBatch = {
-    val d = incoming.dropDuplicates(dedupKey).localCheckpoint()
-    PreparedBatch(d, batchEnvelopes(d))
-  }
-
-  /** [[append]] on a [[prepare]]d batch — skips the per-call dedup
-    * shuffle and envelope collect. The caller owns the checkpoint's
+  /** [[append]] on a prepared batch — skips the per-call dedup shuffle
+    * and envelope collect. The caller owns `deduped`'s cache/checkpoint
     * lifecycle ([[graft.util.Checkpoints.release]] when done).
     */
   private[graft] def appendPrepared(spark: SparkSession, path: String,
