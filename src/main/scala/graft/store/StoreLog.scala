@@ -566,9 +566,30 @@ object StoreLog {
     *     after the fact: both writers rewrote from the same originals,
     *     so one of the two survivor sets is stale.
     */
+  /** Signals that a file-replacing commit lost its version race to
+    * DISJOINT commits it was told not to rebase past ([[commitReplacing]]
+    * `rebaseDisjoint = false` — replacing ops that mint new keys or
+    * LogIDs, whose content depends on the whole-store state, not just
+    * the touched files). The writer's footprint has already been rolled
+    * back; the caller re-reads the committed state and recomputes.
+    */
+  final class StaleReplacingCommit(msg: String) extends RuntimeException(msg)
+
+  /** @param rebaseDisjoint rebase the archive past intervening commits
+    *   that touch none of this op's files (the default — correct for
+    *   content-local rewrites: compaction, delete, updates-only merge,
+    *   whose output depends only on the touched files). Pass `false`
+    *   when the op's output depends on GLOBAL store state — an
+    *   insert-bearing merge deduped its inserts and based their LogIDs
+    *   on the snapshot it read, so a racing append (file-disjoint but
+    *   possibly key- or id-colliding) invalidates the computation, not
+    *   just the claim: the footprint is rolled back and
+    *   [[StaleReplacingCommit]] thrown for the caller's bounded
+    *   recompute loop.
+    */
   def commitReplacing(spark: SparkSession, root: String, op: String,
       adds: Seq[String], removes: Seq[String], archivedAt: Int,
-      txn: Option[String] = None): Int = {
+      txn: Option[String] = None, rebaseDisjoint: Boolean = true): Int = {
     // same guard as the serialized commit(): callers derive `archivedAt`
     // from the version LISTING alone, so without this a dead writer's
     // unreadable head claim would be committed past — becoming a
@@ -599,6 +620,13 @@ object StoreLog {
           s"$op on $root conflicts with concurrent commits " +
             s"${intervening.map(_.version).mkString(",")} touching shared " +
             "files; rolled back — re-run against the current state")
+      }
+      if (!rebaseDisjoint) {
+        rollbackReplacing(spark, root, myV, adds)
+        throw new StaleReplacingCommit(
+          s"$op on $root raced disjoint commits " +
+            s"${intervening.map(_.version).mkString(",")} and its output " +
+            "depends on global state; rolled back for recompute")
       }
       myV = rehomeArchive(spark, root, myV, cur + 1)
     }

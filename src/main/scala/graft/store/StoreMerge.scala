@@ -88,9 +88,6 @@ object StoreMerge {
     // restarted streaming foreachBatch sink relies on)
     if (txnId.exists(t => StoreLog.txnSeen(spark, path, t)))
       return MergeStats(0L, 0L, 0L)
-    val loaded = StoreMeta.load(spark, path).getOrElse(throw
-      new IllegalArgumentException(
-        s"merge needs a graft-managed layout (foreign subdirs found): $path"))
     val key = Schemas.dedupKey
     val cols = updates.columns.toSeq
     val nonKey = cols.filterNot(key.contains)
@@ -103,13 +100,61 @@ object StoreMerge {
     try {
       val envelopes = ConsolidatedStore.batchEnvelopes(deduped)
       if (envelopes.isEmpty) return MergeStats(0L, 0L, 0L)
+      // Bounded retry-with-recompute: an INSERT-bearing merge that loses
+      // its version race to a file-disjoint append was computed on stale
+      // global state (its insert keys were deduped and its LogIDs based
+      // on the pre-append snapshot — blind archive rebase could land
+      // duplicate keys or colliding ids). commitReplacing rolls the
+      // footprint back and signals StaleReplacingCommit; re-read the
+      // committed state and redo the computation — the fleet's routine
+      // CDC-racing-append case lands without operator intervention.
+      // Updates-only merges keep the cheap blind rebase (their output
+      // depends only on the touched files). Overlapping rewrites still
+      // abort to the caller (ConcurrentCommitException).
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try
+          return mergeAttempt(spark, path, deduped, envelopes, cols,
+            partitionBy, sortWithin, txnId, beforeCommit)
+        catch {
+          case e: StoreLog.StaleReplacingCommit =>
+            if (attempt >= MaxStaleRecomputes)
+              throw new StoreLog.ConcurrentCommitException(
+                s"merge on $path recomputed $MaxStaleRecomputes times " +
+                  s"against racing appends and still lost: ${e.getMessage}")
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally deduped.unpersist()
+  }
+
+  /** Recompute budget for insert-bearing merges racing disjoint appends:
+    * each retry is O(batch + overlap) against the NEW state, and a
+    * steady-state fleet's append cadence makes consecutive losses
+    * geometrically unlikely; exhaustion degrades to the same loud abort
+    * an overlap produces.
+    */
+  private val MaxStaleRecomputes = 3
+
+  private def mergeAttempt(
+      spark: SparkSession, path: String, deduped: DataFrame,
+      envelopes: Seq[KeyRanges], cols: Seq[String],
+      partitionBy: Seq[String], sortWithin: Seq[String],
+      txnId: Option[String], beforeCommit: () => Unit): MergeStats = {
+    val loaded = StoreMeta.load(spark, path).getOrElse(throw
+      new IllegalArgumentException(
+        s"merge needs a graft-managed layout (foreign subdirs found): $path"))
+    val key = Schemas.dedupKey
+    locally {
       // probe and rewrite the COMMITTED live set only (same rule as
       // Compaction.rewriteCow and StoreDelete): the sidecar load heals
       // in published-but-unclaimed files of any in-flight appender, and
       // absorbing one into `touched` would archive a batch whose commit
-      // hasn't landed. (Merges are additionally serialized with appends
-      // by the store contract — LogID assignment requires it — so this
-      // filter is defense in depth here, load-bearing in StoreDelete.)
+      // hasn't landed. (Insert-bearing merges that lose their claim to a
+      // racing append recompute from the new committed state — see
+      // mergeHooked's retry loop; this filter keeps the probe honest
+      // within one attempt, load-bearing in StoreDelete.)
       val committed = StoreLog.committedLiveSet(spark, path)
       val candidates = committed match {
         case Some(live) => loaded.files.filter(f => live(f.file))
@@ -192,10 +237,14 @@ object StoreMerge {
             touched.map(f => (new Path(s"$path/$f"), f)))
         Staging.promote(spark, path, stageDir, newFiles)
         beforeCommit()
-        // optimistic claim: racing disjoint commits rebase the archive
-        // to the next version; an overlapping rewrite rolls back + throws
+        // optimistic claim: an updates-only merge rebases its archive
+        // past file-disjoint racers (its output depends only on the
+        // touched files); an INSERT-bearing merge computed its keys/ids
+        // from global state, so a disjoint racer rolls it back for the
+        // caller's recompute loop. Overlapping rewrites roll back + throw.
         StoreLog.commitReplacing(spark, path, "merge",
-          adds = newFiles, removes = touched, archivedAt = v, txn = txnId)
+          adds = newFiles, removes = touched, archivedAt = v, txn = txnId,
+          rebaseDisjoint = nIns == 0L)
 
         // post-commit sidecar fold: a pure cache — never fail a merge
         // whose commit already landed
@@ -211,6 +260,6 @@ object StoreMerge {
         }
         MergeStats(nUpd, nIns, touched.size.toLong)
       } finally if (matched != null) matched.unpersist()
-    } finally deduped.unpersist()
+    }
   }
 }

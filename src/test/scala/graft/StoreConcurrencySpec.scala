@@ -394,6 +394,67 @@ class StoreConcurrencySpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("insert-bearing merge racing a disjoint-key append recomputes and lands") {
+    val path = tmp()
+    val h = bh.cache()
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") >= "db2"))
+    val v0 = StoreLog.currentVersion(spark, path)
+    val maxId = StoreMeta.load(spark, path).get.maxLogId
+
+    // the racer: a realistic disjoint-key append — fresh keys (db3's
+    // rows shifted into an unoccupied LSN universe), fresh LogIDs past
+    // the committed max, landed as its own file + commit inside the
+    // merge's publish→claim window (exactly what a fleet appender's
+    // winning claim looks like to the merge)
+    val racerRows = ConsolidatedStore.withLogIdsFrom(maxId,
+      h.filter(col("database_name") === "db3")
+        .withColumn("last_lsn",
+          (col("last_lsn") + lit(5000000000L)).cast("decimal(25,0)"))
+        .dropDuplicates(ConsolidatedStore.dedupKey))
+    val nRacer = racerRows.count()
+
+    // the merge: db1 corrections PLUS brand-new keys (nIns > 0) — the
+    // CDC shape whose insert dedup and LogID base depend on global state
+    val upd = h.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 7)
+    val ins = upd.withColumn("last_lsn",
+      (col("last_lsn") + lit(9000000000L)).cast("decimal(25,0)"))
+    val batch = upd.unionByName(ins)
+    val nUpd = upd.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    val nIns = ins.dropDuplicates(ConsolidatedStore.dedupKey).count()
+
+    var injected = false
+    val m = StoreMerge.mergeHooked(spark, path, batch, Nil,
+      Seq("database_name", "last_lsn"), None) { () =>
+      if (!injected) {
+        injected = true
+        val stage = java.nio.file.Files.createTempDirectory("racer").toString
+        racerRows.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$path/racer.parquet"))
+        assert(StoreLog.tryCommit(spark, path, v0 + 1, "append",
+          Seq("racer.parquet"), Nil))
+      }
+    }
+    // the merge RECOMPUTED against the racer's state and landed — no
+    // ConcurrentCommitException, no manual rerun
+    assert(m.updated == nUpd && m.inserted == nIns, m.toString)
+    val commits = StoreLog.readCommits(spark, path)
+    assert(commits.last.op == "merge" && commits.last.version == v0 + 2,
+      s"merge must land one version past the racer, got ${commits.last}")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == h.count() + nRacer + nIns,
+      "all original + racer + inserted rows present")
+    assert(stored.select("LogID").distinct().count() == stored.count(),
+      "recomputed insert LogIDs must not collide with the racer's")
+    assert(stored.dropDuplicates(ConsolidatedStore.dedupKey).count()
+      == stored.count(), "no duplicate keys across merge + racer")
+    h.unpersist()
+  }
+
   test("delete inside an appender's publish→claim window touches only " +
       "the committed live set") {
     val path = tmp()
