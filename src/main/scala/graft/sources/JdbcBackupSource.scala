@@ -112,12 +112,56 @@ object JdbcBackupSource {
   def relation(spark: SparkSession, s: SourceServer, name: String): DataFrame =
     spark.read.format("jdbc").options(readerOptions(s, name)).load()
 
+  /** Watermark-range partitioning for the `backupset` relation — the one
+    * extract input whose row count scales with history depth. A first
+    * ETL against a year of msdb backlog through one connection funnels
+    * the whole backlog through one task; with bounds it becomes
+    * `numPartitions` concurrent range-sliced SELECTs
+    * (`backup_finish_date >= bᵢ AND < bᵢ₊₁`), each still carrying the
+    * pushed watermark filter. Spark's JDBC partitioner CLAMPS, not
+    * filters: rows below `lower` land in the first slice (with NULLs)
+    * and rows at/above `upper` in the last, so the union is always
+    * exactly the unpartitioned result — bounds only shape parallelism,
+    * never correctness. Natural bounds: the server's current watermark
+    * and now.
+    */
+  final case class ExtractPartitioning(
+      lower: java.sql.Timestamp,
+      upper: java.sql.Timestamp,
+      numPartitions: Int,
+      column: String = "backup_finish_date") {
+    require(numPartitions > 0, "numPartitions must be positive")
+    require(lower.before(upper), "lower bound must precede upper bound")
+  }
+
+  def partitionedReaderOptions(s: SourceServer, relation: String,
+      p: ExtractPartitioning): Map[String, String] =
+    readerOptions(s, relation) ++ Map(
+      "partitionColumn" -> p.column,
+      "lowerBound" -> p.lower.toString,
+      "upperBound" -> p.upper.toString,
+      "numPartitions" -> p.numPartitions.toString)
+
+  def relationPartitioned(spark: SparkSession, s: SourceServer,
+      name: String, p: ExtractPartitioning): DataFrame =
+    spark.read.format("jdbc")
+      .options(partitionedReaderOptions(s, name, p)).load()
+
   /** The six extract inputs over JDBC (S1/S1a; the DMV-snapshot temp
     * tables of the reference collapse into plain single reads per batch).
+    *
+    * @param backupsetPartitioning optional watermark-range partitioning
+    *   of the `backupset` read (see [[ExtractPartitioning]]); the five
+    *   dimension-shaped relations stay single-connection reads — their
+    *   cardinality is servers × databases, not history depth.
     */
-  def sources(spark: SparkSession, s: SourceServer): MsdbSources =
+  def sources(spark: SparkSession, s: SourceServer,
+      backupsetPartitioning: Option[ExtractPartitioning] = None): MsdbSources =
     MsdbSources(
-      backupset = relation(spark, s, "msdb.dbo.backupset"),
+      backupset = backupsetPartitioning match {
+        case Some(p) => relationPartitioned(spark, s, "msdb.dbo.backupset", p)
+        case None => relation(spark, s, "msdb.dbo.backupset")
+      },
       backupmediafamily = relation(spark, s, "msdb.dbo.backupmediafamily"),
       backupfile = relation(spark, s, "msdb.dbo.backupfile"),
       databases = relation(spark, s, "sys.databases"),

@@ -134,4 +134,58 @@ class JdbcLiveSpec extends AnyFunSuite {
       mem.backupset.filter(col("last_lsn") > new java.math.BigDecimal(5000000) &&
         col("last_lsn") <= new java.math.BigDecimal(900000000)).count())
   }
+
+  test("watermark-range partitioned backupset read: N range slices, identical result") {
+    import org.apache.spark.sql.functions.col
+    val mem = graft.etl.MsdbDerivation.sources(spark, TestSpark.sf)
+    val wOpts = JdbcBackupSource
+      .writerOptions(srv, "MSDB_BACKUPSET_P", batchSize = 500) +
+      ("url" -> url) +
+      ("createTableColumnTypes" ->
+        ("database_name VARCHAR(128), type VARCHAR(8), " +
+          "server_name VARCHAR(64), recovery_model VARCHAR(32)"))
+    mem.backupset.write.format("jdbc").options(wOpts).mode("overwrite").save()
+
+    val Array(lo, hi) = mem.backupset
+      .agg(org.apache.spark.sql.functions.min("backup_finish_date"),
+        org.apache.spark.sql.functions.max("backup_finish_date"))
+      .head() match { case r => Array(r.getTimestamp(0), r.getTimestamp(1)) }
+    // bounds tighter than the data on purpose: the clamping contract
+    // (rows below lower → first slice, at/above upper → last) is part of
+    // what "identical result" asserts
+    val p = JdbcBackupSource.ExtractPartitioning(
+      lower = new java.sql.Timestamp(lo.getTime + 86400000L),
+      upper = new java.sql.Timestamp(hi.getTime - 86400000L),
+      numPartitions = 4)
+    val opts = JdbcBackupSource
+      .partitionedReaderOptions(srv, "MSDB_BACKUPSET_P", p) + ("url" -> url)
+    val part = spark.read.format("jdbc").options(opts).load()
+
+    // physically N>1 input slices, each a range-bounded remote SELECT
+    assert(part.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC slices, got ${part.rdd.getNumPartitions}")
+    val single = spark.read.format("jdbc")
+      .options(JdbcBackupSource.readerOptions(srv, "MSDB_BACKUPSET_P") +
+        ("url" -> url)).load()
+    assert(part.count() == single.count(),
+      "partitioned union must equal the single-connection read")
+    assert(part.exceptAll(single).isEmpty && single.exceptAll(part).isEmpty,
+      "row-for-row identical across partitioned and single reads")
+
+    // every slice holds rows (bounds inside the data range → real range
+    // slicing, not one hot slice + empties)
+    val perSlice = part
+      .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+      .groupBy("pid").count().collect().map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    assert(perSlice.keySet == Set(0, 1, 2, 3), s"slices seen: $perSlice")
+    assert(perSlice.values.forall(_ > 0L), s"empty slice: $perSlice")
+
+    // the watermark pushdown gate holds per-slice too
+    val filtered = part.filter(col("backup_finish_date") >=
+      java.sql.Timestamp.valueOf("1995-06-01 00:00:00"))
+    val pf = jdbcPushedFilters(filtered)
+    assert(pf.exists(_.contains("GreaterThanOrEqual(backup_finish_date")),
+      s"watermark bound not pushed on partitioned read: $pf")
+  }
 }
