@@ -46,28 +46,61 @@ object Sessionize {
     override def value: Long = _v
   }
 
+  /** Idempotent per-key open-session census. `add((key, n))` SETS the
+    * key's open count — a task retry or speculative duplicate re-applies
+    * the same value instead of inflating a delta, which makes the census
+    * exact accounting, not trend observability. A count of 0 is a
+    * tombstone: task partials keep it explicitly (it must survive into
+    * the driver merge to clear the key there); the driver map drops the
+    * entry on merge, so long-run driver memory is O(keys with open
+    * sessions) — the same order as the operator's own state.
+    */
+  final class OpenCensusAccumulator extends
+      org.apache.spark.util.AccumulatorV2[(Long, Long), Map[Long, Long]] {
+    private val m = scala.collection.mutable.HashMap.empty[Long, Long]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): OpenCensusAccumulator = {
+      val c = new OpenCensusAccumulator; c.m ++= m; c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(kv: (Long, Long)): Unit = m(kv._1) = kv._2
+    override def merge(other: org.apache.spark.util.AccumulatorV2[
+        (Long, Long), Map[Long, Long]]): Unit =
+      other.value.foreach {
+        case (k, 0L) => m.remove(k)
+        case (k, v) => m(k) = v
+      }
+    override def value: Map[Long, Long] = m.toMap
+  }
+
   /** Open-session state observability for [[sessionizeStream]]. The
     * exact multi-session state is a per-key OPEN-session list; under a
     * stalled watermark that list grows with the number of disjoint
     * in-flight sessions — correct (exactness requires it) but invisible
-    * until it is an OOM. These two gauges make the growth observable:
+    * until it is an OOM. Two gauges make the growth observable, both
+    * retry-proof:
     *
     *  - `maxOpenPerKey`: high-water mark of any one key's open-session
-    *    list (a max accumulator — retry-proof);
-    *  - `openSessions`: net open sessions across all keys, maintained
-    *    as signed deltas at every state transition. Task RETRIES can
-    *    re-add a delta, so treat it as observability, not accounting
-    *    (the max gauge is the alarm; this one gives the trend).
+    *    list (a max accumulator);
+    *  - `openSessions`: EXACT net open sessions across all keys — every
+    *    state transition stamps its key's absolute open count into the
+    *    [[OpenCensusAccumulator]] (idempotent set, not a signed delta),
+    *    so the value is a per-batch-end census the trend line can alert
+    *    on directly.
     *
     * Read the values between micro-batches (driver-side); alert when
-    * `maxOpenPerKey` keeps rising across batches — that is a stalled
-    * watermark or a key whose events never pause for a full gap.
+    * either keeps rising across batches — that is a stalled watermark or
+    * a key whose events never pause for a full gap.
     */
   final class SessionizeMetrics(spark: SparkSession) extends Serializable {
-    val openSessions = spark.sparkContext
-      .longAccumulator("sessionize.openSessions")
+    val openCensus = new OpenCensusAccumulator
+    spark.sparkContext.register(openCensus, "sessionize.openCensus")
     val maxOpenPerKey = new MaxAccumulator
     spark.sparkContext.register(maxOpenPerKey, "sessionize.maxOpenPerKey")
+    /** Exact net open sessions across all keys, as of each key's latest
+      * completed state transition.
+      */
+    def openSessions: Long = openCensus.value.values.sum
   }
 
   /** Batch: tag each event with a per-user session_id (1-based).
@@ -129,14 +162,15 @@ object Sessionize {
     import spark.implicits._
     val gapUs = gapMinutes * 60000000L
     // emit everything the watermark has sealed; keep + re-arm the rest.
-    // `prevOpen` = the key's open-session count BEFORE this transition,
-    // so the metrics delta keeps the global net-open gauge exact
+    // The census stamp is the key's ABSOLUTE open count after this
+    // transition — idempotent under task retries (see
+    // OpenCensusAccumulator), zero acting as the key's tombstone.
     def evict(user: Long, all: Seq[SessionState], wmUs: Long,
-        state: GroupState[OpenSessions], prevOpen: Int)
+        state: GroupState[OpenSessions])
         : Iterator[SessionSummary] = {
       val (closed, open) = all.partition(s => micros(s.last) + gapUs < wmUs)
       metrics.foreach { m =>
-        m.openSessions.add(open.size.toLong - prevOpen)
+        m.openCensus.add(user -> open.size.toLong)
         m.maxOpenPerKey.add(open.size.toLong)
       }
       if (open.nonEmpty) {
@@ -160,10 +194,9 @@ object Sessionize {
         (user: Long, rows: Iterator[SessionEvent],
             state: GroupState[OpenSessions]) =>
           val wmUs = state.getCurrentWatermarkMs * 1000L
-          val prevOpen = state.getOption.map(_.sessions.size).getOrElse(0)
           if (state.hasTimedOut)
             evict(user, state.getOption.map(_.sessions).getOrElse(Nil),
-              wmUs, state, prevOpen)
+              wmUs, state)
           else {
             val sorted = rows.filter(e => micros(e.ts) >= wmUs)
               .toSeq.sortBy(e => (micros(e.ts), e.event_id))
@@ -190,7 +223,7 @@ object Sessionize {
                   touch.map(_.n).sum + 1)
               sessions = (merged :: rest).sortBy(s => micros(s.start))
             }
-            evict(user, sessions, wmUs, state, prevOpen)
+            evict(user, sessions, wmUs, state)
           }
       }
   }

@@ -7,7 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // 2 task attempts: lets retry-semantics tests (census gauges under
+      // a forced first-attempt failure) actually retry instead of
+      // failing the job; deterministic failures still fail, one rerun
+      // later
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

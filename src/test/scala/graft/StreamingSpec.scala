@@ -224,6 +224,18 @@ class StreamingSpec extends AnyFunSuite {
         .parquet(in).as[SessionEvent]
       val q = Sessionize
         .sessionizeStream(spark, stream, gapMinutes = 30, Some(metrics))
+        .map { summary =>
+          // forced first-attempt failure in the STATEFUL stage's task
+          // pipeline (the map is fused downstream of
+          // flatMapGroupsWithState): the task retries and the census
+          // must come out exact, not delta-inflated
+          if (StreamingSpec.failOnce.get &&
+              org.apache.spark.TaskContext.get.attemptNumber() == 0 &&
+              StreamingSpec.failOnce.compareAndSet(true, false))
+            throw new RuntimeException(
+              "forced task failure (census retry-semantics test)")
+          summary
+        }
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
@@ -235,17 +247,21 @@ class StreamingSpec extends AnyFunSuite {
     // 30-minute gap apart); the watermark (12:30) seals neither
     writePhase(ev(1, "12:00"), ev(2, "13:00"))
     runPhase()
-    assert(metrics.openSessions.value == 2L,
-      s"two open sessions expected, gauge = ${metrics.openSessions.value}")
+    assert(metrics.openSessions == 2L,
+      s"two open sessions expected, census = ${metrics.openSessions}")
     assert(metrics.maxOpenPerKey.value == 2L,
       s"per-key high-water 2 expected, got ${metrics.maxOpenPerKey.value}")
     // phase 2: 16:00 opens a THIRD before the watermark moves (the
     // stalled-watermark growth shape the gauges exist to surface), then
-    // the advanced watermark (15:30) seals the first two
+    // the advanced watermark (15:30) seals the first two. A FORCED task
+    // retry (downstream throw on attempt 0) must not disturb the census:
+    // the stamps are idempotent per-key sets, not signed deltas.
+    StreamingSpec.failOnce.set(true)
     writePhase(ev(3, "16:00"))
     runPhase()
-    assert(metrics.openSessions.value == 1L,
-      s"eviction must shrink the gauge to 1, got ${metrics.openSessions.value}")
+    assert(!StreamingSpec.failOnce.get, "the forced failure must have fired")
+    assert(metrics.openSessions == 1L,
+      s"eviction must shrink the census to 1, got ${metrics.openSessions}")
     assert(metrics.maxOpenPerKey.value == 3L,
       s"high-water must capture the 3-open burst, got " +
         s"${metrics.maxOpenPerKey.value}")
@@ -777,4 +793,31 @@ class StreamingSpec extends AnyFunSuite {
       s"missing null rows for expired clicks: ${(mustEmit -- nulls).take(5)}")
     assert(nulls.nonEmpty)
   }
+
+  test("open-session census accumulator: re-applied partials do not inflate") {
+    val acc = new Sessionize.OpenCensusAccumulator
+    val partial = new Sessionize.OpenCensusAccumulator
+    partial.add(1L -> 2L) // key 1: two open sessions
+    partial.add(2L -> 1L)
+    partial.add(3L -> 0L) // key 3: tombstone (state removed)
+    acc.merge(partial)
+    acc.merge(partial) // a double-counted successful attempt (stage
+                       // retry / speculation) re-applies the same stamps
+    assert(acc.value == Map(1L -> 2L, 2L -> 1L),
+      s"census must be idempotent under re-merge, got ${acc.value}")
+    assert(acc.value.values.sum == 3L)
+    // a later transition's stamp REPLACES, and a tombstone clears
+    val next = new Sessionize.OpenCensusAccumulator
+    next.add(1L -> 1L)
+    next.add(2L -> 0L)
+    acc.merge(next)
+    assert(acc.value == Map(1L -> 1L), s"got ${acc.value}")
+  }
+}
+
+/** Cross-task signal for the forced-retry census test (same JVM in
+  * local mode).
+  */
+object StreamingSpec {
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
