@@ -462,23 +462,33 @@ object CurationQueries {
     */
   def q110ExportShards(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+    // oracle-replayable per-row hash (md5 prefix → 60-bit int) so the
+    // XOR content digest — the manifest's integrity surface — is
+    // value-checked end-to-end by DuckDB, not just spec-tested
+    val rowDigest = conv(substring(
+        md5(concat(lit("digest|"), col("doc_id").cast("string"),
+          lit("|"), coalesce(col("lang"), lit("")))), 1, 15), 16, 10)
+      .cast("long")
     graft.pipeline.Export.exportShards(
         Tables.documents(spark, dir).select("doc_id", "lang"),
-        "doc_id", s"$tmp/shards", NExportShards)
+        "doc_id", s"$tmp/shards", NExportShards, Some(rowDigest))
       .select(col("shard").cast("int").as("shard"), col("n_rows"),
-        col("id_min"), col("id_max"))
+        col("id_min"), col("id_max"), col("content_digest"))
       .orderBy("shard")
   }
 
   val q110Oracle: String =
     s"""WITH s AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, lang,
        |         floor((('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT
        |                  / 65536.0) * $NExportShards) AS shard
        |  FROM documents
        |)
        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_rows,
-       |       min(doc_id) AS id_min, max(doc_id) AS id_max
+       |       min(doc_id) AS id_min, max(doc_id) AS id_max,
+       |       bit_xor(('0x' || substr(md5('digest|' || CAST(doc_id AS VARCHAR)
+       |                 || '|' || coalesce(lang, '')), 1, 15))::BIGINT)
+       |         AS content_digest
        |FROM s GROUP BY shard ORDER BY shard""".stripMargin
 
   // ---- q86: Johnson–Lindenstrauss random projection -------------------

@@ -1224,12 +1224,39 @@ class PipelineSpec extends AnyFunSuite {
         .filter(f => f.getName.startsWith("part-"))
       assert(parts.length === 1, s"$d has ${parts.length} part files")
     }
-    // re-export of the unchanged corpus is bit-stable (manifest equal)
+    // re-export of the unchanged corpus is bit-stable (manifest equal,
+    // INCLUDING each shard's order-invariant content digest)
     val m2 = Export.exportShards(docs, "doc_id", s"$tmp/s2", 4)
       .orderBy("shard").collect().toSeq
     assert(m1 === m2)
     // no row dropped or duplicated by the writer
     assert(m1.map(_.getLong(1)).sum === docs.count())
+
+    // TAMPER: rewrite one shard with a single value changed — counts and
+    // id bounds cannot see it; the content digest must flip, and only
+    // the tampered shard's
+    val tampered = spark.read.parquet(s"$tmp/s")
+      .withColumn("lang",
+        when(col("shard") === 1 &&
+            col("doc_id") === min(col("doc_id"))
+              .over(org.apache.spark.sql.expressions.Window
+                .partitionBy("shard")),
+          concat(col("lang"), lit("X"))).otherwise(col("lang")))
+    tampered.repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/st")
+    val m3 = Export.manifest(spark, s"$tmp/st", "doc_id")
+      .orderBy("shard").collect().toSeq
+    m1.zip(m3).foreach { case (a, b) =>
+      val shard = a.getInt(0)
+      assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2),
+        s"tamper must be invisible to counts/bounds (shard $shard)")
+      if (shard == 1)
+        assert(a.getLong(4) != b.getLong(4),
+          "tampered shard's content digest must flip")
+      else
+        assert(a.getLong(4) == b.getLong(4),
+          s"untampered shard $shard's digest must not move")
+    }
   }
 
   test("count_phrases equals brute-force contains on adversarial strings") {
