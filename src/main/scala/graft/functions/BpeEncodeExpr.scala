@@ -37,11 +37,16 @@ object BpeUtil {
 
   /** Symbol count of one word after the merge ladder. */
   def countWord(w: String, ls: Array[String], rs: Array[String]): Int = {
-    // initial spelling: one token per code point (the `(.)` regex both
-    // engines use matches a code point, not a UTF-16 unit)
-    var len = w.codePointCount(0, w.length)
-    if (len <= 1) return len
-    val toks = new Array[String](len)
+    val toks = spell(w)
+    if (toks.length <= 1) toks.length
+    else runLadder(toks, toks.length, ls, rs)
+  }
+
+  /** Initial spelling: one token per code point (the `(.)` regex both
+    * engines use matches a code point, not a UTF-16 unit).
+    */
+  private def spell(w: String): Array[String] = {
+    val toks = new Array[String](w.codePointCount(0, w.length))
     var i = 0
     var t = 0
     while (i < w.length) {
@@ -50,6 +55,13 @@ object BpeUtil {
       toks(t) = new String(Character.toChars(cp))
       t += 1
     }
+    toks
+  }
+
+  /** In-place greedy ladder over `toks[0, len)`; returns the new length. */
+  private def runLadder(toks: Array[String], len0: Int,
+      ls: Array[String], rs: Array[String]): Int = {
+    var len = len0
     var m = 0
     while (m < ls.length && len > 1) {
       val l = ls(m)
@@ -66,6 +78,41 @@ object BpeUtil {
       m += 1
     }
     len
+  }
+
+  /** Encoded pieces of one word — the same spell + ladder kernel as
+    * [[countWord]], returning the surviving tokens.
+    */
+  def encodeWord(w: String, ls: Array[String], rs: Array[String]): Array[String] = {
+    val toks = spell(w)
+    if (toks.length <= 1) return toks
+    val len = runLadder(toks, toks.length, ls, rs)
+    if (len == toks.length) toks else java.util.Arrays.copyOf(toks, len)
+  }
+
+  /** Encoded pieces of a word array under the ladder, flattened in word
+    * order — the serving/packing twin of [[encodedCount]] (null and
+    * empty words contribute no pieces).
+    */
+  def encodedPieces(words: ArrayData, ls: Array[String],
+      rs: Array[String]): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.unsafe.types.UTF8String]
+    val n = words.numElements()
+    var wi = 0
+    while (wi < n) {
+      if (!words.isNullAt(wi)) {
+        val pieces =
+          encodeWord(words.getUTF8String(wi).toString, ls, rs)
+        var p = 0
+        while (p < pieces.length) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(pieces(p))
+          p += 1
+        }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 }
 
@@ -115,5 +162,52 @@ case class BpeEncodedCount(first: Expression, second: Expression,
 
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): BpeEncodedCount =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Per-row BPE encoding returning the PIECES — [[BpeEncodedCount]]'s
+  * serving/packing twin (a trainer needs token ids/pieces, not just
+  * budget counts), sharing the same static spell + greedy-ladder kernel
+  * and the same codegen shape: one whole-stage-codegen'd static call
+  * per row, ladder constants shipped as reference objects. Output is
+  * the per-word piece arrays flattened in word order.
+  */
+case class BpeEncodePieces(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _),
+          ArrayType(StringType, _))
+          if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "bpe_pieces expects (array<string>, foldable array<string>, " +
+          s"foldable array<string>), got (${first.dataType.sql}, " +
+          s"${second.dataType.sql}, ${third.dataType.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private def evalStrings(e: Expression): Array[String] = {
+    val arr = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
+
+  @transient private lazy val ls: Array[String] = evalStrings(second)
+  @transient private lazy val rs: Array[String] = evalStrings(third)
+
+  override def nullSafeEval(w: Any, l: Any, r: Any): Any =
+    BpeUtil.encodedPieces(w.asInstanceOf[ArrayData], ls, rs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("bpeLs", ls, "java.lang.String[]")
+    val rRef = ctx.addReferenceObj("bpeRs", rs, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, (w, _, _) =>
+      s"${ev.value} = graft.functions.BpeUtil.encodedPieces($w, $lRef, $rRef);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): BpeEncodePieces =
     copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -217,6 +217,12 @@ object VectorFunctions {
         "bpe_count", exprs => BpeEncodedCount(exprs(0), exprs(1), exprs(2)),
         "built-in")
     }
+    val bpp = org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_pieces")
+    if (!reg.functionExists(bpp)) {
+      reg.createOrReplaceTempFunction(
+        "bpe_pieces", exprs => BpeEncodePieces(exprs(0), exprs(1), exprs(2)),
+        "built-in")
+    }
     val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
     if (!reg.functionExists(cm)) {
       // the analyzer wraps a bare AggregateFunction into an
@@ -302,6 +308,20 @@ object VectorFunctions {
     // cast keeps an EMPTY ladder typed array<string> (array() is
     // array<null> and would fail the type check)
     call_function("bpe_count", words,
+      org.apache.spark.sql.functions.array(
+        merges.map(m => org.apache.spark.sql.functions.lit(m._1)): _*)
+        .cast("array<string>"),
+      org.apache.spark.sql.functions.array(
+        merges.map(m => org.apache.spark.sql.functions.lit(m._2)): _*)
+        .cast("array<string>"))
+  }
+
+  /** Column API for [[BpeEncodePieces]]: encoded pieces of a tokenized
+    * document under a BPE merge ladder, flattened in word order.
+    */
+  def bpePieces(words: Column, merges: Seq[(String, String)]): Column = {
+    register(SparkSession.active)
+    call_function("bpe_pieces", words,
       org.apache.spark.sql.functions.array(
         merges.map(m => org.apache.spark.sql.functions.lit(m._1)): _*)
         .cast("array<string>"),

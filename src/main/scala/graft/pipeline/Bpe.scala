@@ -378,4 +378,15 @@ object Bpe {
       merges: Seq[Merge]): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.bpeCount(
       tokens(textCol), merges.map(m => (m.l_sym, m.r_sym)))
+
+  /** [[encodedSymbolCount]]'s serving twin: the encoded PIECES of a
+    * document under the learned merges, flattened in word order — what a
+    * packing/serving step ships to the trainer. Same native codegen'd
+    * kernel ([[graft.functions.BpeEncodePieces]]), same row-local
+    * one-pass shape.
+    */
+  def encodedPieces(textCol: org.apache.spark.sql.Column,
+      merges: Seq[Merge]): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.bpePieces(
+      tokens(textCol), merges.map(m => (m.l_sym, m.r_sym)))
 }

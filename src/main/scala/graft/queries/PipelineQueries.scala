@@ -1168,6 +1168,33 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN enc ON enc.source = d.source
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** Piece-level encoding check, word by word: every distinct corpus
+    * word encoded by [[graft.functions.BpeEncodePieces]] (the native
+    * kernel [[q91BpeEncode]] counts through) against the oracle's vocab
+    * FIXPOINT spelling `w6` — the arrays themselves are value-compared,
+    * so a kernel that merged in the wrong order, dropped a piece, or
+    * mis-spelled a supplementary character fails here even when its
+    * counts happen to agree.
+    */
+  def q154BpePieces(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.pipeline.Bpe.learnMerges(
+      spark, graft.pipeline.Bpe.wordCounts(docs, "text"), BpeMergeCount)
+    graft.pipeline.Bpe.wordCounts(docs, "text")
+      .select(col("word"),
+        graft.functions.VectorFunctions.bpePieces(array(col("word")),
+          merges.map(m => (m.l_sym, m.r_sym))).as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .orderBy("word")
+  }
+
+  val q154Oracle: String =
+    s"""WITH $bpeLadderSql
+       |SELECT word, string_split(sym, ' ') AS pieces,
+       |       CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_pieces
+       |FROM w$BpeMergeCount
+       |ORDER BY word""".stripMargin
+
   // ---- q151: batched BPE training at vocabulary scale ------------------
 
   private val BatchedBpeMerges = 256
@@ -1512,6 +1539,7 @@ object PipelineQueries {
     "q87_bloom_decontaminate" -> (q87BloomDecontaminate _),
     "q90_bpe_merges" -> (q90BpeMerges _),
     "q91_bpe_encode" -> (q91BpeEncode _),
+    "q154_bpe_pieces" -> (q154BpePieces _),
     "q151_bpe_batched" -> (q151BpeBatched _),
     "q72_paragraph_dedup" -> (q72ParagraphDedup _),
     "q75_substring_dedup" -> (q75SubstringDedup _),
@@ -1541,6 +1569,7 @@ object PipelineQueries {
     "q87_bloom_decontaminate" -> q87Oracle,
     "q90_bpe_merges" -> q90Oracle,
     "q91_bpe_encode" -> q91Oracle,
+    "q154_bpe_pieces" -> q154Oracle,
     "q151_bpe_batched" -> q151Oracle,
     "q72_paragraph_dedup" -> q72Oracle,
     "q75_substring_dedup" -> q75Oracle,

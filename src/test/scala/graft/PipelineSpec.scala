@@ -1134,6 +1134,28 @@ class PipelineSpec extends AnyFunSuite {
           .bpeCount(array(col("w")), Seq.empty).as("n"))
       .as[(Long, Long)].collect().toMap
     assert(zero(0L) == 4L && zero(6L) == 5L && zero(3L) == 0L)
+    // the pieces twin shares the kernel: its arrays must concatenate
+    // back to the word and its sizes must equal the count form on the
+    // same adversarial spellings
+    val pieces = df.select(col("id"), col("w"),
+        graft.functions.VectorFunctions.bpePieces(array(col("w")),
+          merges.map(m => (m.l_sym, m.r_sym))).as("p"))
+      .as[(Long, String, Seq[String])].collect()
+    pieces.foreach { case (id, w, p) =>
+      assert(p.size.toLong == exprN(id),
+        s"pieces size vs count diverged for '$w': $p")
+      assert(p.mkString == w, s"pieces must respell '$w', got $p")
+    }
+    // closed-form: aaaaaaa → [aa, aa, aaa] (merge2 rewrites the
+    // trailing (aa, a) pair only)
+    assert(pieces.find(_._1 == 1L).get._3 == Seq("aa", "aa", "aaa"))
+    // multi-word document: pieces flatten in word order
+    val doc = Seq((0L, Seq("aaaa", "bcbc"))).toDF("id", "ws")
+    val flat = doc.select(graft.functions.VectorFunctions.bpePieces(
+        col("ws"), merges.map(m => (m.l_sym, m.r_sym))).as("p"))
+      .as[Seq[String]].head()
+    assert(flat == Seq("aa", "aa", "bcbc"),
+      s"flattened document pieces wrong: $flat")
   }
 
   test("batched BPE local path tie-breaks by UTF-8 bytes like the " +
