@@ -126,8 +126,41 @@ object Bench {
     val full = results.map { case (k, _, v, _, ok) =>
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
+    // automated plan-drift canary: queries whose scheduler stage count
+    // moved vs the LAST committed bench_history entry (read BEFORE this
+    // run appends its own line). A silently added/removed shuffle shows
+    // up here before wall time flags it; the per-query "stages" field
+    // existed since round 8 but the diff was manual until now.
+    val prevStages: Map[String, Long] = try {
+      val hist = java.nio.file.Paths.get("bench_history.jsonl")
+      if (!java.nio.file.Files.exists(hist)) Map.empty
+      else {
+        val lines = java.nio.file.Files.readAllLines(hist)
+        if (lines.isEmpty) Map.empty
+        else {
+          import org.json4s._
+          import org.json4s.jackson.JsonMethods
+          JsonMethods.parse(lines.get(lines.size - 1)) \ "stats" match {
+            case JObject(fields) => fields.flatMap { case (name, o) =>
+              o \ "stages" match {
+                case JInt(v) => Some(name -> v.toLong)
+                case _ => None
+              }
+            }.toMap
+            case _ => Map.empty
+          }
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
+    val drifted = results.collect {
+      case (k, _, _, st, true) if st >= 0 &&
+        prevStages.get(k).exists(_ != st) => k
+    }
+    val planDriftFull = drifted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val planDrift = drifted.map(k => "\"" + k.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","minsum":$minSum%.3f,"queries":$full,"stats":$stats,"errors":$errors,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","minsum":$minSum%.3f,"queries":$full,"stats":$stats,"errors":$errors,"plan_drift":$planDriftFull,"sf":"$sfDir"}"""
     // full-name medians + min/med/max/stages → bench.json (the
     // machine-readable channel; sbt's [info] prefix and the 2000-char
     // output tail both mangle stdout); the printed line is the compact
@@ -147,7 +180,7 @@ object Bench {
     // minsum/agg sit at the LINE END so they survive the driver's
     // ~2000-char stdout tail even if the head gets truncated
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"agg":"${if (useMin) "min" else "med"}","minsum":$minSum%.3f,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"agg":"${if (useMin) "min" else "med"}","minsum":$minSum%.3f,"plan_drift":$planDrift,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
