@@ -184,10 +184,13 @@ object ScaleProbe {
               def call(): Double = {
                 val w0 = System.nanoTime()
                 var myAttempts = 0L
+                // count at the retry-loop top (not the beforeCommit
+                // seam): attempts aborted before publish — fileVanished
+                // redos under CoW interference — are redone work too
                 val n = ConsolidatedStore.appendConcurrentHooked(
                   spark, cl, fleetBatches(i),
                   Seq("database_name", "last_lsn"), maxAttempts = 16,
-                  Nil)((a, _) => myAttempts = a)
+                  Nil, onAttempt = a => myAttempts = a)((_, _) => ())
                 attempts.addAndGet(myAttempts)
                 rows.addAndGet(n)
                 (System.nanoTime() - w0) / 1e9

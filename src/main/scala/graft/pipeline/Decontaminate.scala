@@ -222,16 +222,25 @@ object Decontaminate {
       // Costs one rank window over |corpus| x nCentroids rows — the
       // documented trade past the codegen ceiling. round(dot) ranked
       // DESC with smallest-cid ties is exactly the literal argsort's
-      // order (HALF_UP rounding commutes with negation).
+      // order (HALF_UP rounding commutes with negation). The window
+      // partitions by (id, vector), NOT id alone: the literal route
+      // probes per ROW, so duplicate corpus ids with DIFFERENT vectors
+      // must each get their own nProbe lists (id-only partitioning
+      // starved one duplicate's nearest lists and lowered its max
+      // similarity). Exact duplicate rows are collapsed first — they
+      // carry identical probe sets and the report's per-id max cannot
+      // see the difference — keeping every window partition exactly
+      // nCentroids rows.
       val spark = corpus.sparkSession
       import spark.implicits._
       val cents = broadcast(
         centArr.toSeq.toDF("cid", "__cv")
           .select(col("cid"), col("__cv").cast("array<double>").as("__cv")))
-      corpusV.crossJoin(cents)
+      corpusV.dropDuplicates(idCol, "__v").crossJoin(cents)
         .withColumn("__csim", round(Similarity.dot(col("__v"), col("__cv")), 6))
         .withColumn("__pr", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col(idCol), col("__v"))
             .orderBy(col("__csim").desc, col("cid"))))
         .filter(col("__pr") <= nProbe)
         .select(col(idCol), col("__v"), col("cid"))

@@ -463,7 +463,8 @@ object ConsolidatedStore {
   private[graft] def appendConcurrentHooked(
       spark: SparkSession, path: String, incoming: DataFrame,
       sortWithin: Seq[String], maxAttempts: Int,
-      partitionBy: Seq[String] = Nil)(
+      partitionBy: Seq[String] = Nil,
+      onAttempt: Int => Unit = _ => ())(
       beforeCommit: (Int, Int) => Unit): Long = {
     val deduped = incoming.dropDuplicates(dedupKey).cache()
     try {
@@ -476,6 +477,11 @@ object ConsolidatedStore {
           throw new StoreLog.ConcurrentCommitException(
             s"append on $path lost $maxAttempts version races; reduce " +
               "writer contention or raise maxAttempts")
+        // attempt accounting fires at the LOOP TOP: attempts that abort
+        // before publish (fileVanished redo, empty-fresh early return)
+        // never reach the beforeCommit seam, so counting there
+        // undercounts redone work under CoW interference
+        onAttempt(attempt)
         var v0 = StoreLog.currentVersion(spark, path)
         if (v0 == 0) {
           // files present at version 0 are EITHER a truly unlogged store

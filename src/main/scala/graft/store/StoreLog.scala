@@ -174,9 +174,18 @@ object StoreLog {
     * reading the post-`version` commits (correct, just slower) until the
     * next checkpoint rewrites the index.
     */
+  /** `vacuumHorizon`: the highest remove-version whose archive home had
+    * been VACUUMED when this checkpoint pruned the index (0 = none).
+    * Requests below it must fail loudly: the pruned index can no longer
+    * distinguish "file never removed before my kept versions" from
+    * "removed at a vacuumed version" — resolving such a request against
+    * the surviving entries silently serves a LATER incarnation's content
+    * (or the live root file) for a pre-vacuum snapshot.
+    */
   private final case class Checkpoint(
       version: Int, live: Seq[String], txns: Seq[String],
-      homes: Option[Map[String, Seq[Int]]])
+      homes: Option[Map[String, Seq[Int]]],
+      vacuumHorizon: Int = 0)
 
   private def ckptPath(root: String, v: Int): Path =
     new Path(s"$root/$dirName/${f"ckpt-v$v%09d"}.json")
@@ -215,6 +224,10 @@ object StoreLog {
         (jv \ "homes") match {
           case JNothing | JNull => None
           case h => Some(h.extract[Map[String, Seq[Int]]])
+        },
+        (jv \ "vacuumHorizon") match {
+          case JNothing | JNull => 0
+          case h => h.extract[Int]
         }))
     } catch {
       // torn by a dead writer, or vanished — fall back to an older
@@ -324,13 +337,19 @@ object StoreLog {
     // the listing is stable against concurrent replacers.
     val histDir = new Path(s"$root/$historyDirName")
     val hfs = fs(spark, histDir)
+    // the horizon never retreats: carry the base checkpoint's forward
+    // and raise it by every remove-version pruned HERE, so a request at
+    // or below any ever-pruned version fails loudly in liveFilesAt
+    // instead of resolving to a later incarnation's surviving home
+    var horizon = base.map(_.vacuumHorizon).getOrElse(0)
     if (hfs.exists(histDir)) {
       val present = hfs.listStatus(histDir).toSeq.map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.drop(1).forall(_.isDigit) =>
           n.drop(1).toInt
         }.toSet
       val pruned = homes.toSeq.flatMap { case (fl, vs) =>
-        val kept = vs.filter(present)
+        val (kept, dropped) = vs.partition(present)
+        if (dropped.nonEmpty) horizon = math.max(horizon, dropped.max)
         if (kept.isEmpty) None else Some(fl -> kept)
       }
       homes.clear(); homes ++= pruned
@@ -338,7 +357,8 @@ object StoreLog {
     val bytes = JsonMethods.compact(JsonMethods.render(
       ("version" -> v) ~ ("live" -> live.toSeq) ~
         ("txns" -> txns.toSeq.sorted) ~
-        ("homes" -> homes.toMap))).getBytes(StandardCharsets.UTF_8)
+        ("homes" -> homes.toMap) ~
+        ("vacuumHorizon" -> horizon))).getBytes(StandardCharsets.UTF_8)
     val p = ckptPath(root, v)
     createExclusive(fs(spark, p), p, bytes)
   }
@@ -805,6 +825,12 @@ object StoreLog {
     val removedAt = scala.collection.mutable.Map.empty[String, Int]
     val base = newestReadableCheckpoint(spark, root, head)
       .filter(_.homes.isDefined)
+    base.filter(_.vacuumHorizon > version).foreach { c =>
+      throw new IllegalStateException(
+        s"liveFilesAt/snapshot v$version on $root: history at or below " +
+          s"v${c.vacuumHorizon} was vacuumed and its remove index pruned " +
+          "— the snapshot cannot be served faithfully (see StoreLog.vacuum)")
+    }
     base.foreach { c =>
       c.homes.get.foreach { case (fl, vs) =>
         if (live(fl))

@@ -905,6 +905,20 @@ class PipelineSpec extends AnyFunSuite {
       emb, "vec_id", "embedding", emb, "vec_id", "embedding",
       minSim = 0.25, nCentroids = 300, nProbe = 300))
     assert(annAll === exactAll, "300-list full probe diverged from exact")
+    // DUPLICATE corpus ids with DIFFERENT vectors: the literal route
+    // probes per row, so the window route must rank per (id, vector)
+    // too — id-only partitioning starved one duplicate's nearest lists
+    // and could lower its reported max similarity
+    val dup = emb.unionByName(
+      emb.withColumn("embedding", reverse(col("embedding"))))
+    val partDupLit = rows(Decontaminate.semanticContaminationReportAnn(
+      dup, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 2))
+    val partDupWin = rows(Decontaminate.semanticContaminationReportAnn(
+      dup, "vec_id", "embedding", bench, "vec_id", "embedding",
+      minSim = 0.25, nCentroids = 8, nProbe = 2, maxLiteralK = 0))
+    assert(partDupWin === partDupLit,
+      "probe routes diverged on duplicate corpus ids")
   }
 
   test("JL random projection: deterministic, norm distortion bounded") {

@@ -269,6 +269,35 @@ class StoreLogSpec extends AnyFunSuite {
       .map(_ + ".parquet"),
       s"pruned index wrong: ${homes.keySet}")
     assert((3 to 7).forall(i => homes(s"f$i.parquet") == Seq(i * 10)))
+    // the prune recorded its horizon: the highest pruned remove-version
+    assert((JsonMethods.parse(txt) \ "vacuumHorizon").extract[Int] == 20,
+      "checkpoint must record the vacuum horizon of what it pruned")
+    // requests AT OR BELOW the horizon fail LOUDLY — a pruned entry
+    // (f1 removed at the vacuumed v10, say it were re-removed later)
+    // must never silently resolve to a later incarnation's surviving
+    // home or to a same-named live root file
+    Seq(5, 19).foreach { v =>
+      val e = intercept[IllegalStateException](
+        StoreLog.liveFilesAt(spark, dir, v))
+      assert(e.getMessage.contains("vacuumed"),
+        s"v$v must fail with the vacuum message, got: ${e.getMessage}")
+    }
+    // requests past the horizon still resolve from the kept entries
+    val at25 = StoreLog.liveFilesAt(spark, dir, 25).toMap
+    assert(at25("f3.parquet").contains("%09d".format(30)),
+      s"post-horizon resolution broken: ${at25.get("f3.parquet")}")
+    // the horizon survives FUTURE checkpoints even after the history
+    // listing changes (it never retreats)
+    (71 to 71 + StoreLog.CheckpointEvery).foreach { v =>
+      assert(StoreLog.tryCommit(spark, dir, v, "append",
+        adds = Seq(s"f$v.parquet"), removes = Nil))
+    }
+    val later = StoreLog.checkpointNow(spark, dir)
+    val txt2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        s"$dir/${StoreLog.dirName}/ckpt-v${"%09d".format(later)}.json")), "UTF-8")
+    assert((JsonMethods.parse(txt2) \ "vacuumHorizon").extract[Int] == 20,
+      "horizon must carry forward across checkpoint rewrites")
   }
 
   test("pre-log CoW ops baseline first, then commit through the logged " +
