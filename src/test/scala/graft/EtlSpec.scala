@@ -305,6 +305,83 @@ class EtlSpec extends AnyFunSuite {
     assert(wmAfter2 == wmAfter1)
   }
 
+  test("duplicate deliveries share ONE extract pass (memoized per source+watermark)") {
+    // two server names resolving to the SAME MsdbSources instance at the
+    // same watermark — the q64 shape. The runner must extract + dedup +
+    // checkpoint once and share the batch; a per-row accumulator on the
+    // backupset scan counts actual source passes.
+    val acc = spark.sparkContext.longAccumulator("backupset-scan-rows")
+    val base = MsdbDerivation.sources(spark, TestSpark.sf)
+    val counted = udf { (_: Long) => acc.add(1L); true }
+    val src = base.copy(
+      backupset = base.backupset.filter(counted(col("backup_set_id"))))
+    // calibrate: one solo run = however many passes one extract costs
+    val (c1, w1) = (tmp(), tmp())
+    val solo = EtlRunner.runOnce(spark, Map("solo" -> src), c1, w1)
+    assert(solo.head.error.isEmpty)
+    val onePass = acc.value.longValue
+    assert(onePass > 0)
+    // fresh store/watermarks, two aliases of the same instance
+    val (c2, w2) = (tmp(), tmp())
+    val res = EtlRunner.runOnce(
+      spark, Map("srvA" -> src, "srvB" -> src), c2, w2, parallelism = 2)
+    assert(acc.value.longValue == 2 * onePass,
+      s"two aliased deliveries must cost ONE extract pass ($onePass rows), " +
+        s"saw ${acc.value.longValue - onePass}")
+    // both report the shared batch; the first load owns every key
+    val k = graft.etl.ExtractTransform
+      .extract(base, EtlRunner.DefaultWatermark)
+      .dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(res.map(_.extracted).distinct.size == 1)
+    assert(res.map(_.appended).sum == k)
+    assert(spark.read.parquet(c2).count() == k)
+    val wmv = WatermarkStore.read(spark, w2)
+    assert(wmv("srvA") == wmv("srvB"))
+    // DISTINCT instances over the same data never share (reference
+    // identity is the memo key — the real fleet path stays isolated)
+    val other = base.copy(
+      backupset = base.backupset.filter(counted(col("backup_set_id"))))
+    val (c3, w3) = (tmp(), tmp())
+    EtlRunner.runOnce(
+      spark, Map("srvA" -> src, "srvB" -> other), c3, w3, parallelism = 2)
+    assert(acc.value.longValue == 4 * onePass,
+      "distinct source instances must each pay their own extract pass")
+  }
+
+  test("a failed extract is memoized: every sharer skips, the run continues") {
+    val cons = tmp(); val wms = tmp()
+    val good = MsdbDerivation.sources(spark, TestSpark.sf)
+    val broken = good.copy(
+      backupset = good.backupset.withColumn("server_name",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN backup_set_id >= 0 THEN raise_error('simulated extract failure') END")))
+    // the broken instance delivered under TWO aliases shares one memoized
+    // Left: both sharers must skip identically (the second must not hang
+    // on, rethrow through, or half-load a batch), and the run continues
+    val results = EtlRunner.runOnce(
+      spark, Map("dupA" -> broken, "dupB" -> broken, "good" -> good),
+      cons, wms, parallelism = 3)
+    val byServer = results.map(r => r.server -> r).toMap
+    assert(byServer("dupA").error.exists(_.startsWith("extract failed")))
+    assert(byServer("dupB").error.exists(_.startsWith("extract failed")))
+    assert(byServer("dupA").error == byServer("dupB").error,
+      "sharers of one memoized failure must report the same error")
+    assert(byServer("good").error.isEmpty && byServer("good").appended > 0)
+    assert(WatermarkStore.read(spark, wms).keySet == Set("good"))
+  }
+
+  test("Checkpoints.release frees the checkpoint's storage blocks by id") {
+    val df = spark.range(100).toDF("v").localCheckpoint()
+    val rddId = df.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "a localCheckpoint must hold storage blocks until released")
+    graft.util.Checkpoints.release(df)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "release must drop the checkpoint's blocks eagerly (LogicalRDD " +
+        "match regressed — blocks now wait for ContextCleaner)")
+  }
+
   test("multi-source run: failing extract skips that server only") {
     val cons = tmp(); val wms = tmp()
     val good = MsdbDerivation.sources(spark, TestSpark.sf)
