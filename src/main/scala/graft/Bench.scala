@@ -65,6 +65,7 @@ object Bench {
       var ok = true
       var r = 0
       var stages = -1L
+      val repStages = Seq.newBuilder[Long]
       while (r < reps && ok) {
         isolate(name)
         System.gc()
@@ -83,6 +84,7 @@ object Bench {
           stages = st.getJobIdsForGroup(group)
             .flatMap(id => st.getJobInfo(id).map(_.stageIds().length.toLong))
             .sum
+          repStages += stages
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }
         finally spark.sparkContext.clearJobGroup()
@@ -90,6 +92,13 @@ object Bench {
       }
       val sorted = times.result().sorted
       val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+      // schedule-dependent lifecycles (fleet races, streaming retries)
+      // produce a DIFFERENT stage count per rep of identical code — their
+      // cross-run "drift" is noise, not a plan change. A query whose reps
+      // disagree within THIS run is marked nondeterministic (stages = -2)
+      // and excluded from the plan_drift diff on both sides.
+      val distinctStages = repStages.result().distinct
+      if (distinctStages.size > 1) stages = -2L
       (name, sorted, median, stages, ok)
     }
     // a failed query reports -1, never a normal-looking wall time.
@@ -127,34 +136,44 @@ object Bench {
       "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1") }
       .mkString("{", ",", "}")
     // automated plan-drift canary: queries whose scheduler stage count
-    // moved vs the LAST committed bench_history entry (read BEFORE this
-    // run appends its own line). A silently added/removed shuffle shows
-    // up here before wall time flags it; the per-query "stages" field
-    // existed since round 8 but the diff was manual until now.
-    val prevStages: Map[String, Long] = try {
+    // is one NEVER SEEN in the recent committed bench_history entries
+    // (read BEFORE this run appends its own line). A silently
+    // added/removed shuffle shows up here before wall time flags it.
+    // Diffing against a WINDOW of recent runs, not just the last one,
+    // keeps schedule-dependent lifecycles with a stable-per-JVM but
+    // bimodal-across-JVMs count (the fleet race's redo path) from
+    // flagging on every alternation; a real plan change lands on a
+    // count the window has never held.
+    val PrevWindow = 8
+    val prevStages: Map[String, Set[Long]] = try {
       val hist = java.nio.file.Paths.get("bench_history.jsonl")
       if (!java.nio.file.Files.exists(hist)) Map.empty
       else {
         val lines = java.nio.file.Files.readAllLines(hist)
-        if (lines.isEmpty) Map.empty
-        else {
-          import org.json4s._
-          import org.json4s.jackson.JsonMethods
-          JsonMethods.parse(lines.get(lines.size - 1)) \ "stats" match {
-            case JObject(fields) => fields.flatMap { case (name, o) =>
-              o \ "stages" match {
-                case JInt(v) => Some(name -> v.toLong)
-                case _ => None
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        import scala.jdk.CollectionConverters._
+        lines.asScala.toSeq.takeRight(PrevWindow)
+          .flatMap { line =>
+            JsonMethods.parse(line) \ "stats" match {
+              case JObject(fields) => fields.flatMap { case (name, o) =>
+                o \ "stages" match {
+                  case JInt(v) => Some(name -> v.toLong)
+                  case _ => None
+                }
               }
-            }.toMap
-            case _ => Map.empty
+              case _ => Nil
+            }
           }
-        }
+          .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.toSet }
       }
     } catch { case _: Throwable => Map.empty }
     val drifted = results.collect {
+      // -2 on either side = schedule-nondeterministic stage count
+      // (within-run reps disagreed) — excluded, its diff is noise
       case (k, _, _, st, true) if st >= 0 &&
-        prevStages.get(k).exists(_ != st) => k
+        prevStages.get(k).exists(ps => !ps.contains(st) && !ps.contains(-2L))
+        => k
     }
     val planDriftFull = drifted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val planDrift = drifted.map(k => "\"" + k.takeWhile(_ != '_') + "\"")
