@@ -609,7 +609,8 @@ object StoreLog {
     */
   def commitReplacing(spark: SparkSession, root: String, op: String,
       adds: Seq[String], removes: Seq[String], archivedAt: Int,
-      txn: Option[String] = None, rebaseDisjoint: Boolean = true): Int = {
+      txn: Option[String] = None, rebaseDisjoint: Boolean = true,
+      stateReadAt: Option[Int] = None): Int = {
     // same guard as the serialized commit(): callers derive `archivedAt`
     // from the version LISTING alone, so without this a dead writer's
     // unreadable head claim would be committed past — becoming a
@@ -617,6 +618,22 @@ object StoreLog {
     // caller permanently (no repair can safely drop a non-head claim)
     val head = currentVersion(spark, root)
     if (head > 0) readCommitPatiently(spark, root, head)
+    // staleness gate for global-state ops (`stateReadAt` set): the
+    // version claim below only detects racers that land AFTER
+    // `archivedAt` was captured — but `archivedAt` is captured after the
+    // caller's rewrite COMPUTE, so a commit landing mid-compute (every
+    // racing append: appends are always file-disjoint) is invisible to
+    // the claim, and an insert-bearing merge would land with key dedup
+    // and a LogID base from the pre-racer snapshot — silent duplicate
+    // ids. Versions are dense integers, so "commits exist in
+    // (stateReadAt, archivedAt)" is a pure integer comparison.
+    stateReadAt.filter(_ < archivedAt - 1).foreach { sr =>
+      rollbackReplacing(spark, root, archivedAt, adds)
+      throw new StaleReplacingCommit(
+        s"$op on $root read its state at v$sr but commits through " +
+          s"v${archivedAt - 1} landed during its compute and its output " +
+          "depends on global state; rolled back for recompute")
+    }
     val mine = (adds ++ removes).toSet
     var myV = archivedAt
     while (!tryCommit(spark, root, myV, op, adds, removes, txn)) {

@@ -74,15 +74,19 @@ object StoreMerge {
       txnId: Option[String] = None): MergeStats =
     mergeHooked(spark, path, updates, partitionBy, sortWithin, txnId)(() => ())
 
-  /** [[merge]] with a test seam: `beforeCommit` runs after the rewrite is
+  /** [[merge]] with test seams: `beforeCommit` runs after the rewrite is
     * published but before the version claim — the window a racing writer
-    * can win in (see [[StoreLog.commitReplacing]]). The concurrency spec
-    * injects an overlapping commit there to drive the abort path.
+    * can win in (see [[StoreLog.commitReplacing]]); `afterStateRead` runs
+    * right after an attempt captures the version its state read is
+    * anchored to — the COMPUTE window, where a racing append's commit is
+    * invisible to the claim itself and only the `stateReadAt` staleness
+    * gate catches it. The concurrency spec injects racers at both.
     */
   private[graft] def mergeHooked(
       spark: SparkSession, path: String, updates: DataFrame,
       partitionBy: Seq[String], sortWithin: Seq[String],
-      txnId: Option[String])(beforeCommit: () => Unit): MergeStats = {
+      txnId: Option[String], afterStateRead: () => Unit = () => ())(
+      beforeCommit: () => Unit): MergeStats = {
     // exactly-once replay guard: a redelivered micro-batch whose token
     // already committed is a NO-OP (the transactional-writer contract a
     // restarted streaming foreachBatch sink relies on)
@@ -116,7 +120,7 @@ object StoreMerge {
         attempt += 1
         try
           return mergeAttempt(spark, path, deduped, envelopes, cols,
-            partitionBy, sortWithin, txnId, beforeCommit)
+            partitionBy, sortWithin, txnId, afterStateRead, beforeCommit)
         catch {
           case e: StoreLog.StaleReplacingCommit =>
             if (attempt >= MaxStaleRecomputes)
@@ -141,7 +145,31 @@ object StoreMerge {
       spark: SparkSession, path: String, deduped: DataFrame,
       envelopes: Seq[KeyRanges], cols: Seq[String],
       partitionBy: Seq[String], sortWithin: Seq[String],
-      txnId: Option[String], beforeCommit: () => Unit): MergeStats = {
+      txnId: Option[String], afterStateRead: () => Unit,
+      beforeCommit: () => Unit): MergeStats = {
+    // a pre-log store BASELINES before the state read (not at commit
+    // time): the attempt's staleness anchor below must be a version the
+    // log can compare claims against, and the old commit-time baseline
+    // sat in its own attempt's (stateReadAt, claim) window
+    // (foreign layouts return None and skip the baseline — the load
+    // below still throws for them, as before, without a stray commit)
+    if (StoreLog.currentVersion(spark, path) == 0)
+      StoreMeta.listDataFiles(spark, path).foreach(files =>
+        StoreLog.commit(spark, path, "baseline", adds = files, removes = Nil))
+    // the version this attempt's computation is anchored to, captured
+    // BEFORE any state read (anchor ≤ every read, or staleness hides):
+    // everything below — the sidecar load, committedLiveSet, the
+    // key/LogID probe, the insert dedup, loaded.maxLogId — describes the
+    // store AS OF this version or newer. An insert-bearing merge passes
+    // it to commitReplacing: a commit landing during the COMPUTE
+    // (invisible to the version claim, which is captured after staging)
+    // is exactly as invalidating as a lost claim — without the gate the
+    // merge lands with key dedup and a LogID base from the pre-racer
+    // snapshot (silent duplicate ids). A read seeing NEWER state than
+    // the anchor only over-triggers the gate (an extra recompute), never
+    // under-triggers it.
+    val stateReadAt = StoreLog.currentVersion(spark, path)
+    afterStateRead()
     val loaded = StoreMeta.load(spark, path).getOrElse(throw
       new IllegalArgumentException(
         s"merge needs a graft-managed layout (foreign subdirs found): $path"))
@@ -222,15 +250,6 @@ object StoreMerge {
         // appender's in-flight (published, uncommitted) files can never
         // be absorbed into this commit by a listing diff.
         val (stageDir, newFiles) = Staging.stage(spark, path, laidOut, partitionBy)
-        // a pre-log store BASELINES first (v1 = every live file) and
-        // then takes the logged path like everyone else: the old
-        // logless branch deleted un-archived originals after the
-        // promote, and a crash inside that window left durable
-        // duplicate rows with no baseline to repair back to
-        if (StoreLog.currentVersion(spark, path) == 0)
-          StoreLog.commit(spark, path, "baseline",
-            adds = StoreMeta.listDataFiles(spark, path).getOrElse(Nil),
-            removes = Nil)
         val v = StoreLog.currentVersion(spark, path) + 1
         if (touched.nonEmpty)
           StoreLog.archive(spark, path, v,
@@ -244,7 +263,8 @@ object StoreMerge {
         // caller's recompute loop. Overlapping rewrites roll back + throw.
         StoreLog.commitReplacing(spark, path, "merge",
           adds = newFiles, removes = touched, archivedAt = v, txn = txnId,
-          rebaseDisjoint = nIns == 0L)
+          rebaseDisjoint = nIns == 0L,
+          stateReadAt = if (nIns == 0L) None else Some(stateReadAt))
 
         // post-commit sidecar fold: a pure cache — never fail a merge
         // whose commit already landed

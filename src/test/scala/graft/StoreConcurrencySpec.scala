@@ -455,6 +455,74 @@ class StoreConcurrencySpec extends AnyFunSuite {
     h.unpersist()
   }
 
+  test("insert-bearing merge races an append landing MID-COMPUTE " +
+      "(before the version capture): staleness gate recomputes, no id collision") {
+    val path = tmp()
+    val h = bh.cache()
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") < "db2"))
+    ConsolidatedStore.append(spark, path, h.filter(col("database_name") >= "db2"))
+    val v0 = StoreLog.currentVersion(spark, path)
+    val maxId = StoreMeta.load(spark, path).get.maxLogId
+
+    // the racer: a committed disjoint-key append that lands DURING the
+    // merge's compute — i.e. BEFORE the merge captures its claim
+    // version, so the claim itself succeeds first try and only the
+    // stateReadAt staleness gate can see the racer. Its LogIDs start
+    // from the committed max — exactly what the merge's stale insert
+    // base would collide with.
+    val racerRows = ConsolidatedStore.withLogIdsFrom(maxId,
+      h.filter(col("database_name") === "db3")
+        .withColumn("last_lsn",
+          (col("last_lsn") + lit(6000000000L)).cast("decimal(25,0)"))
+        .dropDuplicates(ConsolidatedStore.dedupKey))
+    val nRacer = racerRows.count()
+
+    val upd = h.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 11)
+    val ins = upd.withColumn("last_lsn",
+      (col("last_lsn") + lit(8000000000L)).cast("decimal(25,0)"))
+    val batch = upd.unionByName(ins)
+    val nUpd = upd.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    val nIns = ins.dropDuplicates(ConsolidatedStore.dedupKey).count()
+
+    var injected = false
+    var attempts = 0
+    val m = StoreMerge.mergeHooked(spark, path, batch, Nil,
+      Seq("database_name", "last_lsn"), None,
+      afterStateRead = () => {
+        if (!injected) {
+          injected = true
+          val stage = java.nio.file.Files.createTempDirectory("racer").toString
+          racerRows.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$path/racer_mid.parquet"))
+          assert(StoreLog.tryCommit(spark, path, v0 + 1, "append",
+            Seq("racer_mid.parquet"), Nil))
+        }
+      }) { () => attempts += 1 }
+    assert(m.updated == nUpd && m.inserted == nIns, m.toString)
+    assert(attempts == 2,
+      s"the first attempt must be rolled back by the staleness gate and " +
+        s"recomputed exactly once, saw $attempts")
+    val commits = StoreLog.readCommits(spark, path)
+    assert(commits.last.op == "merge" && commits.last.version == v0 + 2,
+      s"merge must land one version past the mid-compute racer, " +
+        s"got ${commits.last}")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == h.count() + nRacer + nIns,
+      "all original + racer + inserted rows present exactly once")
+    assert(stored.select("LogID").distinct().count() == stored.count(),
+      "recomputed insert LogIDs must not collide with the mid-compute " +
+        "racer's (the silent-corruption case the staleness gate closes)")
+    assert(stored.dropDuplicates(ConsolidatedStore.dedupKey).count()
+      == stored.count(), "no duplicate keys across merge + racer")
+    // the rolled-back first attempt left no durable damage
+    assert(StoreRepair.repair(spark, path).clean)
+    h.unpersist()
+  }
+
   test("delete inside an appender's publish→claim window touches only " +
       "the committed live set") {
     val path = tmp()
