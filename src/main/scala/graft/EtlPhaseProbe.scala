@@ -94,6 +94,10 @@ object EtlPhaseProbe {
         stored.select("LogID").distinct().count()
         WatermarkStore.read(spark, wmPath)("srvA")
       }
+      // observable for the bootstrap fan-out: the r1 srvA append is the
+      // backfill-sized write — >1 data files means it ran parallel
+      best("store_data_files") = new java.io.File(store).listFiles()
+        .count(_.getName.endsWith(".parquet")).toDouble
     }
 
     // the real overlapped runner on a fresh store, q64's exact call shape
@@ -126,7 +130,8 @@ object EtlPhaseProbe {
 
     val phases = best.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
     val serialSum = best
-      .filterNot(p => p._1.startsWith("runOnce") || p._1 == "q64_full_call")
+      .filterNot(p => p._1.startsWith("runOnce") || p._1 == "q64_full_call"
+        || p._1 == "store_data_files")
       .values.sum
     println(s"""{"probe":"etl_phase","sf_dir":"$sfDir","reps":$reps,""" +
       f""""phases":{$phases},"serial_sum":$serialSum%.3f}""")

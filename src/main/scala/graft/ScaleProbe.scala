@@ -226,9 +226,16 @@ object ScaleProbe {
       graft.model.Schemas.dedupKey).count()
     final case class MergeRaceStats(
         mergeSec: Double, attempts: Long, outerReruns: Long,
-        upd: Long, ins: Long)
+        upd: Long, ins: Long, raceSeen: Boolean)
     def mergeRaceProbe(path: String): MergeRaceStats = {
       var best: MergeRaceStats = null
+      // the 800ms*i appender stagger is tuned to THIS host's merge
+      // duration — on a faster/slower host every append can land outside
+      // the compute window and the probe silently measures a merge over
+      // a quiet store. Track whether ANY rep actually exercised the race
+      // (a lost claim, a stale recompute, or an outer rerun) and say so
+      // in the output instead of recording non-evidence as evidence.
+      var raceSeen = false
       (0 until reps).foreach { _ =>
         val cl = cloneOf(path)
         val before = ConsolidatedStore.read(spark, cl).count()
@@ -273,12 +280,21 @@ object ScaleProbe {
           require(after == before + stats.inserted + appended,
             s"merge-race row conservation broke: $after vs " +
               s"$before + ${stats.inserted} + $appended")
+          if (stats.attempts > 1 || attempts > 1 || reruns > 0)
+            raceSeen = true
           if (best == null || mergeSec < best.mergeSec)
             best = MergeRaceStats(mergeSec, attempts, reruns,
-              stats.updated, stats.inserted)
+              stats.updated, stats.inserted, raceSeen)
         } finally pool.shutdown()
       }
-      best
+      if (!raceSeen)
+        System.err.println(
+          "SCALE-PROBE WARNING: merge-race probe never observed a lost " +
+            "claim or stale recompute across all reps — the appender " +
+            "stagger missed this host's merge window; the merge_race " +
+            "timings measure a QUIET-store merge, not the recompute path " +
+            "(race_exercised=false in the JSON)")
+      best.copy(raceSeen = raceSeen)
     }
     val mergeRaceBase = mergeRaceProbe(base)
     val mergeRaceBig = mergeRaceProbe(big)
@@ -311,6 +327,7 @@ object ScaleProbe {
       f"""\"$tag\":{\"merge_sec\":${s.mergeSec}%.3f,""" +
         f"""\"attempts\":${s.attempts},""" +
         f"""\"outer_reruns\":${s.outerReruns},""" +
+        f"""\"race_exercised\":${s.raceSeen},""" +
         f"""\"updated\":${s.upd},\"inserted\":${s.ins}}"""
     json.append(",").append(mergeRaceJson("base", mergeRaceBase))
       .append(",").append(mergeRaceJson("x10", mergeRaceBig))

@@ -96,6 +96,51 @@ object EtlRunner {
       consolidatedPath: String,
       watermarkPath: String,
       parallelism: Int = 1,
+      concurrentLoads: Boolean = false): Seq[SourceBatchResult] =
+    runOnceWatermarkAware(spark,
+      sources.map { case (k, f) => k -> ((_: Timestamp) => f()) },
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+
+  /** The JDBC fleet entry point: per server, per run, the backupset read
+    * is automatically range-partitioned from the server's effective
+    * watermark window ([[graft.sources.JdbcBackupSource.autoPartitioning]])
+    * — N>1 slices for a backlog-wide window (first ETL, long outage),
+    * one connection for the steady-state trickle. No caller-computed
+    * bounds; the watermark the runner already holds IS the lower bound.
+    */
+  def runOnceJdbc(
+      spark: SparkSession,
+      servers: Map[String, graft.sources.SourceServer],
+      consolidatedPath: String,
+      watermarkPath: String,
+      parallelism: Int = 1,
+      concurrentLoads: Boolean = false,
+      maxSlices: Int = 8,
+      now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
+      relations: graft.sources.JdbcBackupSource.RelationNames =
+        graft.sources.JdbcBackupSource.RelationNames(),
+      extraOptions: Map[String, String] = Map.empty): Seq[SourceBatchResult] =
+    runOnceWatermarkAware(spark,
+      servers.map { case (name, srv) =>
+        name -> ((since: Timestamp) => graft.sources.JdbcBackupSource
+          .sources(spark, srv,
+            graft.sources.JdbcBackupSource
+              .autoPartitioning(since, now(), maxSlices),
+            relations, extraOptions))
+      },
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+
+  /** [[runOnceDeferred]] whose source builders receive the server's
+    * EFFECTIVE watermark (post-rewind) — the seam that lets a fleet
+    * caller shape the remote read from the window it is about to
+    * extract (see [[runOnceJdbc]]).
+    */
+  def runOnceWatermarkAware(
+      spark: SparkSession,
+      sources: Map[String, Timestamp => MsdbSources],
+      consolidatedPath: String,
+      watermarkPath: String,
+      parallelism: Int = 1,
       concurrentLoads: Boolean = false): Seq[SourceBatchResult] = {
     // contention observed reading the control table, stamped on every
     // per-server result (the read is once per run). Per-CALL health from
@@ -165,13 +210,15 @@ object EtlRunner {
     // Lineage truncation is safe here: a lost block fails the run, and
     // the reference driver's retry semantics (re-run the batch) are
     // exactly what the idempotent dedup-append is designed to absorb.
-    def extractOne(server: String, src: () => MsdbSources) = {
+    def extractOne(server: String, src: Timestamp => MsdbSources) = {
       val wm = watermarks.getOrElse(server, DefaultWatermark)
       try {
         // src() INSIDE the try: JDBC relation construction connects to
-        // the server (schema resolution) and must skip-this-server too
-        val s = src()
+        // the server (schema resolution) and must skip-this-server too.
+        // The builder receives the effective (rewound) watermark — the
+        // JDBC fleet path derives its range partitioning from it.
         val since = ExtractTransform.rewind(wm)
+        val s = src(since)
         // computeIfAbsent serializes concurrent sharers of one key (the
         // second waits, then reuses); distinct keys stay fully parallel.
         // A failed extract memoizes its Left — every sharer of the same
@@ -239,14 +286,15 @@ object EtlRunner {
             SourceBatchResult(server, 0, 0, None, None)
           } else {
             val newWm = sb.wm.get
+            // the store-independent preamble (dedup + envelopes) is
+            // shared across sharers of this batch, across this server's
+            // own retries, and — on the concurrent path — across every
+            // optimistic attempt of the version-claim loop
             val appended =
               if (concurrentLoads)
-                ConsolidatedStore.appendConcurrent(spark, consolidatedPath,
-                  sb.deduped)
+                ConsolidatedStore.appendConcurrentPrepared(spark,
+                  consolidatedPath, sb.prepared)
               else
-                // the store-independent preamble (dedup + envelopes) is
-                // shared across sharers of this batch and across this
-                // server's own retries
                 ConsolidatedStore.appendPrepared(spark, consolidatedPath,
                   sb.prepared)
             WatermarkStore.advance(spark, watermarkPath, server, newWm)

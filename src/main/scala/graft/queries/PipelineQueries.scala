@@ -1175,6 +1175,12 @@ object PipelineQueries {
     * so a kernel that merged in the wrong order, dropped a piece, or
     * mis-spelled a supplementary character fails here even when its
     * counts happen to agree.
+    *
+    * The registered surface emits the pieces as ONE space-joined string
+    * per word (`concat_ws(" ", pieces)`): pieces never contain spaces
+    * (words are whitespace-split upstream), so the string determines the
+    * array and carries full value strength, while staying hashable by
+    * any flat row comparer. PipelineSpec keeps the array-level check.
     */
   def q154BpePieces(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1183,14 +1189,16 @@ object PipelineQueries {
     graft.pipeline.Bpe.wordCounts(docs, "text")
       .select(col("word"),
         graft.functions.VectorFunctions.bpePieces(array(col("word")),
-          merges.map(m => (m.l_sym, m.r_sym))).as("pieces"))
-      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+          merges.map(m => (m.l_sym, m.r_sym))).as("pieces_arr"))
+      .select(col("word"),
+        concat_ws(" ", col("pieces_arr")).as("pieces"),
+        size(col("pieces_arr")).cast("long").as("n_pieces"))
       .orderBy("word")
   }
 
   val q154Oracle: String =
     s"""WITH $bpeLadderSql
-       |SELECT word, string_split(sym, ' ') AS pieces,
+       |SELECT word, sym AS pieces,
        |       CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_pieces
        |FROM w$BpeMergeCount
        |ORDER BY word""".stripMargin

@@ -109,8 +109,10 @@ object JdbcBackupSource {
       "fetchsize" -> s.fetchSize.toString
     ) ++ s.auth.properties
 
-  def relation(spark: SparkSession, s: SourceServer, name: String): DataFrame =
-    spark.read.format("jdbc").options(readerOptions(s, name)).load()
+  def relation(spark: SparkSession, s: SourceServer, name: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .options(readerOptions(s, name) ++ extraOptions).load()
 
   /** Watermark-range partitioning for the `backupset` relation — the one
     * extract input whose row count scales with history depth. A first
@@ -143,9 +145,53 @@ object JdbcBackupSource {
       "numPartitions" -> p.numPartitions.toString)
 
   def relationPartitioned(spark: SparkSession, s: SourceServer,
-      name: String, p: ExtractPartitioning): DataFrame =
+      name: String, p: ExtractPartitioning,
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
     spark.read.format("jdbc")
-      .options(partitionedReaderOptions(s, name, p)).load()
+      .options(partitionedReaderOptions(s, name, p) ++ extraOptions).load()
+
+  /** Derive [[ExtractPartitioning]] from the effective watermark window
+    * — the production policy [[graft.etl.EtlRunner.runOnceJdbc]] applies
+    * per server per run, because the window where partitioning matters
+    * most (a first ETL against years of backlog, DefaultWatermark 1900)
+    * is exactly the one where nobody passes manual bounds.
+    *
+    *   - trickle window (≤ `minWindowMs`, the steady-state cron cadence):
+    *     `None` — one connection; slicing minutes of rows buys nothing
+    *     and costs N-1 connection opens per cycle;
+    *   - wider: `min(maxSlices, ceil(window / sliceWidthMs))` range
+    *     slices. The cap bounds concurrent connections PER SERVER — a
+    *     500-server fleet at maxSlices=8 is ≤4000 remote SELECTs, each
+    *     still carrying the pushed watermark bound.
+    *
+    * Clamp semantics (see [[ExtractPartitioning]]) make the bounds
+    * correctness-free: any rewind overlap below `since` lands in slice 0,
+    * rows landing after `now` in the last slice.
+    */
+  def autoPartitioning(since: java.sql.Timestamp, now: java.sql.Timestamp,
+      maxSlices: Int = 8,
+      sliceWidthMs: Long = 24L * 3600 * 1000,
+      minWindowMs: Long = 48L * 3600 * 1000): Option[ExtractPartitioning] = {
+    val window = now.getTime - since.getTime
+    if (window <= minWindowMs || maxSlices <= 1) None
+    else {
+      val n = math.min(maxSlices.toLong,
+        (window + sliceWidthMs - 1) / sliceWidthMs).toInt
+      if (n <= 1) None else Some(ExtractPartitioning(since, now, n))
+    }
+  }
+
+  /** Relation names the six extract inputs read from — overridable so a
+    * non-SQL-Server stand-in (the Derby live gate) can drive the REAL
+    * `sources`/`runOnceJdbc` path with only names and URL swapped.
+    */
+  final case class RelationNames(
+      backupset: String = "msdb.dbo.backupset",
+      backupmediafamily: String = "msdb.dbo.backupmediafamily",
+      backupfile: String = "msdb.dbo.backupfile",
+      databases: String = "sys.databases",
+      replicaStates: String = "sys.dm_hadr_database_replica_states",
+      availabilityGroups: String = "sys.availability_groups")
 
   /** The six extract inputs over JDBC (S1/S1a; the DMV-snapshot temp
     * tables of the reference collapse into plain single reads per batch).
@@ -154,19 +200,26 @@ object JdbcBackupSource {
     *   of the `backupset` read (see [[ExtractPartitioning]]); the five
     *   dimension-shaped relations stay single-connection reads — their
     *   cardinality is servers × databases, not history depth.
+    * @param extraOptions reader options merged LAST (e.g. a URL override
+    *   for an embedded stand-in database in tests).
     */
   def sources(spark: SparkSession, s: SourceServer,
-      backupsetPartitioning: Option[ExtractPartitioning] = None): MsdbSources =
+      backupsetPartitioning: Option[ExtractPartitioning] = None,
+      relations: RelationNames = RelationNames(),
+      extraOptions: Map[String, String] = Map.empty): MsdbSources =
     MsdbSources(
       backupset = backupsetPartitioning match {
-        case Some(p) => relationPartitioned(spark, s, "msdb.dbo.backupset", p)
-        case None => relation(spark, s, "msdb.dbo.backupset")
+        case Some(p) =>
+          relationPartitioned(spark, s, relations.backupset, p, extraOptions)
+        case None => relation(spark, s, relations.backupset, extraOptions)
       },
-      backupmediafamily = relation(spark, s, "msdb.dbo.backupmediafamily"),
-      backupfile = relation(spark, s, "msdb.dbo.backupfile"),
-      databases = relation(spark, s, "sys.databases"),
-      replicaStates = relation(spark, s, "sys.dm_hadr_database_replica_states"),
-      availabilityGroups = relation(spark, s, "sys.availability_groups")
+      backupmediafamily =
+        relation(spark, s, relations.backupmediafamily, extraOptions),
+      backupfile = relation(spark, s, relations.backupfile, extraOptions),
+      databases = relation(spark, s, relations.databases, extraOptions),
+      replicaStates = relation(spark, s, relations.replicaStates, extraOptions),
+      availabilityGroups =
+        relation(spark, s, relations.availabilityGroups, extraOptions)
     )
 
   /** Append-mode JDBC writer options for the consolidated sink — the

@@ -79,6 +79,19 @@ object ConsolidatedStore {
     * path reads the base from [[StoreMeta]] instead of aggregating over
     * the whole table.
     */
+  /** Batch-size regime boundary: batches at/above this row count are
+    * backfill/bootstrap-shaped (a first ETL, an outage catch-up) and fan
+    * out into parallel writers; below it the append is a steady trickle
+    * whose whole batch belongs in one compact file.
+    */
+  private[graft] val BootstrapSplitRows = 65536L
+
+  /** Rows per file for fanned-out bootstrap batches — small enough that
+    * a 171k-row first-ETL writes 6-way parallel, large enough that row
+    * groups stay scan-efficient until compaction folds them.
+    */
+  private[graft] val BootstrapFileRows = 32768L
+
   def withLogIdsFrom(base: Long, freshBatch: DataFrame,
       batchRows: Long = -1L): DataFrame = {
     import org.apache.spark.sql.Row
@@ -92,12 +105,20 @@ object ConsolidatedStore {
     // batch shredded into 32 near-empty files costs twice — 32 parquet
     // writers' worth of column buffers now (driver-sized batches do not
     // amortize them) and a shard-per-append store for every later scan.
-    // ~250k rows/file keeps a backfill parallel and a trickle compact.
+    // Two regimes:
+    //   - trickle (< BootstrapSplitRows): one compact file;
+    //   - bootstrap/backfill-sized: fan out at ~BootstrapFileRows rows
+    //     per file, capped at the session parallelism. The old single
+    //     ~250k-rows/file policy funneled a 171k-row first-ETL batch
+    //     through ONE parquet writer — 2.3 s of q64's 8.3 s serial floor
+    //     was that single task; writers parallelize near-linearly and
+    //     compaction re-binds the file count later.
     val n =
       if (batchRows < 0) spark.sessionState.conf.numShufflePartitions
+      else if (batchRows < BootstrapSplitRows) 1
       else math.max(1L, math.min(
         spark.sessionState.conf.numShufflePartitions.toLong,
-        (batchRows + 249999) / 250000)).toInt
+        (batchRows + BootstrapFileRows - 1) / BootstrapFileRows)).toInt
     val sorted = freshBatch
       .repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
@@ -467,9 +488,44 @@ object ConsolidatedStore {
       onAttempt: Int => Unit = _ => ())(
       beforeCommit: (Int, Int) => Unit): Long = {
     val deduped = incoming.dropDuplicates(dedupKey).cache()
-    try {
-      val envelopes = batchEnvelopes(deduped)
-      if (envelopes.isEmpty) return 0L
+    try appendConcurrentLoop(spark, path,
+      PreparedBatch(deduped, batchEnvelopes(deduped)),
+      sortWithin, maxAttempts, partitionBy, onAttempt)(beforeCommit)
+    finally deduped.unpersist()
+  }
+
+  /** [[appendConcurrent]] on a prepared batch: the dedup shuffle and
+    * envelope collect were already paid ONCE for this batch (see
+    * [[PreparedBatch]]) and are store-independent, so every optimistic
+    * attempt here reuses them — a lost version race re-runs only the
+    * anti-join against the winner's overlap set, never the preamble.
+    * The fleet-concurrent ETL load path hands the extract-fused batch
+    * straight through. Caller owns `deduped`'s cache/checkpoint
+    * lifecycle.
+    */
+  private[graft] def appendConcurrentPrepared(
+      spark: SparkSession, path: String, prep: PreparedBatch,
+      sortWithin: Seq[String] = Seq("database_name", "last_lsn"),
+      maxAttempts: Int = 8,
+      partitionBy: Seq[String] = Nil,
+      onAttempt: Int => Unit = _ => ()): Long =
+    appendConcurrentLoop(spark, path, prep, sortWithin, maxAttempts,
+      partitionBy, onAttempt)((_, _) => ())
+
+  /** The optimistic claim loop shared by [[appendConcurrentHooked]] and
+    * [[appendConcurrentPrepared]] — everything from version read to
+    * commit, on a batch whose preamble is already paid.
+    */
+  private def appendConcurrentLoop(
+      spark: SparkSession, path: String, prep: PreparedBatch,
+      sortWithin: Seq[String], maxAttempts: Int,
+      partitionBy: Seq[String],
+      onAttempt: Int => Unit)(
+      beforeCommit: (Int, Int) => Unit): Long = {
+    val deduped = prep.deduped
+    val envelopes = prep.envelopes
+    if (envelopes.isEmpty) return 0L
+    locally {
       var attempt = 0
       while (true) {
         attempt += 1
@@ -581,7 +637,7 @@ object ConsolidatedStore {
         }
       }
       0L // unreachable
-    } finally deduped.unpersist()
+    }
   }
 
   /** The pre-sidecar shape — whole-table key scan + whole-table max —

@@ -59,7 +59,13 @@ object StoreMerge {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  final case class MergeStats(updated: Long, inserted: Long, filesRewritten: Long)
+  /** `attempts`/`staleRecomputes` mirror the append path's `onAttempt`
+    * accounting: a fleet running CDC merges against a busy append cadence
+    * watches `staleRecomputes` climb toward [[MaxStaleRecomputes]] in
+    * telemetry instead of discovering exhaustion as a thrown abort.
+    */
+  final case class MergeStats(updated: Long, inserted: Long,
+      filesRewritten: Long, attempts: Int = 1, staleRecomputes: Int = 0)
 
   private def keyCond(l: String, r: String): Column =
     Schemas.dedupKey.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
@@ -121,9 +127,12 @@ object StoreMerge {
         try
           return mergeAttempt(spark, path, deduped, envelopes, cols,
             partitionBy, sortWithin, txnId, afterStateRead, beforeCommit)
+            .copy(attempts = attempt, staleRecomputes = attempt - 1)
         catch {
           case e: StoreLog.StaleReplacingCommit =>
-            if (attempt >= MaxStaleRecomputes)
+            // the budget counts RECOMPUTES (retries), not the initial
+            // compute: attempt N failing stale means N-1 recomputes spent
+            if (attempt - 1 >= MaxStaleRecomputes)
               throw new StoreLog.ConcurrentCommitException(
                 s"merge on $path recomputed $MaxStaleRecomputes times " +
                   s"against racing appends and still lost: ${e.getMessage}")
@@ -237,6 +246,17 @@ object StoreMerge {
           if (nIns == 0L) None
           else Some(ConsolidatedStore.withLogIdsFrom(
             loaded.maxLogId, insertRows, batchRows = nIns))
+
+        // cheap pre-stage staleness probe: an insert-bearing merge whose
+        // anchor is already behind the log will be rolled back by the
+        // commit-time gate anyway — discover it HERE, before paying the
+        // full rewrite, staging, publish, and archive the rollback would
+        // undo. One small log read; the commit-time gate stays the
+        // authoritative backstop for racers landing after this probe.
+        if (nIns > 0L && StoreLog.currentVersion(spark, path) > stateReadAt)
+          throw new StoreLog.StaleReplacingCommit(
+            s"merge on $path: version advanced past compute anchor " +
+              s"$stateReadAt before staging — recomputing on fresh state")
 
         val out = (inserts.toSeq ++ replacement.toSeq ++ survivors.toSeq)
           .reduce(_ unionByName _)

@@ -135,6 +135,79 @@ class JdbcLiveSpec extends AnyFunSuite {
         col("last_lsn") <= new java.math.BigDecimal(900000000)).count())
   }
 
+  test("runOnceJdbc auto-partitions the backupset read: N>1 slices for a " +
+      "backlog window, single connection for the trickle") {
+    import org.apache.spark.sql.functions.col
+    val mem = graft.etl.MsdbDerivation.sources(spark, TestSpark.sf)
+    def ship(df: org.apache.spark.sql.DataFrame, table: String,
+        varchars: String): Unit = {
+      val w = JdbcBackupSource.writerOptions(srv, table, batchSize = 500) +
+        ("url" -> url) ++
+        (if (varchars.isEmpty) Map.empty[String, String]
+         else Map("createTableColumnTypes" -> varchars))
+      df.write.format("jdbc").options(w).mode("overwrite").save()
+    }
+    ship(mem.backupset, "RUNJ_BACKUPSET",
+      "database_name VARCHAR(128), type VARCHAR(8), " +
+        "server_name VARCHAR(64), recovery_model VARCHAR(32)")
+    ship(mem.backupmediafamily, "RUNJ_MEDIAFAMILY",
+      "physical_device_name VARCHAR(256)")
+    ship(mem.backupfile, "RUNJ_BACKUPFILE",
+      "logical_name VARCHAR(64), physical_drive VARCHAR(8), " +
+        "physical_name VARCHAR(256), file_type VARCHAR(8)")
+    ship(mem.databases, "RUNJ_DATABASES", "name VARCHAR(128)")
+    ship(mem.replicaStates, "RUNJ_REPLICAS", "")
+    ship(mem.availabilityGroups, "RUNJ_AGS", "ag_name VARCHAR(64)")
+    val rel = JdbcBackupSource.RelationNames(
+      backupset = "RUNJ_BACKUPSET", backupmediafamily = "RUNJ_MEDIAFAMILY",
+      backupfile = "RUNJ_BACKUPFILE", databases = "RUNJ_DATABASES",
+      replicaStates = "RUNJ_REPLICAS", availabilityGroups = "RUNJ_AGS")
+    val extra = Map("url" -> url)
+
+    val dataMax = mem.backupset
+      .agg(org.apache.spark.sql.functions.max("backup_finish_date"))
+      .head().getTimestamp(0)
+    val fixedNow = new java.sql.Timestamp(dataMax.getTime + 86400000L)
+
+    // the production policy on the first-ETL window (watermark = 1900):
+    // wide → maxSlices range slices, physically N>1 remote SELECTs
+    val sinceWide = graft.etl.ExtractTransform
+      .rewind(graft.etl.EtlRunner.DefaultWatermark)
+    val pWide = JdbcBackupSource.autoPartitioning(sinceWide, fixedNow, 4)
+    assert(pWide.exists(_.numPartitions == 4), s"wide window must slice: $pWide")
+    val wideSrc = JdbcBackupSource.sources(spark, srv, pWide, rel, extra)
+    assert(wideSrc.backupset.rdd.getNumPartitions == 4,
+      "backlog-window backupset read must be 4 physical JDBC slices")
+
+    // end-to-end: the fleet entry point, no caller-computed bounds
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("runoncejdbc").toString
+    val (cons, wms) = (s"$tmpDir/cons", s"$tmpDir/wm")
+    val r1 = graft.etl.EtlRunner.runOnceJdbc(spark,
+      Map("srv1" -> srv), cons, wms, maxSlices = 4, now = () => fixedNow,
+      relations = rel, extraOptions = extra)
+    assert(r1.head.error.isEmpty, r1.head.toString)
+    val expected = graft.etl.ExtractTransform
+      .extract(mem, sinceWide, sortOutput = false)
+      .dropDuplicates(graft.store.ConsolidatedStore.dedupKey).count()
+    assert(r1.head.appended == expected,
+      s"auto-partitioned fleet run appended ${r1.head.appended}, " +
+        s"in-memory extract says $expected")
+
+    // steady-state: the advanced watermark makes the next window a
+    // trickle → the policy returns None (one connection), and the run
+    // is an idempotent no-op
+    val wm1 = r1.head.newWatermark.get
+    val now2 = new java.sql.Timestamp(wm1.getTime + 3600000L)
+    assert(JdbcBackupSource.autoPartitioning(
+      graft.etl.ExtractTransform.rewind(wm1), now2, 4).isEmpty,
+      "trickle window must stay a single-connection read")
+    val r2 = graft.etl.EtlRunner.runOnceJdbc(spark,
+      Map("srv1" -> srv), cons, wms, maxSlices = 4, now = () => now2,
+      relations = rel, extraOptions = extra)
+    assert(r2.head.error.isEmpty && r2.head.appended == 0, r2.head.toString)
+  }
+
   test("watermark-range partitioned backupset read: N range slices, identical result") {
     import org.apache.spark.sql.functions.col
     val mem = graft.etl.MsdbDerivation.sources(spark, TestSpark.sf)

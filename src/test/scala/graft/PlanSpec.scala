@@ -478,6 +478,28 @@ class PlanSpec extends AnyFunSuite {
       s"featurization must stay row-local:\n${p.take(600)}")
   }
 
+  test("PlanAudit flags interpreted operators; a codegen'd pipeline counts zero") {
+    import org.apache.spark.sql.functions._
+    // fully codegen'd projection+filter over parquet → no interpreted
+    // codegen-capable operators in the executed plan
+    val clean = Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), length(col("text")).as("n"))
+    clean.count()
+    assert(graft.plans.PlanAudit.interpretedNodes(clean) == 0L,
+      clean.queryExecution.executedPlan.toString.take(800))
+    // a deliberately interpreted expression (HOF lambdas are
+    // CodegenFallback) keeps every stage boundary but kicks its Project
+    // out of the whole-stage span — the canary the stage-count drift
+    // check is blind to (the q91 regression shape)
+    val interp = Tables.documents(spark, TestSpark.sf).select(
+      col("doc_id"),
+      pipeline.TextAnalysis.hashedLinearScore(col("text"), 512, "qc").as("s"))
+    interp.count()
+    assert(graft.plans.PlanAudit.interpretedNodes(interp) > 0L,
+      interp.queryExecution.executedPlan.toString.take(800))
+  }
+
   test("unigram seed relation filters the hapax tail in-plan, before collect") {
     import spark.implicits._
     val words = Seq(("abab", 5L), ("ac", 1L)).toDS()

@@ -440,8 +440,12 @@ class StoreConcurrencySpec extends AnyFunSuite {
       }
     }
     // the merge RECOMPUTED against the racer's state and landed — no
-    // ConcurrentCommitException, no manual rerun
+    // ConcurrentCommitException, no manual rerun. The racer landed
+    // INSIDE the publish→claim window (after the pre-stage probe), so
+    // this is the commit-time gate doing the rollback.
     assert(m.updated == nUpd && m.inserted == nIns, m.toString)
+    assert(m.attempts == 2 && m.staleRecomputes == 1,
+      s"MergeStats must surface the commit-time recompute: $m")
     val commits = StoreLog.readCommits(spark, path)
     assert(commits.last.op == "merge" && commits.last.version == v0 + 2,
       s"merge must land one version past the racer, got ${commits.last}")
@@ -503,9 +507,15 @@ class StoreConcurrencySpec extends AnyFunSuite {
         }
       }) { () => attempts += 1 }
     assert(m.updated == nUpd && m.inserted == nIns, m.toString)
-    assert(attempts == 2,
-      s"the first attempt must be rolled back by the staleness gate and " +
-        s"recomputed exactly once, saw $attempts")
+    // the racer is visible in the log BEFORE the first attempt stages,
+    // so the pre-stage staleness probe aborts it cheaply — beforeCommit
+    // (post-publish) fires only for the successful recompute. The
+    // publish→claim race test above still drives the commit-time gate.
+    assert(attempts == 1,
+      s"the stale first attempt must abort BEFORE publishing (pre-stage " +
+        s"probe), so only the recompute reaches beforeCommit; saw $attempts")
+    assert(m.attempts == 2 && m.staleRecomputes == 1,
+      s"MergeStats must surface the recompute: $m")
     val commits = StoreLog.readCommits(spark, path)
     assert(commits.last.op == "merge" && commits.last.version == v0 + 2,
       s"merge must land one version past the mid-compute racer, " +

@@ -813,6 +813,39 @@ class StreamingSpec extends AnyFunSuite {
     acc.merge(next)
     assert(acc.value == Map(1L -> 1L), s"got ${acc.value}")
   }
+
+  test("open-session census under speculative execution: duplicate " +
+      "attempts of one partition merge in any interleaving, tombstones too") {
+    // speculation runs TWO attempts of the same partition to completion;
+    // both produce their own task-local partial with IDENTICAL stamps
+    // (same state transitions), and the driver may merge them in any
+    // order relative to other partitions' partials. The census must come
+    // out the same as a single-attempt run for every interleaving —
+    // including the tombstone (key -> 0) path, which must clear the key
+    // no matter how many duplicate attempts replay it.
+    def attemptP0() = { // partition 0's work: key 1 evicts to 0, key 2 opens 3
+      val a = new Sessionize.OpenCensusAccumulator
+      a.add(1L -> 0L)
+      a.add(2L -> 3L)
+      a
+    }
+    def attemptP1() = { // partition 1's work: key 7 opens 1
+      val a = new Sessionize.OpenCensusAccumulator
+      a.add(7L -> 1L)
+      a
+    }
+    val expected = Map(2L -> 3L, 7L -> 1L)
+    // all interleavings of {P0 attempt, P0 speculative duplicate, P1}
+    val partials: Seq[() => Sessionize.OpenCensusAccumulator] =
+      Seq(attemptP0 _, attemptP0 _, attemptP1 _)
+    partials.permutations.foreach { order =>
+      val driver = new Sessionize.OpenCensusAccumulator
+      driver.add(1L -> 2L) // pre-batch state: key 1 had 2 open sessions
+      order.foreach(mk => driver.merge(mk()))
+      assert(driver.value == expected,
+        s"interleaving broke the census: got ${driver.value}")
+    }
+  }
 }
 
 /** Cross-task signal for the forced-retry census test (same JVM in
