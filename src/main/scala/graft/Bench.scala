@@ -19,6 +19,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftExtensions.install(spark)
+    // executed-plan capture for the codegen canary: the timed action is
+    // df.count(), whose QueryExecution is SEPARATE from the frame's —
+    // the frame's own AdaptiveSparkPlanExec never finalizes, so walking
+    // it counted every codegen-capable operator as interpreted (r15
+    // ADVICE, high). The listener hands back the plan that actually ran.
+    val capture = graft.plans.ExecutedPlanCapture.install(spark)
     // warm the JVM + parquet footers once, untimed; also materialize the
     // shared derived-relation cache (test scaffolding a dozen queries
     // reuse) so the alphabetically-first consumer's timing measures its
@@ -26,6 +32,20 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try graft.etl.BackupHistoryDerivation.canonicalFrame(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // once-per-JVM memoized seams, warmed untimed: the StoreScaffold
+    // base stores (q101/q108-class queries clone or read them) and
+    // q105's Misra–Gries salt probe. Un-warmed, each seam's build jobs
+    // land inside the first consumer's FIRST rep only, so that rep's
+    // scheduler stage count disagrees with later reps' and the query
+    // records `stages: -2` — permanently muting it from the plan-drift
+    // diff. The pair graph built as the salt probe's input is reset per
+    // rep by isolate(); the salt memo itself survives.
+    try queries.EtlQueries.warmStoreBases(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] store-base warm-up failed: $e") }
+    try queries.ProfileQueries.warmPrSalt(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] pr-salt warm-up failed: $e") }
     // comma-separated substrings to restrict the run (local iteration only)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -77,6 +97,7 @@ object Bench {
         // moves this number before wall time flags it)
         val group = s"bench-$name-$r"
         spark.sparkContext.setJobGroup(group, name)
+        val mark = capture.mark()
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
@@ -90,9 +111,15 @@ object Bench {
           // codegen canary, complementing `stages`: a CodegenFallback
           // regression changes no stage boundary (the q91 lesson) but
           // kicks its operator out of the whole-stage span — count the
-          // interpreted-but-codegen-capable operators of the final plan.
-          // Untimed (after the clock stops); plan walk only.
-          try fallbacks = graft.plans.PlanAudit.interpretedNodes(df)
+          // interpreted-but-codegen-capable operators of the plan that
+          // ACTUALLY executed: the timed count's listener-captured,
+          // AQE-finalized plan (the frame's own AdaptiveSparkPlanExec
+          // never finalizes under count()'s separate QueryExecution;
+          // pre-r16 values walked it and are not comparable). Untimed
+          // (after the clock stops); bus drain + plan walk only.
+          try fallbacks = capture.awaitLastSince(mark)
+            .map(graft.plans.PlanAudit.interpretedNodes)
+            .getOrElse(-1L)
           catch { case _: Throwable => fallbacks = -1L }
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); ok = false }

@@ -23,6 +23,12 @@ import graft.store.{ConsolidatedStore, WatermarkStore}
   */
 object EtlPhaseProbe {
 
+  /** Top-level parquet data files of the store dir (0 when absent). */
+  private def dataFiles(store: String): Int = {
+    val fs = new java.io.File(store).listFiles()
+    if (fs == null) 0 else fs.count(_.getName.endsWith(".parquet"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
@@ -78,9 +84,17 @@ object EtlPhaseProbe {
           ConsolidatedStore.PreparedBatch(deduped,
             ConsolidatedStore.batchEnvelopes(deduped)))
         Seq("srvA", "srvB").foreach { server =>
+          // bootstrap fan-out observable, isolated to THIS append: diff
+          // the store's data-file count across the single r1 srvA write
+          // (counting after the whole lifecycle let run-2 trickle files
+          // inflate it — ">1" could hold even with a serial r1 write)
+          val isBootstrap = run == 1 && server == "srvA"
+          val before = if (isBootstrap) dataFiles(store) else 0
           time(s"r${run}_${server}_append") {
             ConsolidatedStore.appendPrepared(spark, store, prep)
           }
+          if (isBootstrap)
+            best("store_data_files") = (dataFiles(store) - before).toDouble
           time(s"r${run}_${server}_advance") {
             WatermarkStore.advance(spark, wmPath, server, newWm)
           }
@@ -94,10 +108,6 @@ object EtlPhaseProbe {
         stored.select("LogID").distinct().count()
         WatermarkStore.read(spark, wmPath)("srvA")
       }
-      // observable for the bootstrap fan-out: the r1 srvA append is the
-      // backfill-sized write — >1 data files means it ran parallel
-      best("store_data_files") = new java.io.File(store).listFiles()
-        .count(_.getName.endsWith(".parquet")).toDouble
     }
 
     // the real overlapped runner on a fresh store, q64's exact call shape

@@ -19,15 +19,6 @@ object Verify {
     // comma-separated substrings to restrict the dump (local iteration
     // only — the driver sets no filter and gets every query)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,7 +34,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // oracle_sql.json FIRST, before any query runs: if the harness kills
+    // this process mid-dump (timeout, OOM), the compare still has its
+    // oracle map and every completed query dir — a partial-but-useful
+    // artifact instead of the round-15 empty `{}` (no oracle file → the
+    // driver's json.load had nothing → correctness silently vanished)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
   }
 }

@@ -19,13 +19,27 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 object PlanAudit {
 
   /** Interpreted-but-codegen-capable operator count over the FINAL
-    * executed plan (AQE-resolved). Run only after an action has executed
-    * the frame — before that, AQE subtrees are unresolved placeholders.
+    * executed plan (AQE-resolved). Run only on a frame whose OWN
+    * QueryExecution drove an action (e.g. `toRdd`-based): an action like
+    * `df.count()` plans a separate QueryExecution, leaving THIS frame's
+    * AdaptiveSparkPlanExec unfinalized — `CollapseCodegenStages` never
+    * ran on it, so counting it would flag every operator as interpreted.
+    * Prefer auditing the plan captured by [[ExecutedPlanCapture]].
     */
   def interpretedNodes(df: DataFrame): Long =
     interpretedNodes(df.queryExecution.executedPlan)
 
-  def interpretedNodes(plan: SparkPlan): Long = walk(plan, inside = false)
+  /** -1 when the plan contains an unfinalized AdaptiveSparkPlanExec —
+    * a count over it would be meaningless (see above), and -1 is the
+    * bench's existing "no reading" sentinel.
+    */
+  def interpretedNodes(plan: SparkPlan): Long =
+    try walk(plan, inside = false)
+    catch { case Unfinalized => -1L }
+
+  private object Unfinalized
+    extends RuntimeException("unfinalized AQE plan")
+      with scala.util.control.NoStackTrace
 
   private def walk(p: SparkPlan, inside: Boolean): Long = p match {
     case w: WholeStageCodegenExec => walk(w.child, inside = true)
@@ -33,7 +47,9 @@ object PlanAudit {
     // through row iteration, so nodes below it are NOT codegen'd by the
     // enclosing span (they may carry their own spans)
     case i: InputAdapter => walk(i.child, inside = false)
-    case a: AdaptiveSparkPlanExec => walk(a.executedPlan, inside = false)
+    case a: AdaptiveSparkPlanExec =>
+      if (!a.isFinalPlan) throw Unfinalized
+      walk(a.executedPlan, inside = false)
     case q: QueryStageExec => walk(q.plan, inside = false)
     // a reused exchange's subtree was already audited where it was built
     case _: ReusedExchangeExec => 0L

@@ -419,6 +419,19 @@ object EtlQueries {
 
   // ---- shared store-scenario bases (memoized; see StoreScaffold) ------
 
+  /** Bench-only: build every memoized base store untimed. Each base is
+    * built once per JVM; without this the build's jobs land inside the
+    * FIRST rep's timed window of whichever query touches the base first,
+    * making that rep's scheduler stage count disagree with later reps'
+    * (the `stages: -2` nondeterminism rows q101/q108 used to record).
+    */
+  private[graft] def warmStoreBases(spark: SparkSession, dir: String): Unit = {
+    msdbEtlBase(spark, dir); fullBase(spark, dir); db2SplitBase(spark, dir)
+    db3SplitBase(spark, dir); dateSplitBase(spark, dir)
+    dbEachBase(spark, dir); deviceSplitBase(spark, dir)
+    ()
+  }
+
   /** One full msdb-extract ETL round into a consolidated store — the
     * q108 fixture. Watermark state lives beside the store inside the
     * scaffold's temp dir and is never read after the build.

@@ -356,9 +356,13 @@ class EtlSpec extends AnyFunSuite {
     // plan-dependent (pushdown, row-group skipping, task retries can
     // shift them by a few rows across Spark versions) — what the test
     // pins is SHARING: the aliased pair costs about one calibrated pass
-    // and strictly less than two
+    // and strictly less than two. Slack is 10%, not 20%: memo sharing is
+    // all-or-nothing per (instance, watermark), so a real regression
+    // re-reads a WHOLE relation (+100% on this accumulator), while the
+    // legitimate drift the slack absorbs is a few duplicated predicate
+    // evaluations — a wide band was masking nothing but risk
     val aliasedCost = acc.value.longValue - onePass
-    assert(aliasedCost <= onePass + onePass / 5 && aliasedCost < 2 * onePass,
+    assert(aliasedCost <= onePass + onePass / 10 && aliasedCost < 2 * onePass,
       s"two aliased deliveries must cost ~ONE extract pass ($onePass rows), " +
         s"saw $aliasedCost")
     val afterAliased = acc.value.longValue
@@ -382,7 +386,7 @@ class EtlSpec extends AnyFunSuite {
     // one (no sharing across distinct instances)
     val distinctCost = acc.value.longValue - afterAliased
     assert(distinctCost > onePass + onePass / 2 &&
-        distinctCost <= 2 * onePass + onePass / 5,
+        distinctCost <= 2 * onePass + onePass / 10,
       "distinct source instances must each pay their own extract pass " +
         s"(calibrated $onePass rows/pass, saw $distinctCost)")
   }

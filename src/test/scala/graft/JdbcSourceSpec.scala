@@ -66,4 +66,38 @@ class JdbcSourceSpec extends AnyFunSuite {
     assert(w("url").contains("databaseName=DBA"))
     assert(w("dbtable") == "Utility.SQLBackupHistoryConsolidated")
   }
+
+  test("autoPartitioning policy boundaries: trickle = one connection, " +
+      "backlog slices by day, cap clamps") {
+    // pins the POLICY runOnceJdbc derives per server per run (the Derby
+    // live gate proves N>1 slices ≡ a single read; THIS pins the window
+    // → slice-count mapping, so a regression to None on a backlog window
+    // cannot silently restore the one-connection-per-server funnel)
+    import JdbcBackupSource.{ExtractPartitioning, autoPartitioning}
+    val now = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def since(hours: Long) =
+      new java.sql.Timestamp(now.getTime - hours * 3600L * 1000L)
+    // steady-state cron trickle (2 h): slicing buys nothing, costs N-1
+    // connection opens per cycle per server
+    assert(autoPartitioning(since(2), now).isEmpty)
+    // the 48 h threshold itself is still trickle (window <= min is one
+    // connection; strictly wider slices)
+    assert(autoPartitioning(since(48), now).isEmpty)
+    assert(autoPartitioning(since(49), now) ==
+      Some(ExtractPartitioning(since(49), now, 3)),
+      "just past the threshold: ceil(49h / 24h) = 3 day-slices")
+    // 3-day backlog → 3 slices (one per 24 h of window)
+    assert(autoPartitioning(since(72), now) ==
+      Some(ExtractPartitioning(since(72), now, 3)))
+    // 10-day backlog → clamped at the 8-connection per-server cap
+    assert(autoPartitioning(since(240), now) ==
+      Some(ExtractPartitioning(since(240), now, 8)))
+    // first ETL against DefaultWatermark (1900): the century-wide window
+    // where partitioning matters most — capped, never None
+    val default = graft.etl.EtlRunner.DefaultWatermark
+    assert(autoPartitioning(default, now) ==
+      Some(ExtractPartitioning(default, now, 8)))
+    // explicit single-connection override disables slicing entirely
+    assert(autoPartitioning(since(240), now, maxSlices = 1).isEmpty)
+  }
 }

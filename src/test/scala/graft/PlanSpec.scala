@@ -500,6 +500,37 @@ class PlanSpec extends AnyFunSuite {
       interp.queryExecution.executedPlan.toString.take(800))
   }
 
+  test("PlanAudit on a shuffle-bearing (AQE) query: audits the plan that " +
+    "executed, refuses the frame's unfinalized one") {
+    import org.apache.spark.sql.functions._
+    // groupBy forces an exchange → the frame is AQE-wrapped, the shape
+    // the bench actually audits (the exchange-free cases above bypass
+    // AQE entirely and would pass even with the audit broken)
+    val agg = Tables.documents(spark, TestSpark.sf)
+      .groupBy(col("lang")).agg(sum(length(col("text"))).as("n"))
+    val capture = graft.plans.ExecutedPlanCapture.install(spark)
+    try {
+      val mark = capture.mark()
+      agg.count()
+      val executed = capture.awaitLastSince(mark)
+      assert(executed.nonEmpty, "execution listener never fired")
+      assert(executed.get.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        s"expected an AQE plan:\n${executed.get.toString.take(400)}")
+      // the captured count-plan is finalized and fully codegen'd
+      assert(graft.plans.PlanAudit.interpretedNodes(executed.get) == 0L,
+        executed.get.toString.take(800))
+      // the frame's OWN AdaptiveSparkPlanExec never ran (count() plans a
+      // separate QueryExecution): the audit must return the -1 sentinel,
+      // not count every operator as interpreted (the r15 bogus-canary bug)
+      val own = agg.queryExecution.executedPlan
+      if (own.isInstanceOf[
+        org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec])
+        assert(graft.plans.PlanAudit.interpretedNodes(own) == -1L,
+          s"unfinalized AQE plan must not yield a count:\n${own.toString.take(400)}")
+    } finally spark.listenerManager.unregister(capture)
+  }
+
   test("unigram seed relation filters the hapax tail in-plan, before collect") {
     import spark.implicits._
     val words = Seq(("abab", 5L), ("ac", 1L)).toDS()

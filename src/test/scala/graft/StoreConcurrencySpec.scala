@@ -667,4 +667,80 @@ class StoreConcurrencySpec extends AnyFunSuite {
       StoreMeta.listDataFiles(spark, path).get.toSet)
     h.unpersist()
   }
+
+  test("speculative/retried task inside ONE append attempt cannot " +
+      "double-count attempts or rows") {
+    // the sessionize census pin (StreamingSpec), extended to the store's
+    // attempt accounting: a task-level retry INSIDE an attempt's batch
+    // evaluation (local[4,2] grants one retry) is not a protocol attempt
+    // — onAttempt values, appended counts, and stored rows must all come
+    // out exact, never delta-inflated by the replayed task
+    val path = tmp()
+    val h = bh.cache(); h.count()
+    val poison = udf { (_: String) =>
+      if (StoreConcurrencySpec.failOnce.get &&
+          org.apache.spark.TaskContext.get.attemptNumber() == 0 &&
+          StoreConcurrencySpec.failOnce.compareAndSet(true, false))
+        throw new RuntimeException(
+          "forced task failure (attempt-census retry-semantics test)")
+      true
+    }
+    val poisoned = h.filter(poison(col("database_name")))
+    val attempts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    StoreConcurrencySpec.failOnce.set(true)
+    val n = ConsolidatedStore.appendConcurrentHooked(
+      spark, path, poisoned, Seq("database_name", "last_lsn"),
+      8, Nil, onAttempt = attempts += _)((_, _) => ())
+    assert(!StoreConcurrencySpec.failOnce.get,
+      "the forced failure must have fired")
+    val k = h.dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(n == k, s"appended $n, expected $k distinct keys")
+    assert(attempts.toSeq == Seq(1),
+      s"a task retry is not a protocol attempt; onAttempt saw $attempts")
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == k,
+      "the failed task attempt must not leave rows behind")
+    assert(stored.select("LogID").distinct().count() == k,
+      "LogIDs must stay dense/unique under the retried task")
+    h.unpersist()
+  }
+
+  test("speculative/retried task inside ONE merge compute reports " +
+      "attempts=1 and lands exactly") {
+    val path = tmp()
+    val h = bh.cache()
+    ConsolidatedStore.append(spark, path, h)
+    val poison = udf { (_: String) =>
+      if (StoreConcurrencySpec.failOnce.get &&
+          org.apache.spark.TaskContext.get.attemptNumber() == 0 &&
+          StoreConcurrencySpec.failOnce.compareAndSet(true, false))
+        throw new RuntimeException(
+          "forced task failure (merge attempt-census test)")
+      true
+    }
+    val upd = h.filter(col("database_name") === "db1")
+      .withColumn("CompressedSizeMB", col("CompressedSizeMB") + 7)
+      .filter(poison(col("database_name")))
+    StoreConcurrencySpec.failOnce.set(true)
+    val m = StoreMerge.merge(spark, path, upd)
+    assert(!StoreConcurrencySpec.failOnce.get,
+      "the forced failure must have fired")
+    // MergeStats derives attempts from the recompute loop counter, never
+    // from per-task callbacks — the retried task must be invisible here
+    assert(m.attempts == 1 && m.staleRecomputes == 0, m.toString)
+    val nUpd = h.filter(col("database_name") === "db1")
+      .dropDuplicates(ConsolidatedStore.dedupKey).count()
+    assert(m.updated == nUpd && m.inserted == 0L, m.toString)
+    val stored = spark.read.parquet(path)
+    assert(stored.count() == h.count(), "no rows lost or duplicated")
+    assert(stored.select("LogID").distinct().count() == stored.count())
+    h.unpersist()
+  }
+}
+
+object StoreConcurrencySpec {
+  /** One-shot task-failure latch for the attempt-census tests (the
+    * StreamingSpec.failOnce pattern: executor threads share this JVM).
+    */
+  val failOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
