@@ -192,32 +192,52 @@ object Bench {
     // and the muting is now WARNED about instead of silent, so a real
     // plan change behind a noisy run still gets eyes on it.
     val NondetRecency = 2
-    val (prevStages: Map[String, Set[Long]], nondetRecent: Set[String]) = try {
+    // fallbacks canary semantics version: v2 = the listener-captured,
+    // AQE-finalized EXECUTED plan (round 16). History lines without this
+    // marker walked an unfinalized plan (bogus values) and must never
+    // seed the codegen-drift window.
+    val FallbacksSemver = 2
+    val (prevStages: Map[String, Set[Long]],
+        prevFallbacks: Map[String, Set[Long]],
+        nondetRecent: Set[String]) = try {
       val hist = java.nio.file.Paths.get("bench_history.jsonl")
-      if (!java.nio.file.Files.exists(hist)) (Map.empty[String, Set[Long]], Set.empty[String])
+      if (!java.nio.file.Files.exists(hist))
+        (Map.empty[String, Set[Long]], Map.empty[String, Set[Long]],
+          Set.empty[String])
       else {
         val lines = java.nio.file.Files.readAllLines(hist)
         import org.json4s._
         import org.json4s.jackson.JsonMethods
         import scala.jdk.CollectionConverters._
-        def stagesOf(line: String): Seq[(String, Long)] =
+        def fieldOf(line: String, field: String): Seq[(String, Long)] =
           JsonMethods.parse(line) \ "stats" match {
             case JObject(fields) => fields.flatMap { case (name, o) =>
-              o \ "stages" match {
+              o \ field match {
                 case JInt(v) => Some(name -> v.toLong)
                 case _ => None
               }
             }
             case _ => Nil
           }
-        val window = lines.asScala.toSeq.takeRight(PrevWindow).map(stagesOf)
+        def semverOf(line: String): Long =
+          JsonMethods.parse(line) \ "fallbacks_semver" match {
+            case JInt(v) => v.toLong
+            case _ => 1L
+          }
+        val tail = lines.asScala.toSeq.takeRight(PrevWindow)
+        val window = tail.map(fieldOf(_, "stages"))
         val seen = window.flatten.filter(_._2 >= 0L)
+          .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.toSet }
+        val seenFb = tail.filter(semverOf(_) >= FallbacksSemver)
+          .flatMap(fieldOf(_, "fallbacks")).filter(_._2 >= 0L)
           .groupMap(_._1)(_._2).map { case (k, vs) => k -> vs.toSet }
         val recentNondet = window.takeRight(NondetRecency).flatten
           .collect { case (k, -2L) => k }.toSet
-        (seen, recentNondet)
+        (seen, seenFb, recentNondet)
       }
-    } catch { case _: Throwable => (Map.empty[String, Set[Long]], Set.empty[String]) }
+    } catch { case _: Throwable =>
+      (Map.empty[String, Set[Long]], Map.empty[String, Set[Long]],
+        Set.empty[String]) }
     def unseenCount(k: String, st: Long): Boolean =
       st >= 0 && prevStages.get(k).exists(ps => !ps.contains(st))
     val drifted = results.collect {
@@ -232,11 +252,28 @@ object Bench {
           s"count $st but is MUTED by a -2 in the last $NondetRecency " +
           "runs — eyeball it if the count persists")
     }
+    // codegen-drift canary: queries whose interpreted-operator count is
+    // one the (same-semantics) window has never held — the q91-shaped
+    // regression `stages` is blind to, now ALERTED on, not just recorded.
+    // Stage-nondeterministic lifecycles are not muted here: fallbacks is
+    // a plan-shape count, deterministic even where task scheduling isn't.
+    val codegenDrifted = results.collect {
+      case (k, _, _, _, true, fb)
+        if fb >= 0 && prevFallbacks.get(k).exists(ps => !ps.contains(fb))
+        => (k, fb)
+    }
+    codegenDrifted.foreach { case (k, fb) =>
+      System.err.println(s"[bench] codegen_drift: $k has a never-seen " +
+        s"interpreted-operator count $fb (window ${prevFallbacks(k)}) — " +
+        "an expression likely fell out of (or into) whole-stage codegen")
+    }
+    val codegenDriftFull = codegenDrifted.map(d => "\"" + d._1 + "\"")
+      .mkString("[", ",", "]")
     val planDriftFull = drifted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val planDrift = drifted.map(k => "\"" + k.takeWhile(_ != '_') + "\"")
       .mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","minsum":$minSum%.3f,"queries":$full,"stats":$stats,"errors":$errors,"plan_drift":$planDriftFull,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","minsum":$minSum%.3f,"queries":$full,"stats":$stats,"errors":$errors,"plan_drift":$planDriftFull,"codegen_drift":$codegenDriftFull,"fallbacks_semver":$FallbacksSemver,"sf":"$sfDir"}"""
     // full-name medians + min/med/max/stages → bench.json (the
     // machine-readable channel; sbt's [info] prefix and the 2000-char
     // output tail both mangle stdout); the printed line is the compact
@@ -255,8 +292,11 @@ object Bench {
     }
     // minsum/agg sit at the LINE END so they survive the driver's
     // ~2000-char stdout tail even if the head gets truncated
+    val codegenDriftShort = codegenDrifted
+      .map(d => "\"" + d._1.takeWhile(_ != '_') + "\"")
+      .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"agg":"${if (useMin) "min" else "med"}","minsum":$minSum%.3f,"plan_drift":$planDrift,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"agg":"${if (useMin) "min" else "med"}","minsum":$minSum%.3f,"plan_drift":$planDrift,"codegen_drift":$codegenDriftShort,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
