@@ -20,9 +20,12 @@ import graft.store.{ConsolidatedStore, StoreLog, StoreMerge, StoreMeta}
   * sidecar's 64-segment fold threshold at the larger counts), then
   * times on each store:
   *
-  *   - `meta_load`: `StoreMeta.load` alone — the planning fold every
-  *     append/merge/pruned-read starts with (sidecar read + directory
-  *     reconciliation, O(#files) driver work with a tiny constant);
+  *   - `meta_load_cold` / `meta_load_warm`: `StoreMeta.load` alone —
+  *     the planning fold every append/merge/pruned-read starts with.
+  *     Cold clears the driver's segment cache first (full O(#files)
+  *     segment parse + directory reconciliation, paid once per segment
+  *     per driver); warm is the steady-state repeat-load cost (cached
+  *     immutable segments: reconciliation only);
   *   - `log_replay`: `StoreLog.liveSetAtVersion` at head — checkpoint +
   *     ≤64 commit reads regardless of store size (O(CheckpointEvery));
   *   - `read_pruned`: a one-database LSN-window `readWhere` — the
@@ -147,10 +150,17 @@ object StoreFilesProbe {
 
     val results = counts.map { n =>
       val (path, actualFiles, rows) = synth(n)
-      // fresh-session planning per rep: load() memoizes nothing, but the
-      // FS block cache stays warm — acceptable: production planning is
-      // warm-cache too
-      val metaLoad = timeIt(() => StoreMeta.load(spark, path))
+      // cold = fresh driver (segment cache cleared inside the timed body:
+      // pays the full O(#files) segment parse + reconciliation); warm =
+      // steady-state planning (immutable segments already parsed — the
+      // cost every load after the first pays in one driver process)
+      val metaLoadCold = timeIt { () =>
+        StoreMeta.segCacheClear(); StoreMeta.load(spark, path)
+      }
+      val metaLoadWarm = {
+        StoreMeta.load(spark, path)
+        timeIt(() => StoreMeta.load(spark, path))
+      }
       val logReplay = timeIt(() =>
         StoreLog.liveSetAtVersion(spark, path,
           StoreLog.currentVersion(spark, path)))
@@ -189,12 +199,13 @@ object StoreFilesProbe {
         spark.sparkContext.parallelize(corrLazy.collect().toSeq, 1),
         corrLazy.schema)
       val mergeSec = cloned(p => StoreMerge.merge(spark, p, correction))
-      (n, actualFiles, rows, metaLoad, logReplay, readPruned,
-        appendSec, mergeSec)
+      (n, actualFiles, rows, metaLoadCold, metaLoadWarm, logReplay,
+        readPruned, appendSec, mergeSec)
     }
 
-    val json = results.map { case (n, f, r, ml, lr, rp, ap, mg) =>
-      f"""{"target":$n,"files":$f,"rows":$r,"meta_load_sec":$ml%.3f,""" +
+    val json = results.map { case (n, f, r, mlc, mlw, lr, rp, ap, mg) =>
+      f"""{"target":$n,"files":$f,"rows":$r,"meta_load_cold_sec":$mlc%.3f,""" +
+        f""""meta_load_warm_sec":$mlw%.3f,""" +
         f""""log_replay_sec":$lr%.3f,"read_pruned_sec":$rp%.3f,""" +
         f""""append_sec":$ap%.3f,"merge_sec":$mg%.3f}"""
     }.mkString("[", ",", "]")

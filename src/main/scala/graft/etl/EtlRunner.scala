@@ -42,6 +42,8 @@ final case class SourceBatchResult(
   */
 object EtlRunner {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val DefaultWatermark: Timestamp = Timestamp.valueOf("1900-01-01 00:00:00")
 
   /** @param parallelism >1 runs that many source extracts concurrently
@@ -68,6 +70,12 @@ object EtlRunner {
     *   well — the serialized append's version claim makes the second
     *   writer's load ABORT loudly (never corrupt); only the optimistic
     *   path lets both land.
+    * @param maintenance when set, the runner ends each cycle that landed
+    *   rows with [[graft.maintenance.StoreMaintenance.runIfDue]] — the
+    *   steady-state small-file fold a trickle fleet needs to keep the
+    *   store's file count (and every O(#files) planning term) bounded.
+    *   Best-effort: the loads and watermark advances have already
+    *   committed, so a maintenance failure is logged, never rethrown.
     */
   def runOnce(
       spark: SparkSession,
@@ -75,9 +83,12 @@ object EtlRunner {
       consolidatedPath: String,
       watermarkPath: String,
       parallelism: Int = 1,
-      concurrentLoads: Boolean = false): Seq[SourceBatchResult] =
+      concurrentLoads: Boolean = false,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
+      : Seq[SourceBatchResult] =
     runOnceDeferred(spark, sources.map { case (k, v) => k -> (() => v) },
-      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads,
+      maintenance)
 
   /** [[runOnce]] with DEFERRED source construction — the fleet entry
     * point. A JDBC relation resolves its schema at CONSTRUCTION (one
@@ -96,10 +107,13 @@ object EtlRunner {
       consolidatedPath: String,
       watermarkPath: String,
       parallelism: Int = 1,
-      concurrentLoads: Boolean = false): Seq[SourceBatchResult] =
+      concurrentLoads: Boolean = false,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
+      : Seq[SourceBatchResult] =
     runOnceWatermarkAware(spark,
       sources.map { case (k, f) => k -> ((_: Timestamp) => f()) },
-      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads,
+      maintenance)
 
   /** The JDBC fleet entry point: per server, per run, the backupset read
     * is automatically range-partitioned from the server's effective
@@ -119,7 +133,9 @@ object EtlRunner {
       now: () => Timestamp = () => new Timestamp(System.currentTimeMillis()),
       relations: graft.sources.JdbcBackupSource.RelationNames =
         graft.sources.JdbcBackupSource.RelationNames(),
-      extraOptions: Map[String, String] = Map.empty): Seq[SourceBatchResult] =
+      extraOptions: Map[String, String] = Map.empty,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
+      : Seq[SourceBatchResult] =
     runOnceWatermarkAware(spark,
       servers.map { case (name, srv) =>
         name -> ((since: Timestamp) => graft.sources.JdbcBackupSource
@@ -128,7 +144,8 @@ object EtlRunner {
               .autoPartitioning(since, now(), maxSlices),
             relations, extraOptions))
       },
-      consolidatedPath, watermarkPath, parallelism, concurrentLoads)
+      consolidatedPath, watermarkPath, parallelism, concurrentLoads,
+      maintenance)
 
   /** [[runOnceDeferred]] whose source builders receive the server's
     * EFFECTIVE watermark (post-rewind) — the seam that lets a fleet
@@ -141,7 +158,9 @@ object EtlRunner {
       consolidatedPath: String,
       watermarkPath: String,
       parallelism: Int = 1,
-      concurrentLoads: Boolean = false): Seq[SourceBatchResult] = {
+      concurrentLoads: Boolean = false,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
+      : Seq[SourceBatchResult] = {
     // contention observed reading the control table, stamped on every
     // per-server result (the read is once per run). Per-CALL health from
     // the read itself — a concurrent sibling run's retries never bleed
@@ -330,6 +349,22 @@ object EtlRunner {
               Future(loadOne(s, e)) }), Duration.Inf)
           finally ec.asInstanceOf[ExecutionContextExecutorService].shutdown()
         }
+      // steady-state maintenance: fold accumulated small trickle files
+      // once the policy says it's due. AFTER the loads and advances
+      // (all durable by now) and best-effort — the cycle's results do
+      // not depend on it, and optimizeSmall's replacing commit already
+      // arbitrates any concurrent writer.
+      maintenance.foreach { p =>
+        if (results.exists(_.appended > 0))
+          try graft.maintenance.StoreMaintenance
+            .runIfDue(spark, consolidatedPath, p)
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              log.warn(s"post-run store maintenance failed on " +
+                s"$consolidatedPath (layout intact — optimize commits " +
+                "atomically; next due cycle retries): " + e)
+          }
+      }
       if (wmReadRetries == 0) results
       else results.map(_.copy(wmReadRetries = wmReadRetries))
     } finally

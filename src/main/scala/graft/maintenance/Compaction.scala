@@ -216,11 +216,11 @@ object Compaction {
   def optimizeSmall(
       spark: SparkSession, path: String, minBytes: Long,
       maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
-    val rootFs = new Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val all = StoreMeta.listDataFiles(spark, path).getOrElse(
+    val listed = StoreMeta.listDataFilesWithSize(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"optimize needs a graft-managed layout: $path"))
+    val sizes = listed.toMap
+    val all = listed.map(_._1)
     val first = StoreLog.currentVersion(spark, path) == 0
     // on a logged store, bin-pack the COMMITTED live set only — a racing
     // appender's published-but-unclaimed files must not be absorbed into
@@ -231,16 +231,14 @@ object Compaction {
         case Some(live) => all.filter(live)
         case None => all
       }
-    val small = candidates.filter { f =>
-      rootFs.getFileStatus(new Path(s"$path/$f")).getLen < minBytes
-    }.sorted
+    // sizes come with the listing — no per-file getFileStatus round trips
+    val small = candidates.filter(f => sizes(f) < minBytes).sorted
     if (small.size < 2) return (0L, dataFileCount(spark, path))
 
     // bin-pack: one output file per minBytes of input (the whole point —
     // without an explicit target the range partitioning would re-shard
     // the handful of rows across the session's shuffle partitions)
-    val totalBytes = small.map(f =>
-      rootFs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+    val totalBytes = small.map(sizes).sum
     val target = math.max(1L,
       (totalBytes + minBytes - 1) / minBytes).toInt
     val packed = spark.read

@@ -376,6 +376,80 @@ object EtlQueries {
       |              (b | (b << 1)) & 1431655765 AS b FROM z3)
       |SELECT log_id, a | (b << 1) AS zcode FROM z4 ORDER BY log_id""".stripMargin)
 
+  /** Policy-driven small-file maintenance ([[graft.maintenance
+    * .StoreMaintenance.runIfDue]] → `Compaction.optimizeSmall` through
+    * the replacing-commit protocol): the canonical batch lands as 8
+    * date-ordered trickle slices, each its own append — the one-small-
+    * file-per-cycle shape a steady-state fleet store accumulates — with
+    * the policy probe after every slice. At `maxSmallFiles = 4` it MUST
+    * trigger mid-sequence (every trickle file is sub-threshold, so the
+    * trigger is decided by count alone — deterministic at every SF) and
+    * bin-pack the accumulated files. The read-back per database must
+    * hold exactly the distinct dedup keys with globally-unique LogIDs:
+    * an optimize that dropped, duplicated, or re-keyed rows flips a
+    * value row. Slices are DATE-ORDERED (ntile over the canonical
+    * sort) because that is what a fleet trickle actually looks like:
+    * each cycle's key envelope sits past the previous files', so the
+    * sidecar-pruned append stays O(batch + boundary overlap) instead
+    * of re-reading the whole store per cycle (hash-sliced batches
+    * measured ~25% slower end-to-end for exactly that reason, on top
+    * of being the wrong fleet shape); duplicate keys
+    * straddling a slice boundary are absorbed by the idempotent
+    * anti-join. EtlSpec gates the runner
+    * wiring (`EtlRunner.runOnce(maintenance = ...)`) and the file-count
+    * observables; this oracle pins the VALUES.
+    */
+  def q155StoreAutoOptimize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.maintenance.StoreMaintenance
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q155-").toString
+    val store = s"$tmp/consolidated"
+    val slices = 8
+    // materialize derivation + slice tags once (8 appends otherwise each
+    // re-derive the whole frame); the unpartitioned ntile window funnels
+    // one reducer, acceptable for a driver-batch-sized fixture slice
+    val bh = BackupHistoryDerivation.canonicalFrame(spark, dir)
+      .drop("LogID")
+      .withColumn("_s", ntile(slices).over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          "backup_finish_date", "database_name", "last_lsn",
+          "physical_device_name")))
+      .localCheckpoint()
+    val policy = StoreMaintenance.Policy(
+      smallFileBytes = 64L << 20, maxSmallFiles = 4)
+    var triggered = 0
+    (1 to slices).foreach { i =>
+      ConsolidatedStore.append(spark, store,
+        bh.filter(col("_s") === i).drop("_s"))
+      val r = StoreMaintenance.runIfDue(spark, store, policy)
+      if (r.ran) triggered += 1
+    }
+    require(triggered >= 1,
+      s"8 sub-threshold trickle files at maxSmallFiles=4 must trigger " +
+        s"the optimize at least once (got $triggered)")
+    val out = ConsolidatedStore.read(spark, store)
+      .groupBy("database_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("LogID")).as("n_ids"),
+        max("backup_finish_date").as("db_max_finish"))
+      .orderBy("database_name")
+      .localCheckpoint() // settle before releasing the input blocks
+    graft.util.Checkpoints.release(bh)
+    out
+  }
+
+  val q155Oracle: String = BackupHistoryDerivation.oracle(
+    """,
+      |k AS (
+      |  SELECT database_name,
+      |         CAST(count(DISTINCT (last_lsn, first_lsn,
+      |                              physical_device_name)) AS BIGINT) AS n_rows,
+      |         max(backup_finish_date) AS db_max_finish
+      |  FROM backup_history GROUP BY database_name
+      |)
+      |SELECT database_name, n_rows, n_rows AS n_ids, db_max_finish
+      |FROM k ORDER BY database_name""".stripMargin)
+
   /** Snapshot (time-travel) reads over the consolidated store's commit
     * log ([[graft.store.StoreLog]]): append half the fleet, append the
     * full fleet (idempotent dedup keeps only the new keys), compact —
@@ -1426,6 +1500,7 @@ object EtlQueries {
     "q153_fleet_parallel_etl" -> (q153FleetParallelEtl _),
     "q150_delete_vs_append" -> (q150DeleteVsAppend _),
     "q142_store_restore_pruned" -> (q142StoreRestorePruned _),
+    "q155_store_auto_optimize" -> (q155StoreAutoOptimize _),
     "q101_store_time_travel" -> (q101StoreTimeTravel _),
     "q114_store_merge" -> (q114StoreMerge _),
     "q122_device_lookup" -> (q122DeviceLookup _),
@@ -1452,6 +1527,7 @@ object EtlQueries {
     "q153_fleet_parallel_etl" -> q153Oracle,
     "q150_delete_vs_append" -> q150Oracle,
     "q142_store_restore_pruned" -> q142Oracle,
+    "q155_store_auto_optimize" -> q155Oracle,
     "q101_store_time_travel" -> q101Oracle,
     "q114_store_merge" -> q114Oracle,
     "q115_store_purge" -> q115Oracle,

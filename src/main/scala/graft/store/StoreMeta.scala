@@ -155,11 +155,19 @@ object StoreMeta {
     * turn back into columns); any other subdirectory means a foreign
     * layout → None, and callers fall back to the full-scan append.
     */
-  def listDataFiles(spark: SparkSession, root: String): Option[Seq[String]] = {
+  def listDataFiles(spark: SparkSession, root: String): Option[Seq[String]] =
+    listDataFilesWithSize(spark, root).map(_.map(_._1))
+
+  /** [[listDataFiles]] carrying each file's length — sizes come with the
+    * directory listing for free, so policy probes (small-file
+    * maintenance) never pay a per-file `getFileStatus` round trip.
+    */
+  private[graft] def listDataFilesWithSize(
+      spark: SparkSession, root: String): Option[Seq[(String, Long)]] = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return Some(Nil)
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    val names = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     def walk(dir: Path, prefix: String): Boolean = { // false = foreign layout
       val entries = fs.listStatus(dir)
       var i = 0
@@ -170,7 +178,7 @@ object StoreMeta {
           if (e.isDirectory) {
             if (!n.contains("=")) return false
             if (!walk(e.getPath, s"$prefix$n/")) return false
-          } else if (n.endsWith(".parquet")) names += s"$prefix$n"
+          } else if (n.endsWith(".parquet")) names += s"$prefix$n" -> e.getLen
         }
         i += 1
       }
@@ -207,6 +215,71 @@ object StoreMeta {
     walk(p)
   }
 
+  /** Driver-side cache of parsed sidecar segments, keyed by qualified
+    * segment path. Sound because published segments are IMMUTABLE:
+    * [[appendSegment]] stages under a fresh UUID and renames into place,
+    * nothing ever rewrites a published segment, and folds only DELETE
+    * consumed segments (UUID names cannot recur) — so a hit returns
+    * exactly what a re-read would parse, and no invalidation protocol
+    * exists to get wrong. This turns the repeat-load cost a claim
+    * loop / merge / pruned read pays from O(#files) JSON parse into
+    * O(new segments since the last load): the linear `meta_load` term
+    * the file-count probe measures is paid once per segment per driver,
+    * not once per planning call. Only [[load]] reads through the cache;
+    * the fold's capture reads ([[saveHooked]]) stay direct so a segment
+    * vanishing mid-fold still surfaces as the vanished-racer
+    * disposition, byte-identical to the uncached behavior.
+    *
+    * Bounded LRU by total cached rows; a single over-budget segment
+    * (the post-fold working set of a very large store) is still
+    * admitted — it IS the thing worth caching — with everything else
+    * evicted around it.
+    */
+  private[graft] var SegCacheMaxRows: Long = 1L << 17
+  private val segCache =
+    new java.util.LinkedHashMap[String, Seq[FileStats]](64, 0.75f, true)
+  private var segCacheRows: Long = 0L
+
+  private[graft] def segCacheClear(): Unit = segCache.synchronized {
+    segCache.clear(); segCacheRows = 0L
+  }
+
+  private[graft] def segCacheSize: Int = segCache.synchronized(segCache.size)
+
+  private def cacheGet(key: String): Option[Seq[FileStats]] =
+    segCache.synchronized(Option(segCache.get(key)))
+
+  private def cachePut(key: String, v: Seq[FileStats]): Unit =
+    segCache.synchronized {
+      val prev = segCache.put(key, v)
+      segCacheRows += v.size - (if (prev == null) 0 else prev.size)
+      val it = segCache.entrySet().iterator()
+      while (segCacheRows > SegCacheMaxRows && segCache.size > 1 &&
+        it.hasNext) {
+        segCacheRows -= it.next().getValue.size
+        it.remove()
+      }
+    }
+
+  /** [[readSegmentStats]] through the segment cache (misses read one
+    * segment at a time and populate it; a throwing read caches nothing).
+    */
+  private def readSegmentStatsCached(spark: SparkSession, metaDir: String,
+      segs: Seq[String]): Seq[FileStats] = {
+    val qp = qualifiedPath(spark, metaDir).toString
+    val out = Seq.newBuilder[FileStats]
+    segs.foreach { s =>
+      cacheGet(s"$qp/$s") match {
+        case Some(v) => out ++= v
+        case None =>
+          val stats = readSegmentStats(spark, metaDir, Seq(s))
+          cachePut(s"$qp/$s", stats)
+          out ++= stats
+      }
+    }
+    out.result()
+  }
+
   /** Read all sidecar segments and reconcile them with the actual file
     * listing. None = unsupported layout (fall back to full scans).
     */
@@ -229,7 +302,7 @@ object StoreMeta {
             if (StorePath.exists(spark, mp)) {
               val segs = segmentFileNames(spark, mp)
               if (segs.isEmpty) (Nil, 0)
-              else (readSegmentStats(spark, mp, segs), segs.size)
+              else (readSegmentStatsCached(spark, mp, segs), segs.size)
             } else (Nil, 0)
         } catch {
           case e: Exception if StoreLog.fileVanished(e) && attempt < 8 =>
@@ -239,9 +312,11 @@ object StoreMeta {
       }
       val (recorded, segments) = state
       // rows with devNullCount < 0 are pre-migration entries: rescan them
-      // once rather than guess at their null-device population
-      val usable = recorded.filter(_.devNullCount >= 0)
-        .groupBy(_.file).map(_._2.head).toSeq // segments may overlap after a heal
+      // once rather than guess at their null-device population. Segments
+      // may overlap after a heal — first row per file wins (single pass;
+      // this runs on every planning call, so no groupBy allocation here)
+      val seen = new java.util.HashSet[String]()
+      val usable = recorded.filter(f => f.devNullCount >= 0 && seen.add(f.file))
       val kept = usable.filter(f => actualSet.contains(f.file))
       val unknown = actualSet -- kept.map(_.file)
       val healed =
@@ -465,57 +540,109 @@ object StoreMeta {
     }
   }
 
-  private def renderStats(f: FileStats): String = {
-    import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods
-    def dec(d: JBigDecimal): Option[String] = Option(d).map(_.toPlainString)
-    JsonMethods.compact(JsonMethods.render(
-      ("file" -> f.file) ~ ("logid_max" -> f.logIdMax) ~
-        ("last_lsn_min" -> dec(f.lastLsnMin)) ~
-        ("last_lsn_max" -> dec(f.lastLsnMax)) ~
-        ("first_lsn_min" -> dec(f.firstLsnMin)) ~
-        ("first_lsn_max" -> dec(f.firstLsnMax)) ~
-        ("db_min" -> Option(f.dbMin)) ~ ("db_max" -> Option(f.dbMax)) ~
-        ("dev_min" -> Option(f.devMin)) ~ ("dev_max" -> Option(f.devMax)) ~
-        ("dev_null_count" -> f.devNullCount) ~
-        ("dev_hashes" -> Option(f.devHashes).map(_.toList)) ~
-        ("start_min_us" -> Option(f.startMinUs).map(_.longValue)) ~
-        ("start_max_us" -> Option(f.startMaxUs).map(_.longValue))))
+  /** Shared factory for the streaming segment codec below. Jackson
+    * streaming (not json4s ASTs) because the per-row parse cost is part
+    * of the cold `meta_load` slope the file-count probe measures (the
+    * fold renders O(#files) rows through the writer too); the probe's
+    * committed reading has the before/after.
+    */
+  private val jsonFactory = new com.fasterxml.jackson.core.JsonFactory()
+
+  private[graft] def renderStats(f: FileStats): String = {
+    val w = new java.io.StringWriter(256)
+    val g = jsonFactory.createGenerator(w)
+    def strF(k: String, v: String): Unit =
+      if (v != null) g.writeStringField(k, v)
+    def decF(k: String, v: JBigDecimal): Unit =
+      if (v != null) g.writeStringField(k, v.toPlainString)
+    g.writeStartObject()
+    g.writeStringField("file", f.file)
+    g.writeNumberField("logid_max", f.logIdMax)
+    decF("last_lsn_min", f.lastLsnMin); decF("last_lsn_max", f.lastLsnMax)
+    decF("first_lsn_min", f.firstLsnMin); decF("first_lsn_max", f.firstLsnMax)
+    strF("db_min", f.dbMin); strF("db_max", f.dbMax)
+    strF("dev_min", f.devMin); strF("dev_max", f.devMax)
+    g.writeNumberField("dev_null_count", f.devNullCount)
+    if (f.devHashes != null) {
+      g.writeFieldName("dev_hashes")
+      g.writeStartArray()
+      f.devHashes.foreach(g.writeNumber)
+      g.writeEndArray()
+    }
+    if (f.startMinUs != null)
+      g.writeNumberField("start_min_us", f.startMinUs.longValue)
+    if (f.startMaxUs != null)
+      g.writeNumberField("start_max_us", f.startMaxUs.longValue)
+    g.writeEndObject()
+    g.close()
+    w.toString
   }
 
-  private def parseStats(line: String): FileStats = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val jv = JsonMethods.parse(line)
-    def str(k: String): String = jv \ k match {
-      case JString(s) => s
-      case _ => null
-    }
-    def dec(k: String): JBigDecimal = jv \ k match {
-      case JString(s) => new JBigDecimal(s)
-      case _ => null
-    }
-    def lng(k: String): java.lang.Long = jv \ k match {
-      case JInt(n) => java.lang.Long.valueOf(n.longValue)
-      case JLong(n) => java.lang.Long.valueOf(n)
-      case _ => null
-    }
-    FileStats(
-      str("file"),
-      lng("logid_max").longValue,
-      dec("last_lsn_min"), dec("last_lsn_max"),
-      dec("first_lsn_min"), dec("first_lsn_max"),
-      str("db_min"), str("db_max"), str("dev_min"), str("dev_max"),
-      Option(lng("dev_null_count")).map(_.longValue).getOrElse(-1L),
-      devHashes = jv \ "dev_hashes" match {
-        case JArray(xs) => xs.collect {
-          case JInt(n) => n.longValue
-          case JLong(n) => n
+  private[graft] def parseStats(line: String): FileStats = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = jsonFactory.createParser(line)
+    try {
+      var file: String = null
+      var logIdMax: java.lang.Long = null
+      var lastLsnMin: JBigDecimal = null; var lastLsnMax: JBigDecimal = null
+      var firstLsnMin: JBigDecimal = null; var firstLsnMax: JBigDecimal = null
+      var dbMin: String = null; var dbMax: String = null
+      var devMin: String = null; var devMax: String = null
+      var devNullCount = -1L // absent = pre-migration row (rescan once)
+      var devHashes: Seq[Long] = null
+      var startMinUs: java.lang.Long = null; var startMaxUs: java.lang.Long = null
+      // absent/null/mistyped optional fields → null, matching the json4s
+      // reader this replaces (which matched on JString/JInt only)
+      def str(): String =
+        if (p.currentToken() == JsonToken.VALUE_STRING) p.getText else null
+      def dec(): JBigDecimal =
+        if (p.currentToken() == JsonToken.VALUE_STRING)
+          new JBigDecimal(p.getText)
+        else null
+      def lng(): java.lang.Long =
+        if (p.currentToken() == JsonToken.VALUE_NUMBER_INT)
+          java.lang.Long.valueOf(p.getLongValue)
+        else null
+      require(p.nextToken() == JsonToken.START_OBJECT,
+        s"sidecar row is not a JSON object: $line")
+      while (p.nextToken() != JsonToken.END_OBJECT) {
+        val name = p.currentName()
+        p.nextToken()
+        name match {
+          case "file" => file = str()
+          case "logid_max" => logIdMax = lng()
+          case "last_lsn_min" => lastLsnMin = dec()
+          case "last_lsn_max" => lastLsnMax = dec()
+          case "first_lsn_min" => firstLsnMin = dec()
+          case "first_lsn_max" => firstLsnMax = dec()
+          case "db_min" => dbMin = str()
+          case "db_max" => dbMax = str()
+          case "dev_min" => devMin = str()
+          case "dev_max" => devMax = str()
+          case "dev_null_count" => devNullCount =
+            Option(lng()).map(_.longValue).getOrElse(-1L)
+          case "dev_hashes" =>
+            if (p.currentToken() == JsonToken.START_ARRAY) {
+              val b = Seq.newBuilder[Long]
+              while (p.nextToken() != JsonToken.END_ARRAY) b += p.getLongValue
+              devHashes = b.result()
+            }
+          case "start_min_us" => startMinUs = lng()
+          case "start_max_us" => startMaxUs = lng()
+          case _ => p.skipChildren() // forward-compat: ignore unknown keys
         }
-        case _ => null
-      },
-      startMinUs = lng("start_min_us"),
-      startMaxUs = lng("start_max_us"))
+      }
+      // a row without identity or LogID watermark is torn, not optional —
+      // throw so the caller's corrupt-segment disposition applies (the
+      // json4s reader NPE'd here; keep "torn row throws")
+      require(file != null && logIdMax != null,
+        s"sidecar row missing file/logid_max: $line")
+      FileStats(file, logIdMax.longValue,
+        lastLsnMin, lastLsnMax, firstLsnMin, firstLsnMax,
+        dbMin, dbMax, devMin, devMax, devNullCount,
+        devHashes = devHashes,
+        startMinUs = startMinUs, startMaxUs = startMaxUs)
+    } finally p.close()
   }
 
   private[store] def readSegmentLines(

@@ -194,4 +194,42 @@ class CompactionSpec extends AnyFunSuite {
       .withColumn("last_lsn", (col("last_lsn") + 999000000L).cast(lsnT)))
     assert(n2 == 3)
   }
+
+  test("StoreMaintenance.runIfDue: policy boundaries (below / at / foreign)") {
+    import graft.maintenance.StoreMaintenance
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    val ordered = bh.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-maint").toString + "/store"
+    val policy = StoreMaintenance.Policy(
+      smallFileBytes = 64L << 20, maxSmallFiles = 4)
+
+    // 3 small files < maxSmallFiles: not due, nothing rewritten
+    (1 to 3).foreach { i =>
+      ConsolidatedStore.append(spark, dir,
+        ordered.limit(10 * i).except(ordered.limit(10 * (i - 1))))
+    }
+    val r3 = StoreMaintenance.runIfDue(spark, dir, policy)
+    assert(!r3.ran && r3.smallFiles == 3 && r3.filesAfter == 3, s"$r3")
+
+    // 4th small file: due — every small file folds into one
+    ConsolidatedStore.append(spark, dir,
+      ordered.limit(40).except(ordered.limit(30)))
+    val total = spark.read.parquet(dir).count()
+    val r4 = StoreMaintenance.runIfDue(spark, dir, policy)
+    assert(r4.ran && r4.smallFiles == 4 && r4.rewritten == 4 &&
+      r4.filesAfter == 1, s"$r4")
+    assert(spark.read.parquet(dir).count() == total, "content preserved")
+    assert(spark.read.parquet(dir).select("LogID").distinct().count() == total)
+
+    // foreign layout (non-hive subdirectory): never rewritten
+    val foreign = java.nio.file.Files
+      .createTempDirectory("graft-maint-foreign").toString + "/store"
+    bh.limit(5).write.parquet(s"$foreign/nested")
+    val rf = StoreMaintenance.runIfDue(spark, foreign,
+      StoreMaintenance.Policy(maxSmallFiles = 2))
+    assert(!rf.ran && rf.smallFiles == 0, s"$rf")
+  }
 }

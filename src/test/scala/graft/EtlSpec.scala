@@ -332,6 +332,49 @@ class EtlSpec extends AnyFunSuite {
     assert(wmAfter2 == wmAfter1)
   }
 
+  test("runOnce(maintenance) folds accumulated small trickle files; " +
+      "default leaves layout alone and content identical") {
+    import graft.maintenance.StoreMaintenance
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID")
+    val ordered = bh.orderBy("backup_finish_date", "database_name",
+      "last_lsn", "physical_device_name")
+    def parquetFiles(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // two identically pre-seeded stores: 5 small trickle files each
+    val cM = tmp(); val wM = tmp() // maintained
+    val cN = tmp(); val wN = tmp() // control (default: no maintenance)
+    Seq(cM, cN).foreach { c =>
+      (1 to 5).foreach { i =>
+        ConsolidatedStore.append(spark, c,
+          ordered.limit(8 * i).except(ordered.limit(8 * (i - 1))))
+      }
+      assert(parquetFiles(c) == 5)
+    }
+    val src = MsdbDerivation.sources(spark, TestSpark.sf)
+    val policy = Some(StoreMaintenance.Policy(
+      smallFileBytes = 64L << 20, maxSmallFiles = 4))
+    val rM = EtlRunner.runOnce(spark, Map("srv" -> src), cM, wM,
+      maintenance = policy)
+    val rN = EtlRunner.runOnce(spark, Map("srv" -> src), cN, wN)
+    assert(rM.head.error.isEmpty && rN.head.error.isEmpty)
+    assert(rM.head.appended > 0, "cycle must land rows to gate maintenance")
+    assert(rM.head.appended == rN.head.appended)
+    // maintained store folded its small files; control kept 5 + 1
+    assert(parquetFiles(cN) == 6, s"control files: ${parquetFiles(cN)}")
+    assert(parquetFiles(cM) == 1, s"maintained files: ${parquetFiles(cM)}")
+    // content identical (same append sequence → same LogIDs, same rows).
+    // exceptAll aligns POSITIONALLY and the optimize rewrites files in
+    // canonical-schema column order, so project both to one column list
+    val cols = ConsolidatedStore.read(spark, cN).columns.toSeq
+    val a = ConsolidatedStore.read(spark, cM).select(cols.map(col): _*)
+    val b = ConsolidatedStore.read(spark, cN).select(cols.map(col): _*)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "maintenance must be content-neutral")
+    // and the maintained store still serves idempotent appends
+    assert(ConsolidatedStore.append(spark, cM, ordered.limit(8)) == 0)
+  }
+
   test("duplicate deliveries share ONE extract pass (memoized per source+watermark)") {
     // two server names resolving to the SAME MsdbSources instance at the
     // same watermark — the q64 shape. The runner must extract + dedup +
