@@ -41,12 +41,25 @@ import graft.store.{ConsolidatedStore, StoreLog, StoreMerge, StoreMeta}
   *
   * Run: `runMain graft.StoreFilesProbe` (env `SPARK_GRAFT_FILE_COUNTS`,
   * default "200,2000,8000"; `SPARK_GRAFT_REPS`).
+  *
+  * `SPARK_GRAFT_MAINTAINED=1` applies `StoreMaintenance.runIfDue`
+  * (default policy) after every commit batch during synthesis — the
+  * counter-factual curve: the same trickle history, but under the
+  * policy the fleet runner wires in. Expected reading: `files` stays
+  * bounded near `maxSmallFiles` while `target` grows 40×, and every
+  * metadata metric goes flat. Caveat inherent to two-row synthetic
+  * files: a pack of tiny files is itself tiny (parquet footers do not
+  * sum), so every fold here re-packs the prior pack too — at
+  * production trickle sizes a pack approaches `smallFileBytes` and
+  * EXITS the small set, bounding rewrite amplification; here the
+  * re-pack is a few hundred KB per fold and costs nothing.
   */
 object StoreFilesProbe {
 
   def main(args: Array[String]): Unit = {
     val counts = sys.env.getOrElse("SPARK_GRAFT_FILE_COUNTS", "200,2000,8000")
       .split(",").toSeq.map(_.trim.toInt)
+    val maintained = sys.env.get("SPARK_GRAFT_MAINTAINED").contains("1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val filesPerCommit = 50
@@ -97,13 +110,16 @@ object StoreFilesProbe {
       .createTempDirectory("graft-fprobe-").toString + "/t"
 
     /** Land ~nFiles tiny parts through the real commit + sidecar
-      * protocol; returns (path, actualFiles, totalRows).
+      * protocol (under the maintenance policy when `maintained`);
+      * returns (path, actualFiles, totalRows, optimizeRuns).
       */
-    def synth(nFiles: Int): (String, Int, Long) = {
+    def synth(nFiles: Int): (String, Int, Long, Int) = {
       val path = tmp()
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
       var g = 0
       var b = 0
+      var optimizes = 0
+      var policy: Option[graft.maintenance.StoreMaintenance.Policy] = None
       while (g < nFiles) {
         val k = math.min(filesPerCommit, nFiles - g)
         val staging = java.nio.file.Files
@@ -125,6 +141,14 @@ object StoreFilesProbe {
           s"synthesis lost an impossible race at v$v")
         StoreMeta.saveDelta(spark, path,
           StoreMeta.scanStats(spark, path, adds))
+        if (maintained) {
+          val r = graft.maintenance.StoreMaintenance.runIfDue(spark, path,
+            policy.getOrElse {
+              val p = graft.maintenance.StoreMaintenance.Policy()
+              policy = Some(p); p
+            })
+          if (r.ran) optimizes += 1
+        }
         g += k; b += 1
       }
       val loaded = StoreMeta.load(spark, path)
@@ -134,7 +158,7 @@ object StoreFilesProbe {
       val rows = ConsolidatedStore.read(spark, path).count()
       require(rows == 2L * nFiles,
         s"synthesis row invariant broke: $rows vs ${2L * nFiles}")
-      (path, actual, rows)
+      (path, actual, rows, optimizes)
     }
 
     def timeIt[A](body: () => A): Double = {
@@ -149,7 +173,7 @@ object StoreFilesProbe {
     }
 
     val results = counts.map { n =>
-      val (path, actualFiles, rows) = synth(n)
+      val (path, actualFiles, rows, optimizes) = synth(n)
       // cold = fresh driver (segment cache cleared inside the timed body:
       // pays the full O(#files) segment parse + reconciliation); warm =
       // steady-state planning (immutable segments already parsed — the
@@ -199,17 +223,19 @@ object StoreFilesProbe {
         spark.sparkContext.parallelize(corrLazy.collect().toSeq, 1),
         corrLazy.schema)
       val mergeSec = cloned(p => StoreMerge.merge(spark, p, correction))
-      (n, actualFiles, rows, metaLoadCold, metaLoadWarm, logReplay,
-        readPruned, appendSec, mergeSec)
+      (n, actualFiles, rows, optimizes, metaLoadCold, metaLoadWarm,
+        logReplay, readPruned, appendSec, mergeSec)
     }
 
-    val json = results.map { case (n, f, r, mlc, mlw, lr, rp, ap, mg) =>
-      f"""{"target":$n,"files":$f,"rows":$r,"meta_load_cold_sec":$mlc%.3f,""" +
+    val json = results.map { case (n, f, r, o, mlc, mlw, lr, rp, ap, mg) =>
+      f"""{"target":$n,"files":$f,"rows":$r,"optimizes":$o,""" +
+        f""""meta_load_cold_sec":$mlc%.3f,""" +
         f""""meta_load_warm_sec":$mlw%.3f,""" +
         f""""log_replay_sec":$lr%.3f,"read_pruned_sec":$rp%.3f,""" +
         f""""append_sec":$ap%.3f,"merge_sec":$mg%.3f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"store_files_probe","reps":$reps,""" +
+      s""""maintained":$maintained,""" +
       s""""files_per_commit":$filesPerCommit,"points":$json}""")
     spark.stop()
   }
