@@ -119,7 +119,7 @@ object StoreFilesProbe {
       var g = 0
       var b = 0
       var optimizes = 0
-      var policy: Option[graft.maintenance.StoreMaintenance.Policy] = None
+      val policy = graft.maintenance.StoreMaintenance.Policy()
       while (g < nFiles) {
         val k = math.min(filesPerCommit, nFiles - g)
         val staging = java.nio.file.Files
@@ -142,11 +142,8 @@ object StoreFilesProbe {
         StoreMeta.saveDelta(spark, path,
           StoreMeta.scanStats(spark, path, adds))
         if (maintained) {
-          val r = graft.maintenance.StoreMaintenance.runIfDue(spark, path,
-            policy.getOrElse {
-              val p = graft.maintenance.StoreMaintenance.Policy()
-              policy = Some(p); p
-            })
+          val r = graft.maintenance.StoreMaintenance.runIfDue(
+            spark, path, policy)
           if (r.ran) optimizes += 1
         }
         g += k; b += 1

@@ -353,17 +353,20 @@ object EtlRunner {
       // once the policy says it's due. AFTER the loads and advances
       // (all durable by now) and best-effort — the cycle's results do
       // not depend on it, and optimizeSmall's replacing commit already
-      // arbitrates any concurrent writer.
+      // arbitrates any concurrent writer. Deliberately NOT gated on
+      // this cycle having appended: a store already past the threshold
+      // (policy adopted late, or a prior attempt that failed) must get
+      // its overdue fold even from quiet cycles — the not-due probe is
+      // one directory listing.
       maintenance.foreach { p =>
-        if (results.exists(_.appended > 0))
-          try graft.maintenance.StoreMaintenance
-            .runIfDue(spark, consolidatedPath, p)
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              log.warn(s"post-run store maintenance failed on " +
-                s"$consolidatedPath (layout intact — optimize commits " +
-                "atomically; next due cycle retries): " + e)
-          }
+        try graft.maintenance.StoreMaintenance
+          .runIfDue(spark, consolidatedPath, p)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"post-run store maintenance failed on " +
+              s"$consolidatedPath (layout intact — optimize commits " +
+              "atomically; next due cycle retries): " + e)
+        }
       }
       if (wmReadRetries == 0) results
       else results.map(_.copy(wmReadRetries = wmReadRetries))

@@ -230,18 +230,27 @@ object StoreMeta {
     * vanishing mid-fold still surfaces as the vanished-racer
     * disposition, byte-identical to the uncached behavior.
     *
-    * Bounded LRU by total cached rows; a single over-budget segment
-    * (the post-fold working set of a very large store) is still
-    * admitted — it IS the thing worth caching — with everything else
-    * evicted around it.
+    * Two-tier bound: segments whose row count fits the budget share a
+    * total-row LRU ([[SegCacheMaxRows]]); an OVER-budget segment (the
+    * post-fold working set of a very large store — the thing most worth
+    * caching) is exempt from the row budget and capped by COUNT instead
+    * ([[SegCacheMaxOversized]], LRU among themselves). A single-tier
+    * row budget would evict the oversized resident on the next put of
+    * any small delta and thrash every subsequent load back to a full
+    * re-parse. Memory note: an oversized entry duplicates a Loaded the
+    * driver materializes on every load anyway, and changing
+    * [[SegCacheMaxRows]] (test seam) must be followed by
+    * [[segCacheClear]] — tier accounting is computed at put time.
     */
   private[graft] var SegCacheMaxRows: Long = 1L << 17
+  private[graft] var SegCacheMaxOversized: Int = 4
   private val segCache =
     new java.util.LinkedHashMap[String, Seq[FileStats]](64, 0.75f, true)
-  private var segCacheRows: Long = 0L
+  private var segCacheBoundedRows: Long = 0L
+  private var segCacheOversized: Int = 0
 
   private[graft] def segCacheClear(): Unit = segCache.synchronized {
-    segCache.clear(); segCacheRows = 0L
+    segCache.clear(); segCacheBoundedRows = 0L; segCacheOversized = 0
   }
 
   private[graft] def segCacheSize: Int = segCache.synchronized(segCache.size)
@@ -251,30 +260,60 @@ object StoreMeta {
 
   private def cachePut(key: String, v: Seq[FileStats]): Unit =
     segCache.synchronized {
+      def oversized(s: Seq[FileStats]): Boolean = s.size > SegCacheMaxRows
+      def drop(s: Seq[FileStats]): Unit =
+        if (oversized(s)) segCacheOversized -= 1
+        else segCacheBoundedRows -= s.size
       val prev = segCache.put(key, v)
-      segCacheRows += v.size - (if (prev == null) 0 else prev.size)
+      if (prev != null) drop(prev)
+      if (oversized(v)) segCacheOversized += 1
+      else segCacheBoundedRows += v.size
+      // evict eldest-first within each tier; never the entry just put
       val it = segCache.entrySet().iterator()
-      while (segCacheRows > SegCacheMaxRows && segCache.size > 1 &&
-        it.hasNext) {
-        segCacheRows -= it.next().getValue.size
-        it.remove()
+      while ((segCacheBoundedRows > SegCacheMaxRows ||
+        segCacheOversized > SegCacheMaxOversized) && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != key) {
+          val evictable =
+            if (oversized(e.getValue)) segCacheOversized > SegCacheMaxOversized
+            else segCacheBoundedRows > SegCacheMaxRows
+          if (evictable) { drop(e.getValue); it.remove() }
+        }
       }
     }
 
-  /** [[readSegmentStats]] through the segment cache (misses read one
-    * segment at a time and populate it; a throwing read caches nothing).
+  /** [[readSegmentStats]] through the segment cache. JSON misses parse
+    * driver-side one segment at a time; legacy parquet misses batch into
+    * ONE Spark read (as the uncached reader did) and attribute rows back
+    * to their segment via `input_file_name` for per-segment caching. A
+    * throwing read caches nothing.
     */
   private def readSegmentStatsCached(spark: SparkSession, metaDir: String,
       segs: Seq[String]): Seq[FileStats] = {
     val qp = qualifiedPath(spark, metaDir).toString
     val out = Seq.newBuilder[FileStats]
+    val pqMisses = Seq.newBuilder[String]
     segs.foreach { s =>
       cacheGet(s"$qp/$s") match {
         case Some(v) => out ++= v
+        case None if s.endsWith(".parquet") => pqMisses += s
         case None =>
           val stats = readSegmentStats(spark, metaDir, Seq(s))
           cachePut(s"$qp/$s", stats)
           out ++= stats
+      }
+    }
+    val pq = pqMisses.result()
+    if (pq.nonEmpty) {
+      val byFile = spark.read.schema(metaSchema)
+        .parquet(pq.map(s => s"$metaDir/$s"): _*)
+        .withColumn("__seg", input_file_name())
+        .collect().toSeq
+        .groupBy(r => new Path(r.getString(r.length - 1)).getName)
+      pq.foreach { s =>
+        val stats = byFile.getOrElse(s, Nil).map(fromRow)
+        cachePut(s"$qp/$s", stats)
+        out ++= stats
       }
     }
     out.result()
@@ -631,6 +670,13 @@ object StoreMeta {
           case "start_max_us" => startMaxUs = lng()
           case _ => p.skipChildren() // forward-compat: ignore unknown keys
         }
+        // a KNOWN key holding an unexpected container reads as null above
+        // (the json4s reader's benign disposition) but its tokens must
+        // still be consumed — otherwise the field/value pairing desyncs
+        // and the END_OBJECT test never matches (nextToken() returns null
+        // at end-of-input forever: a driver hang, not a throw)
+        if (p.currentToken() == JsonToken.START_ARRAY ||
+          p.currentToken() == JsonToken.START_OBJECT) p.skipChildren()
       }
       // a row without identity or LogID watermark is torn, not optional —
       // throw so the caller's corrupt-segment disposition applies (the

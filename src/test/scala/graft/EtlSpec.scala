@@ -358,7 +358,7 @@ class EtlSpec extends AnyFunSuite {
       maintenance = policy)
     val rN = EtlRunner.runOnce(spark, Map("srv" -> src), cN, wN)
     assert(rM.head.error.isEmpty && rN.head.error.isEmpty)
-    assert(rM.head.appended > 0, "cycle must land rows to gate maintenance")
+    assert(rM.head.appended > 0, "fixture sanity: the cycle lands rows")
     assert(rM.head.appended == rN.head.appended)
     // maintained store folded its small files; control kept 5 + 1
     assert(parquetFiles(cN) == 6, s"control files: ${parquetFiles(cN)}")

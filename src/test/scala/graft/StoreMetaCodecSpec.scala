@@ -78,6 +78,20 @@ class StoreMetaCodecSpec extends AnyFunSuite {
     intercept[Exception](StoreMeta.parseStats("""{"file":"trunc"""))
     intercept[Exception](StoreMeta.parseStats("""{"logid_max":3}"""))
     intercept[Exception](StoreMeta.parseStats("""{"file":"z.parquet"}"""))
+    // a KNOWN scalar key holding a container must read as null (the
+    // json4s reader's benign disposition) WITHOUT desyncing the token
+    // stream — the unconsumed-container bug looped forever here
+    val cont = StoreMeta.parseStats(
+      """{"db_min":["a",{"x":1}],"file":"c.parquet","logid_max":9,""" +
+        """"dev_min":{"k":[2,3]},"start_min_us":7}""")
+    assert(cont.file == "c.parquet" && cont.logIdMax == 9L)
+    assert(cont.dbMin == null && cont.devMin == null)
+    assert(cont.startMinUs == 7L, "fields after the container still land")
+    // dev_hashes with a non-array value: benign null, stream intact
+    val mh = StoreMeta.parseStats(
+      """{"file":"d.parquet","logid_max":1,"dev_hashes":{"bad":true},""" +
+        """"dev_null_count":5}""")
+    assert(mh.devHashes == null && mh.devNullCount == 5L)
   }
 
   test("cached loads agree with cold loads across append, fold, and " +
@@ -126,7 +140,8 @@ class StoreMetaCodecSpec extends AnyFunSuite {
     h.unpersist()
   }
 
-  test("cache stays row-bounded but always admits one oversized segment") {
+  test("cache stays row-bounded but always admits oversized segments, " +
+      "and a small delta never evicts the oversized resident") {
     val saved = StoreMeta.SegCacheMaxRows
     try {
       StoreMeta.SegCacheMaxRows = 2L
@@ -141,7 +156,7 @@ class StoreMetaCodecSpec extends AnyFunSuite {
           ordered.limit(30 * i).except(ordered.limit(30 * (i - 1))))
       }
       val all = StoreMeta.load(spark, path).get
-      StoreMeta.save(spark, path, all.files) // one segment, >8 rows
+      StoreMeta.save(spark, path, all.files) // one segment, > cap rows
       StoreMeta.segCacheClear()
       val cold = StoreMeta.load(spark, path).get
       assert(cold.files.size > 2, "fixture must exceed the shrunken cap")
@@ -149,6 +164,14 @@ class StoreMetaCodecSpec extends AnyFunSuite {
         "an over-budget folded segment must still be admitted")
       val warm = StoreMeta.load(spark, path).get
       assert(warm.files.map(_.file).toSet == cold.files.map(_.file).toSet)
+      // a fresh small delta lands NEXT TO the oversized resident — the
+      // single-tier row budget used to evict the big segment here and
+      // thrash every later load back to a cold parse
+      ConsolidatedStore.append(spark, path,
+        ordered.limit(125).except(ordered.limit(120)))
+      StoreMeta.load(spark, path).get
+      assert(StoreMeta.segCacheSize == 2,
+        s"oversized resident + delta must coexist (${StoreMeta.segCacheSize})")
       h.unpersist()
     } finally {
       StoreMeta.SegCacheMaxRows = saved
