@@ -19,6 +19,8 @@ import graft.model.Schemas
   */
 object StreamingEtl {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Watermarked streaming dedup — state is bounded by the watermark
     * horizon, so at scale the dedup state store holds only the lookback
     * window, not the table. `dropDuplicatesWithinWatermark` is required
@@ -88,6 +90,14 @@ object StreamingEtl {
     *   ABORT loudly (fail the batch; the checkpoint retries it) rather
     *   than corrupt, but only appendConcurrent lets both land. The
     *   watermark advance is a cross-JVM-safe CRDT either way.
+    * @param maintenance when set, each non-empty micro-batch ends with
+    *   [[graft.maintenance.StoreMaintenance.runIfDue]] — a continuous
+    *   sink is the WORST small-file generator (one store file per
+    *   trigger, forever), so the long-running deployment needs the
+    *   small-file fold wired in, not remembered. Best-effort after the
+    *   append and advance are durable, exactly like the batch runner's
+    *   option; with concurrent multi-stream writers the optimize's
+    *   replacing commit arbitrates as usual.
     * @return the started query; callers own its lifecycle.
     */
   def runStream(
@@ -97,7 +107,8 @@ object StreamingEtl {
       consolidatedPath: String,
       watermarkPath: String,
       checkpointDir: String,
-      concurrentAppends: Boolean = false)
+      concurrentAppends: Boolean = false,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     dedupStream(incoming).writeStream
       .option("checkpointLocation", checkpointDir)
@@ -118,6 +129,16 @@ object StreamingEtl {
                 batch.sparkSession, consolidatedPath, pinned)
             graft.store.WatermarkStore.advance(
               batch.sparkSession, watermarkPath, server, newWm)
+            maintenance.foreach { p =>
+              try graft.maintenance.StoreMaintenance
+                .runIfDue(batch.sparkSession, consolidatedPath, p)
+              catch {
+                case scala.util.control.NonFatal(e) =>
+                  log.warn("post-batch store maintenance failed on " +
+                    s"$consolidatedPath (cache-only effect; next due " +
+                    "trigger retries): " + e)
+              }
+            }
           }
         } finally graft.util.Checkpoints.release(pinned)
       }

@@ -124,6 +124,57 @@ class StreamingSpec extends AnyFunSuite {
     bh.unpersist()
   }
 
+  test("streaming ETL sink with maintenance folds per-trigger small files; " +
+      "content equals the unmaintained stream") {
+    import graft.maintenance.StoreMaintenance
+    val bh = graft.etl.BackupHistoryDerivation
+      .canonicalFrame(spark, TestSpark.sf).drop("LogID").limit(120).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft-smaint").toString
+    // 6 date-ordered slices, one file each, mtimes ascending — with
+    // maxFilesPerTrigger=1 the file source replays them oldest-first, so
+    // event time advances monotonically and the stream's watermark never
+    // drops a slice as late
+    val sliced = bh.withColumn("_s", org.apache.spark.sql.functions.ntile(6)
+      .over(org.apache.spark.sql.expressions.Window.orderBy(
+        "backup_finish_date", "database_name", "last_lsn",
+        "physical_device_name")))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$root/in"))
+    (1 to 6).foreach { i =>
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-smaint-stage").toString
+      sliced.filter(col("_s") === i).drop("_s")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(f"$root/in/s$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+    def run(tag: String,
+        policy: Option[StoreMaintenance.Policy]): (Long, Long) = {
+      val incoming = spark.readStream.schema(bh.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val q = StreamingEtl.runStream(spark, incoming, "srvM",
+        s"$root/cons$tag", s"$root/wm$tag", s"$root/ckpt$tag",
+        maintenance = policy)
+      q.processAllAvailable(); q.stop()
+      val files = new java.io.File(s"$root/cons$tag").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      (spark.read.parquet(s"$root/cons$tag").count(), files.toLong)
+    }
+    val (nCtl, filesCtl) = run("N", None)
+    val (nM, filesM) = run("M", Some(StoreMaintenance.Policy(
+      smallFileBytes = 64L << 20, maxSmallFiles = 3)))
+    assert(filesCtl == 6L, s"control: one file per trigger, got $filesCtl")
+    assert(filesM < filesCtl && filesM <= 3L,
+      s"maintained stream must fold per-trigger files, got $filesM")
+    val expected = bh.dropDuplicates(graft.model.Schemas.dedupKey).count()
+    assert(nCtl == expected && nM == expected,
+      s"content: ctl=$nCtl maintained=$nM expected=$expected")
+    bh.unpersist()
+  }
+
   test("stateful sessionization agrees with the batch window-function version") {
     val events = Tables.events(spark, TestSpark.sf)
       .select("user_id", "ts", "event_id")
