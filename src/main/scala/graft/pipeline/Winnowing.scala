@@ -78,6 +78,13 @@ object Winnowing {
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4,
       minShared: Long = 2, maxDocFreq: Long = 50): DataFrame = {
+    // NOT pinned (r16 A/B): the initial plan shows 4 Generate-over-union
+    // subtrees (fps in the cap aggregation and the kept side, duplicated
+    // across the self-join branches), but at runtime ReusedExchange
+    // collapses the duplicated broadcast cap, and caching the exploded
+    // (id, fp) rows measured a net LOSS (q50 2.46 → 3.01 s isolated
+    // min, 4 reps): the native kernel re-eval is cheaper than the cache
+    // materialization + read.
     val fps = fingerprints(docs, idCol, textCol, k, w)
     // df-cap BEFORE any pair generation: a boilerplate fingerprint shared
     // by everything would otherwise drive the self-join quadratic. Both

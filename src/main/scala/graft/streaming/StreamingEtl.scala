@@ -195,10 +195,22 @@ object StreamingEtl {
     * then silently drops every row. Reads only the events table's files
     * (the sf dir holds nine other tables whose files a whole-dir glob
     * would also list and null-decode).
+    *
+    * The probe (a footer read + file-listing DataSource resolution on
+    * the driver) is MEMOIZED per (session, dir): a file's schema is
+    * immutable metadata, and every stream over the same dir repeated it
+    * — the two-source queries (stream-stream joins, double-delivery
+    * dedup) twice per lifecycle and the restart-recovery rows once per
+    * lifecycle per run. Schema memoization is planning metadata, not
+    * result caching — every micro-batch still reads the parquet.
     */
+  private val schemaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), StructType]
+
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val fileSchema = schemaMemo.getOrElseUpdate((spark, sfDir),
+      spark.read.parquet(s"$sfDir/events.parquet").schema)
     val stream = spark.readStream.schema(fileSchema)
       // events.parquet is a single file; the source's basePath must stay
       // the directory, so select it with a glob filter instead of a path
