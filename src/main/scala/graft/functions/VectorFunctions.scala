@@ -223,6 +223,14 @@ object VectorFunctions {
         "bpe_pieces", exprs => BpeEncodePieces(exprs(0), exprs(1), exprs(2)),
         "built-in")
     }
+    val cc = org.apache.spark.sql.catalyst.FunctionIdentifier("capped_collect")
+    if (!reg.functionExists(cc)) {
+      reg.createOrReplaceTempFunction(
+        "capped_collect",
+        exprs => CappedCollectLongAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue()),
+        "built-in")
+    }
     val cm = org.apache.spark.sql.catalyst.FunctionIdentifier("count_min_md5")
     if (!reg.functionExists(cm)) {
       // the analyzer wraps a bare AggregateFunction into an
@@ -336,6 +344,16 @@ object VectorFunctions {
   def misraGries(v: Column, k: Int): Column = {
     register(SparkSession.active)
     call_function("misra_gries", v, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Column API for [[CappedCollectLongAgg]]: collect_list of a long
+    * column truncated at `cap` elements per group (skew-safe; see the
+    * aggregate's invariants).
+    */
+  def cappedCollect(v: Column, cap: Int): Column = {
+    register(SparkSession.active)
+    call_function("capped_collect", v,
+      org.apache.spark.sql.functions.lit(cap))
   }
 
   /** Column API for [[CountMinAgg]]: aggregate a string column into a

@@ -73,32 +73,50 @@ object Winnowing {
     * `maxDocFreq` documents (boilerplate). One fingerprint-keyed
     * aggregation + one pair-keyed aggregation — both map-side
     * combinable; no all-pairs stage anywhere.
+    *
+    * Shape (r16): group-then-combine. The previous df-cap + self-join
+    * spelling evaluated the fps subtree — scan + normalize + the
+    * md5-heavy winnow kernel, the dominant per-row cost — FOUR times in
+    * the executed plan (the cap aggregation duplicated under both
+    * broadcast branches, plus both self-join sides; no exchange reuse
+    * fired). Collecting each fingerprint's member ids in ONE
+    * aggregation runs the kernel once and replaces the self-join with
+    * an in-row combination explode. The collector is the capped
+    * aggregate ([[graft.functions.CappedCollectLongAgg]], cap + 1
+    * elements max), so the one-giant-key skew the df-cap guards against
+    * cannot OOM the aggregation buffer either: over-cap groups arrive
+    * truncated at maxDocFreq + 1 and are dropped by the size filter —
+    * exactly the rows the old df-cap dropped. Isolated A/B at sf0.1 is
+    * in OPTIMIZATION_r16.md (q50/q92/q105 share this path).
     */
   def pairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4,
       minShared: Long = 2, maxDocFreq: Long = 50): DataFrame = {
-    // NOT pinned (r16 A/B): the initial plan shows 4 Generate-over-union
-    // subtrees (fps in the cap aggregation and the kept side, duplicated
-    // across the self-join branches), but at runtime ReusedExchange
-    // collapses the duplicated broadcast cap, and caching the exploded
-    // (id, fp) rows measured a net LOSS (q50 2.46 → 3.01 s isolated
-    // min, 4 reps): the native kernel re-eval is cheaper than the cache
-    // materialization + read.
+    require(maxDocFreq < Int.MaxValue, "maxDocFreq must fit in an Int")
+    // the capped collector is long-typed; integral ids round-trip
+    // losslessly (the cast pair is a no-op for the bigint callers)
+    val idType = docs.schema(docs.schema.fieldIndex(idCol)).dataType
     val fps = fingerprints(docs, idCol, textCol, k, w)
-    // df-cap BEFORE any pair generation: a boilerplate fingerprint shared
-    // by everything would otherwise drive the self-join quadratic. Both
-    // the cap aggregation and the self-join shuffle on `fp`, so the
-    // exchange is reused, never widened.
-    val dfCap = fps.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq)
-      .select("fp")
-    val kept = fps.join(dfCap, Seq("fp"))
-    kept.select(col("fp"), col(idCol).as("id_a"))
-      .join(kept.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+    val groups = fps.groupBy("fp")
+      .agg(graft.functions.VectorFunctions
+        .cappedCollect(col(idCol).cast("long"), maxDocFreq.toInt + 1)
+        .as("ids"))
+      // size == maxDocFreq + 1 ⇔ over the df cap (truncated) → dropped;
+      // size 1 pairs with nothing
+      .filter(size(col("ids")).between(2, maxDocFreq))
+      .select("ids")
+    // all unordered member pairs per fingerprint: two chained explodes
+    // (codegen'd Generates) with the a < b orientation filter — group
+    // fanout is bounded by the cap, so this stage is O(cap) per group
+    groups
+      .select(col("ids"), explode(col("ids")).as("id_a"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("n_shared"))
   }
 }

@@ -63,6 +63,45 @@ class ProfileSpec extends AnyFunSuite {
     assert(pairs.exists(p => p._1 === 5L && p._2 === 1000L))
   }
 
+  test("capped collect holds full groups under the cap, truncates over it") {
+    // 40 partitions force partial-aggregation merges, so the cap
+    // invariant is exercised across the merge tree, not just update()
+    val rows = (0L until 30L).map(i => ("hot", i)) ++
+      (0L until 4L).map(i => ("cold", 100L + i))
+    val got = rows.toDF("g", "id").repartition(40)
+      .groupBy("g")
+      .agg(graft.functions.VectorFunctions
+        .cappedCollect(col("id"), 10).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("hot").size === 10) // truncated AT the cap, never above
+    assert(got("hot").toSet.subsetOf((0L until 30L).toSet))
+    assert(got("cold").toSet === Set(100L, 101L, 102L, 103L)) // complete
+  }
+
+  test("group-then-combine pairs equal the df-cap self-join reference") {
+    // the r16 pair shape (one capped aggregation + combination explode)
+    // must produce EXACTLY the reference pair multiset: df-capped
+    // inverted-index self-join, the previous spelling
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val fps = Winnowing.fingerprints(docs, "doc_id", "text", k, w)
+    val maxDocFreq = 20L
+    val minShared = 3L
+    val dfCap = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("fp")
+    val kept = fps.join(dfCap, Seq("fp"))
+    val ref = kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Winnowing.pairs(docs, "doc_id", "text", k, w,
+        minShared = minShared, maxDocFreq = maxDocFreq)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.nonEmpty)
+  }
+
   test("repetition profile flags looping text") {
     val docs = Seq(
       (1L, Seq.fill(30)("spam ham").mkString(" ")),
