@@ -68,21 +68,35 @@ object TfIdf {
       docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTerms = queries
-      .select(col(queryIdCol).as("query_id"),
-        explode(array_distinct(tokens(col(queryTextCol)))).as("token"))
+    // pinned: consumed twice below (qTokens restriction + the scored
+    // join) — each broadcast build otherwise re-scans the query source
+    // (a corpus slice in the registered queries)
+    val qTerms = graft.util.CacheSlots.rotateOne("tfidf.bm25QTerms",
+      queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(tokens(col(queryTextCol)))).as("token")))
     val qTokens = qTerms.select("token").distinct()
     // restrict the inverted index to query tokens BEFORE any aggregation:
     // df over the restricted rows still counts every document containing
     // the token (restriction is on the token, not the doc), so both the
     // tf rows and the df table stay query-vocabulary-sized — the full
-    // corpus vocabulary never aggregates or joins
-    val tf = docs
-      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
-      .join(broadcast(qTokens), Seq("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    val dl = docs.select(col(idCol),
-      size(tokens(col(textCol))).cast("double").as("dl"))
+    // corpus vocabulary never aggregates or joins.
+    //
+    // ONE corpus tokenize pass (r16): `dl` rides the exploded rows
+    // (first() per group — constant per document) instead of a separate
+    // size(tokens) frame joined on the id, which cost a second corpus
+    // tokenize AND an id-keyed exchange of both sides. tokens() of the
+    // empty normalized string is [""] (split semantics, mirrored by the
+    // oracle), so dl here equals the old size(tokens) for every doc.
+    // Pinned: the df build and the scored join both consume tf; uncached
+    // each would re-run the corpus scan + tokenize + explode.
+    val tf = graft.util.CacheSlots.rotateOne("tfidf.bm25Tf",
+      docs
+        .select(col(idCol), tokens(col(textCol)).as("__w"))
+        .select(col(idCol), size(col("__w")).cast("double").as("dl"),
+          explode(col("__w")).as("token"))
+        .join(broadcast(qTokens), Seq("token"))
+        .groupBy(idCol, "token")
+        .agg(count(lit(1)).as("tf"), first("dl").as("dl")))
     val stats = docs.agg(
       count(lit(1)).cast("double").as("__n"),
       avg(size(tokens(col(textCol)))).as("__avgdl"))
@@ -94,7 +108,6 @@ object TfIdf {
     val scored = tf
       .join(broadcast(qTerms), Seq("token"))
       .join(broadcast(df), Seq("token"))
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(idf * tfNorm), 4).as("score"))
