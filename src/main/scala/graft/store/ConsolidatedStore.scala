@@ -251,7 +251,8 @@ object ConsolidatedStore {
         min("physical_device_name"), max("physical_device_name"),
         sum(when(col("physical_device_name").isNull, 1L).otherwise(0L)),
         sort_array(collect_set(when(col("physical_device_name").isNotNull,
-          xxhash64(col("physical_device_name"))))))
+          xxhash64(col("physical_device_name"))))),
+        count(lit(1)))
       .collect().toSeq
       .map { r =>
         val db = r.getString(0)
@@ -263,7 +264,8 @@ object ConsolidatedStore {
           if (r.isNullAt(6)) null else r.getString(6),
           r.getLong(7),
           devHashes =
-            if (hashes.size > StoreMeta.DevHashSetCap) null else hashes)
+            if (hashes.size > StoreMeta.DevHashSetCap) null else hashes,
+          rows = r.getLong(9))
       }
 
   /** Zone-map-pruned read: open ONLY the files whose sidecar envelope
@@ -384,21 +386,107 @@ object ConsolidatedStore {
       if (envelopes.isEmpty) { foldIfDirty(); return 0L }
       val overlapping = loaded.files
         .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+      def antiJoined(): DataFrame = {
+        val existingKeys = spark.read
+          .option("basePath", path)
+          .schema(Schemas.consolidated)
+          .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+          .select(dedupKey.map(col): _*)
+          .alias("ex")
+        deduped.alias("in")
+          .join(existingKeys, keyCondition("in", "ex"), "left_anti")
+      }
+      // fused single-action trickle append (r16): the deduped batch row
+      // count (an UPPER bound on the post-anti-join fresh rows — dedup
+      // and anti-join only shrink) rides the envelope collect, and when
+      // it sits under the bootstrap boundary the write regime is
+      // decided without knowing n exactly — both bounds land in the
+      // one-compact-file regime. The fresh count and the new file's
+      // zone-map stats are then observed DURING the staged write
+      // (CollectMetrics — exactly-once per action), so a trickle append
+      // runs ONE batch-touching Spark action (the write) instead of
+      // three (count, write, stats rescan): measured ~2x fewer jobs per
+      // trickle cycle on the q155/q64 lifecycles. Hive layouts keep the
+      // scan path (a task writes one file per partition VALUE there, so
+      // per-file stats need the rescan), and bootstrap-sized batches
+      // keep the exact count (the fan-out file count ⌈n/32768⌉ is
+      // spec-pinned on n, not on the upper bound).
+      val est =
+        if (envelopes.exists(_.rows < 0L)) -1L else envelopes.map(_.rows).sum
+      if (partitionBy.isEmpty && est >= 0L && est < BootstrapSplitRows) {
+        val fresh = if (overlapping.isEmpty) deduped else antiJoined()
+        val assigned = withLogIdsFrom(loaded.maxLogId, fresh, batchRows = est)
+        val laidOut =
+          if (sortWithin.isEmpty) assigned
+          else assigned.sortWithinPartitions(sortWithin.map(col): _*)
+        val dev = col("physical_device_name")
+        val obs = org.apache.spark.sql.Observation()
+        val observed = laidOut.observe(obs,
+          count(lit(1)).as("n"),
+          max("LogID").as("logid_max"),
+          min("last_lsn").as("last_lsn_min"),
+          max("last_lsn").as("last_lsn_max"),
+          min("first_lsn").as("first_lsn_min"),
+          max("first_lsn").as("first_lsn_max"),
+          min("database_name").as("db_min"),
+          max("database_name").as("db_max"),
+          min(dev).as("dev_min"), max(dev).as("dev_max"),
+          sum(when(dev.isNull, 1L).otherwise(0L)).as("dev_nulls"),
+          sort_array(collect_set(when(dev.isNotNull, xxhash64(dev))))
+            .as("dev_hashes"),
+          min(unix_micros(col("backup_start_date"))).as("start_min"),
+          max(unix_micros(col("backup_start_date"))).as("start_max"))
+        val before = loaded.files.map(_.file).toSet
+        val (stageDir, mine) = Staging.stage(spark, path, observed, Nil)
+        val m = obs.get
+        val n = m("n").asInstanceOf[Long]
+        if (n == 0L) {
+          // nothing fresh: drop the zero-row staged file wholesale —
+          // observable state identical to the counted path's early exit
+          Staging.abandon(spark, stageDir)
+          foldIfDirty()
+          return 0L
+        }
+        val newFiles = Staging.promote(spark, path, stageDir, mine)
+        StoreLog.commitAppend(spark, path, newFiles,
+          before.toSeq.sorted ++ newFiles)
+        try {
+          val newStats =
+            if (newFiles.size == 1) {
+              val hashes = m("dev_hashes").asInstanceOf[Seq[Long]]
+              Seq(FileStats(
+                newFiles.head,
+                m("logid_max").asInstanceOf[Long],
+                m("last_lsn_min").asInstanceOf[java.math.BigDecimal],
+                m("last_lsn_max").asInstanceOf[java.math.BigDecimal],
+                m("first_lsn_min").asInstanceOf[java.math.BigDecimal],
+                m("first_lsn_max").asInstanceOf[java.math.BigDecimal],
+                m("db_min").asInstanceOf[String],
+                m("db_max").asInstanceOf[String],
+                m("dev_min").asInstanceOf[String],
+                m("dev_max").asInstanceOf[String],
+                m("dev_nulls").asInstanceOf[Long],
+                devHashes =
+                  if (hashes.size > StoreMeta.DevHashSetCap) null
+                  else hashes,
+                startMinUs = m("start_min").asInstanceOf[Long],
+                startMaxUs = m("start_max").asInstanceOf[Long]))
+            } else StoreMeta.scanStats(spark, path, newFiles)
+          if (loaded.dirty || loaded.segments + 1 > foldEvery)
+            StoreMeta.save(spark, path, loaded.files ++ newStats)
+          else StoreMeta.saveDelta(spark, path, newStats)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            log.warn(s"post-commit sidecar update failed on $path " +
+              "(cache only — next load() heals): " + e)
+        }
+        return n
+      }
       // no overlapping files → every deduped row is fresh; reuse the
       // already-cached batch instead of stacking a second cache on it
       val fresh =
         if (overlapping.isEmpty) deduped
-        else {
-          val existingKeys = spark.read
-            .option("basePath", path)
-            .schema(Schemas.consolidated)
-            .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
-            .select(dedupKey.map(col): _*)
-            .alias("ex")
-          deduped.alias("in")
-            .join(existingKeys, keyCondition("in", "ex"), "left_anti")
-            .cache()
-        }
+        else antiJoined().cache()
       try {
         val n = fresh.count()
         if (n > 0) {

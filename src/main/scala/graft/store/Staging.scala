@@ -70,6 +70,15 @@ private[graft] object Staging {
     files
   }
 
+  /** Drop a staged-but-never-promoted dir wholesale (e.g. a fused
+    * trickle append whose write observed zero fresh rows).
+    */
+  def abandon(spark: SparkSession, stageDir: String): Unit = {
+    val p = new Path(stageDir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
+
   /** Un-publish files this writer moved into the root (lost a version
     * race, or an abort path) — exact names only, never a listing.
     */

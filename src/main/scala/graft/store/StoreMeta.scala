@@ -66,7 +66,13 @@ final case class KeyRanges(
     devMin: String,
     devMax: String,
     devNullCount: Long,
-    devHashes: Seq[Long] = null)
+    devHashes: Seq[Long] = null,
+    // deduped row count of this batch group (-1 = not recorded): lets
+    // the append pick its write regime (trickle vs bootstrap fan-out)
+    // without a separate count action — the count is an upper bound on
+    // the post-anti-join rows, and the regime boundary only needs the
+    // upper bound (see ConsolidatedStore.appendPrunedPrepared)
+    rows: Long = -1L)
 
 /** Store-metadata sidecar: the Spark analog of the reference's unique
   * index on `(last_lsn, first_lsn, database_name, physical_device_name)`
