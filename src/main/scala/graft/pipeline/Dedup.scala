@@ -292,14 +292,20 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = (bits + nBands - 1) / nBands
     val mask = if (width >= 64) -1L else (1L << width) - 1
+    // keyed is consumed three times (banding below + the two
+    // fingerprint re-attach joins at the end), so CALLERS must hand in
+    // a pinned fp frame when its upstream is expensive —
+    // [[simhashPairs]] and [[ImageDedup.dhashPairs]] both do (an
+    // unconditional pin here measured a q47 regression: fp there is
+    // already cached, and stacking a second cache on it costs more
+    // than the two cheap re-reads it saves)
     val keyed = fp.select(col(idCol).as("doc_id"), col(hashCol).as("__fp"))
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("__fp"), b * width).bitwiseAND(lit(mask)).as("bv"))
     }
     // cached BEFORE both consumers (the cap aggregation and the
-    // anti-join feeding the self-join): the input fingerprint plan can
-    // be expensive (e.g. image decode) and must evaluate once
+    // anti-join feeding the self-join)
     val banded0 = graft.util.CacheSlots.rotateOne("dedup.hammingPairs",
       keyed
         .select(col("doc_id"), explode(array(bandCols: _*)).as("x"))

@@ -90,7 +90,13 @@ object ImageDedup {
   def dhashPairs(spark: SparkSession, media: DataFrame,
       idCol: String, payloadCol: String,
       maxHamming: Int = 4, maxBucketDocs: Long = 1000): DataFrame =
-    Dedup.hammingPairs(dhashes(spark, media, idCol, payloadCol),
+    // pinned: hammingPairs consumes the fingerprint frame three times
+    // (banding + two re-attach joins), and this one's upstream is a
+    // full image decode — uncached it ran 3x (same contract as
+    // simhashPairs' pin on its simhash frame)
+    Dedup.hammingPairs(
+      graft.util.CacheSlots.rotateOne("imagededup.dhashes",
+        dhashes(spark, media, idCol, payloadCol)),
       idCol, "dhash", bits = 64, maxHamming = maxHamming,
       maxBucketDocs = maxBucketDocs)
 }

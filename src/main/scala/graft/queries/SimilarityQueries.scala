@@ -1004,9 +1004,9 @@ object SimilarityQueries {
     while (y < 16) {
       var x = 0
       while (x < 18) {
-        val hex = md.digest(s"${id / 5},$x,$y".getBytes("UTF-8"))
-          .take(1).map(b => f"$b%02x").mkString
-        var v = Integer.parseInt(hex, 16)
+        // first digest byte as unsigned — identical to the previous
+        // hex-format-then-parse round trip, minus the two allocations
+        var v = md.digest(s"${id / 5},$x,$y".getBytes("UTF-8"))(0) & 0xff
         if (x == (id % 18) && y == (id % 16)) v = (v + 128) % 256
         bi.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
