@@ -297,7 +297,9 @@ object EtlQueries {
     bh.write.mode("append").parquet(s"$tmp/in")
     val incoming = spark.readStream.schema(bh.schema).parquet(s"$tmp/in")
     val q = graft.streaming.StreamingEtl.runStream(spark, incoming, "srvL",
-      s"$tmp/cons", s"$tmp/wm", s"$tmp/ckpt")
+      s"$tmp/cons", s"$tmp/wm", s"$tmp/ckpt",
+      sourceBytes =
+        graft.streaming.StreamTuning.inputBytes(spark, s"$tmp/in"))
     q.processAllAvailable(); q.stop()
     val stored = ConsolidatedStore.read(spark, s"$tmp/cons")
     val wm = graft.store.WatermarkStore.read(spark, s"$tmp/wm")("srvL")

@@ -239,17 +239,32 @@ object StreamQueries {
     * window/timeout it has passed before the query terminates.
     */
   private def drainToParquet(
-      spark: SparkSession, streaming: DataFrame, tag: String): DataFrame = {
+      spark: SparkSession, streaming: DataFrame, tag: String,
+      inputBytes: Long): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
-    val q = streaming.writeStream
-      .outputMode("append")
-      .format("parquet").option("path", s"$tmp/out")
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // state partitions derived from the lifecycle's source volume
+    // (r16, guide §2: AQE cannot coalesce stateful streaming exchanges
+    // and the count freezes into the checkpoint — the session's
+    // 32-partition batch default cost ~4x the lifecycle wall time in
+    // per-partition state-store commits at sf0.1; see StreamTuning)
+    val q = graft.streaming.StreamTuning
+      .withStatePartitions(spark, inputBytes) {
+        streaming.writeStream
+          .outputMode("append")
+          .format("parquet").option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
     q.awaitTermination()
     spark.read.parquet(s"$tmp/out")
   }
+
+  /** Source volume of the events-table lifecycles (the file
+    * `eventsStream` reads), for the state-partition derivation.
+    */
+  private def eventsBytes(spark: SparkSession, dir: String): Long =
+    graft.streaming.StreamTuning.inputBytes(spark, s"$dir/events.parquet")
 
   /** q32's tumbling windows through the REAL streaming path: readStream →
     * withWatermark → window agg → append-mode file sink. Unlike q32 (the
@@ -262,7 +277,7 @@ object StreamQueries {
   def q79StreamingWindowsLive(spark: SparkSession, dir: String): DataFrame =
     drainToParquet(spark,
         StreamingEtl.eventWindowAgg(StreamingEtl.eventsStream(spark, dir)),
-        "q79")
+        "q79", eventsBytes(spark, dir))
       .orderBy("window_start_epoch", "event_type")
 
   val q79Oracle: String =
@@ -303,7 +318,7 @@ object StreamQueries {
             unix_micros(col("session_start")).as("session_start_us"),
             unix_micros(col("session_end")).as("session_end_us"),
             col("n_events")),
-        "q80")
+        "q80", eventsBytes(spark, dir))
       .orderBy("user_id", "session_start_us")
   }
 
@@ -361,7 +376,7 @@ object StreamQueries {
             col("l_event_id"), col("r_event_id"),
             (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
               .as("gap_us")),
-        "q96")
+        "q96", eventsBytes(spark, dir))
       .orderBy("user_id", "l_event_id", "r_event_id")
   }
 
@@ -404,7 +419,7 @@ object StreamQueries {
             col("l_event_id"), col("r_event_id"),
             (unix_micros(col("r_ts")) - unix_micros(col("l_ts")))
               .as("gap_us")),
-        "q106")
+        "q106", eventsBytes(spark, dir))
       .orderBy("user_id", "l_event_id", "r_event_id")
   }
 
@@ -455,7 +470,7 @@ object StreamQueries {
           .dropDuplicatesWithinWatermark("event_id")
           .select(col("event_id"), col("user_id"),
             unix_micros(col("ts")).as("ts_us"), col("event_type")),
-        "q97")
+        "q97", eventsBytes(spark, dir))
       .orderBy("event_id")
   }
 
@@ -487,7 +502,7 @@ object StreamQueries {
             unix_micros(col("session_window.start")).as("session_start_us"),
             unix_micros(col("session_window.end")).as("session_end_us"),
             col("n_events")),
-        "q102")
+        "q102", eventsBytes(spark, dir))
       .orderBy("user_id", "session_start_us")
 
   val q102Oracle: String =
@@ -829,14 +844,19 @@ object StreamQueries {
     val n = ev.count()
     val schema = ev.schema
     def runPhase(): Long = {
-      val q = spark.readStream.schema(schema).parquet(in)
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // state partitions from the per-phase source volume (phase 1
+      // pins the count into the checkpoint; restarts keep it)
+      val q = graft.streaming.StreamTuning.withStatePartitions(
+        spark, graft.streaming.StreamTuning.inputBytes(spark, in)) {
+        spark.readStream.schema(schema).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       spark.read.parquet(out).count()
     }
@@ -929,19 +949,24 @@ object StreamQueries {
       org.apache.spark.sql.types.StructField("n_events",
         org.apache.spark.sql.types.LongType)))
     def runPhase(): DataFrame = {
-      val q = spark.readStream.schema(ev.schema).parquet(in)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          unix_micros(col("session_window.start")).as("session_start_us"),
-          unix_micros(col("session_window.end")).as("session_end_us"),
-          col("n_events"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      // state partitions from the per-phase source volume (phase 1
+      // pins the count into the checkpoint; restarts keep it)
+      val q = graft.streaming.StreamTuning.withStatePartitions(
+        spark, graft.streaming.StreamTuning.inputBytes(spark, in)) {
+        spark.readStream.schema(ev.schema).parquet(in)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
       q.awaitTermination()
       spark.read.schema(outSchema).parquet(out)
     }

@@ -100,6 +100,11 @@ object StreamingEtl {
     *   replacing commit arbitrates as usual.
     * @return the started query; callers own its lifecycle.
     */
+  /** @param sourceBytes when >= 0, the source volume feeding this
+    *   stream: the stateful dedup's state-partition count is derived
+    *   from it ([[StreamTuning.statePartitions]]) instead of freezing
+    *   the session's batch shuffle default into the checkpoint.
+    */
   def runStream(
       spark: SparkSession,
       incoming: DataFrame,
@@ -108,7 +113,26 @@ object StreamingEtl {
       watermarkPath: String,
       checkpointDir: String,
       concurrentAppends: Boolean = false,
-      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None)
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy] = None,
+      sourceBytes: Long = -1L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    def build: org.apache.spark.sql.streaming.StreamingQuery =
+      runStreamQuery(spark, incoming, server, consolidatedPath,
+        watermarkPath, checkpointDir, concurrentAppends, maintenance)
+    if (sourceBytes >= 0L)
+      StreamTuning.withStatePartitions(spark, sourceBytes)(build)
+    else build
+  }
+
+  private def runStreamQuery(
+      spark: SparkSession,
+      incoming: DataFrame,
+      server: String,
+      consolidatedPath: String,
+      watermarkPath: String,
+      checkpointDir: String,
+      concurrentAppends: Boolean,
+      maintenance: Option[graft.maintenance.StoreMaintenance.Policy])
       : org.apache.spark.sql.streaming.StreamingQuery =
     dedupStream(incoming).writeStream
       .option("checkpointLocation", checkpointDir)
