@@ -38,19 +38,26 @@ object CorpusClean {
       minQuality: Double = 0.6,
       k: Int = 8, bands: Int = 4, minEstSim: Double = 0.5,
       paragraphDedup: Boolean = false, paragraphMinChars: Int = 0): CleanResult = {
-    val raw = docs.cache()
-    val nRaw = raw.count()
+    // funnel counts ride the stage actions (r16): nRaw and nQuality are
+    // observed metrics (CollectMetrics, exactly-once per action) on the
+    // input and the quality gate, collected when the FIRST downstream
+    // action materializes the quality cache — two dedicated count
+    // actions and the raw cache (quality is its only consumer now)
+    // removed from the funnel's serial chain.
+    val obsRaw = org.apache.spark.sql.Observation()
+    val obsQual = org.apache.spark.sql.Observation()
 
     // normalize + tokenize ONCE; every later stage (quality score,
     // fingerprint = md5(norm), shingles) reads the materialized parts
     // instead of re-running regexp_replace+split over the text.
-    val quality = raw
+    val quality = docs
+      .observe(obsRaw, count(lit(1)).as("n"))
       .withColumn("__norm", TextAnalysis.normalize(col(textCol)))
       .withColumn("__w", split(col("__norm"), " "))
       .filter(TextAnalysis.qualityScoreFromParts(
         col(textCol), col("__norm"), col("__w")) >= minQuality)
+      .observe(obsQual, count(lit(1)).as("n"))
       .cache()
-    val nQuality = quality.count()
 
     // stage 2: global keep-first paragraph dedup; the rewritten text
     // invalidates the quality-stage tokenization, so norm/tokens are
@@ -91,7 +98,11 @@ object CorpusClean {
       .drop("__norm", "__w")
     val nNear = survivors.count()
 
-    raw.unpersist(); quality.unpersist()
+    // every stage action has run by here, so the observed input/quality
+    // counts are available without their own jobs
+    val nRaw = obsRaw.get("n").asInstanceOf[Long]
+    val nQuality = obsQual.get("n").asInstanceOf[Long]
+    quality.unpersist()
     if (working ne quality) working.unpersist()
     CleanResult(survivors, nRaw, nQuality, nExact, nNear, nParasDropped)
   }
