@@ -268,6 +268,59 @@ object ConsolidatedStore {
           rows = r.getLong(9))
       }
 
+  /** Zone-map/file-stat aggregates observed DURING a fused staged write
+    * (one `CollectMetrics` node, exactly-once per action) — the names
+    * match [[observedStats]], which turns the metric row into the
+    * [[FileStats]] the stats rescan used to produce.
+    */
+  private def appendObservation(laidOut: DataFrame)
+      : (org.apache.spark.sql.Observation, DataFrame) = {
+    val dev = col("physical_device_name")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = laidOut.observe(obs,
+      count(lit(1)).as("n"),
+      max("LogID").as("logid_max"),
+      min("last_lsn").as("last_lsn_min"),
+      max("last_lsn").as("last_lsn_max"),
+      min("first_lsn").as("first_lsn_min"),
+      max("first_lsn").as("first_lsn_max"),
+      min("database_name").as("db_min"),
+      max("database_name").as("db_max"),
+      min(dev).as("dev_min"), max(dev).as("dev_max"),
+      sum(when(dev.isNull, 1L).otherwise(0L)).as("dev_nulls"),
+      sort_array(collect_set(when(dev.isNotNull, xxhash64(dev))))
+        .as("dev_hashes"),
+      min(unix_micros(col("backup_start_date"))).as("start_min"),
+      max(unix_micros(col("backup_start_date"))).as("start_max"))
+    (obs, observed)
+  }
+
+  /** [[FileStats]] of a single-file fused write from its observed
+    * metrics — field-for-field what [[StoreMeta.scanStats]] reads back
+    * from the parquet footers (same aggregates, same DevHashSetCap
+    * overflow-to-null).
+    */
+  private def observedStats(
+      m: Map[String, Any], file: String): FileStats = {
+    val hashes = m("dev_hashes").asInstanceOf[Seq[Long]]
+    FileStats(
+      file,
+      m("logid_max").asInstanceOf[Long],
+      m("last_lsn_min").asInstanceOf[java.math.BigDecimal],
+      m("last_lsn_max").asInstanceOf[java.math.BigDecimal],
+      m("first_lsn_min").asInstanceOf[java.math.BigDecimal],
+      m("first_lsn_max").asInstanceOf[java.math.BigDecimal],
+      m("db_min").asInstanceOf[String],
+      m("db_max").asInstanceOf[String],
+      m("dev_min").asInstanceOf[String],
+      m("dev_max").asInstanceOf[String],
+      m("dev_nulls").asInstanceOf[Long],
+      devHashes =
+        if (hashes.size > StoreMeta.DevHashSetCap) null else hashes,
+      startMinUs = m("start_min").asInstanceOf[Long],
+      startMaxUs = m("start_max").asInstanceOf[Long])
+  }
+
   /** Zone-map-pruned read: open ONLY the files whose sidecar envelope
     * can hold a row satisfying `bounds`, then apply the exact row-level
     * residual — semantically identical to `read(...).filter(residual)`,
@@ -419,23 +472,7 @@ object ConsolidatedStore {
         val laidOut =
           if (sortWithin.isEmpty) assigned
           else assigned.sortWithinPartitions(sortWithin.map(col): _*)
-        val dev = col("physical_device_name")
-        val obs = org.apache.spark.sql.Observation()
-        val observed = laidOut.observe(obs,
-          count(lit(1)).as("n"),
-          max("LogID").as("logid_max"),
-          min("last_lsn").as("last_lsn_min"),
-          max("last_lsn").as("last_lsn_max"),
-          min("first_lsn").as("first_lsn_min"),
-          max("first_lsn").as("first_lsn_max"),
-          min("database_name").as("db_min"),
-          max("database_name").as("db_max"),
-          min(dev).as("dev_min"), max(dev).as("dev_max"),
-          sum(when(dev.isNull, 1L).otherwise(0L)).as("dev_nulls"),
-          sort_array(collect_set(when(dev.isNotNull, xxhash64(dev))))
-            .as("dev_hashes"),
-          min(unix_micros(col("backup_start_date"))).as("start_min"),
-          max(unix_micros(col("backup_start_date"))).as("start_max"))
+        val (obs, observed) = appendObservation(laidOut)
         val before = loaded.files.map(_.file).toSet
         val (stageDir, mine) = Staging.stage(spark, path, observed, Nil)
         val m = obs.get
@@ -452,26 +489,8 @@ object ConsolidatedStore {
           before.toSeq.sorted ++ newFiles)
         try {
           val newStats =
-            if (newFiles.size == 1) {
-              val hashes = m("dev_hashes").asInstanceOf[Seq[Long]]
-              Seq(FileStats(
-                newFiles.head,
-                m("logid_max").asInstanceOf[Long],
-                m("last_lsn_min").asInstanceOf[java.math.BigDecimal],
-                m("last_lsn_max").asInstanceOf[java.math.BigDecimal],
-                m("first_lsn_min").asInstanceOf[java.math.BigDecimal],
-                m("first_lsn_max").asInstanceOf[java.math.BigDecimal],
-                m("db_min").asInstanceOf[String],
-                m("db_max").asInstanceOf[String],
-                m("dev_min").asInstanceOf[String],
-                m("dev_max").asInstanceOf[String],
-                m("dev_nulls").asInstanceOf[Long],
-                devHashes =
-                  if (hashes.size > StoreMeta.DevHashSetCap) null
-                  else hashes,
-                startMinUs = m("start_min").asInstanceOf[Long],
-                startMaxUs = m("start_max").asInstanceOf[Long]))
-            } else StoreMeta.scanStats(spark, path, newFiles)
+            if (newFiles.size == 1) Seq(observedStats(m, newFiles.head))
+            else StoreMeta.scanStats(spark, path, newFiles)
           if (loaded.dirty || loaded.segments + 1 > foldEvery)
             StoreMeta.save(spark, path, loaded.files ++ newStats)
           else StoreMeta.saveDelta(spark, path, newStats)
@@ -666,19 +685,60 @@ object ConsolidatedStore {
           }
           val overlapping = liveStats
             .filter(f => envelopes.exists(b => StoreMeta.overlaps(f, b)))
+          val base = liveStats.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
+          def antiJoined(): DataFrame = deduped.alias("in")
+            .join(spark.read
+              .option("basePath", path).schema(Schemas.consolidated)
+              .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
+              .select(dedupKey.map(col): _*).alias("ex"),
+              keyCondition("in", "ex"), "left_anti")
+          // fused single-action attempt for flat trickle-regime batches,
+          // mirroring the serialized path: the fresh count and the new
+          // file's stats are observed during the staged write, so a
+          // clean attempt runs ONE batch action instead of three (count,
+          // publish, stats rescan) — and a lost-claim redo re-pays one
+          // action, not three
+          val est =
+            if (envelopes.exists(_.rows < 0L)) -1L
+            else envelopes.map(_.rows).sum
+          if (partitionBy.isEmpty && est >= 0L && est < BootstrapSplitRows) {
+            val fresh = if (overlapping.isEmpty) deduped else antiJoined()
+            val assigned = withLogIdsFrom(base, fresh, batchRows = est)
+            val laidOut =
+              if (sortWithin.isEmpty) assigned
+              else assigned.sortWithinPartitions(sortWithin.map(col): _*)
+            val (obs, observed) = appendObservation(laidOut)
+            val (stageDir, mine) = Staging.stage(spark, path, observed, Nil)
+            val m = obs.get
+            val n = m("n").asInstanceOf[Long]
+            if (n == 0L) { Staging.abandon(spark, stageDir); return 0L }
+            Staging.promote(spark, path, stageDir, mine)
+            beforeCommit(attempt, v0)
+            if (StoreLog.tryCommit(spark, path, v0 + 1, "append",
+                adds = mine, removes = Nil)) {
+              try {
+                val newStats =
+                  if (mine.size == 1) Seq(observedStats(m, mine.head))
+                  else StoreMeta.scanStats(spark, path, mine)
+                val segs = loadedOpt.map(_.segments).getOrElse(0)
+                if (segs + 1 > StoreMeta.SegmentFoldThreshold)
+                  StoreMeta.save(spark, path, liveStats ++ newStats)
+                else StoreMeta.saveDelta(spark, path, newStats)
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  log.warn(s"post-commit sidecar update failed on $path " +
+                    "(cache only — next load() heals): " + e)
+              }
+              return n
+            }
+            Staging.retract(spark, path, mine)
+          } else {
           val fresh =
             if (overlapping.isEmpty) deduped
-            else deduped.alias("in")
-              .join(spark.read
-                .option("basePath", path).schema(Schemas.consolidated)
-                .parquet(overlapping.map(f => s"$path/${f.file}"): _*)
-                .select(dedupKey.map(col): _*).alias("ex"),
-                keyCondition("in", "ex"), "left_anti")
-              .cache()
+            else antiJoined().cache()
           try {
             val n = fresh.count()
             if (n == 0L) return 0L
-            val base = liveStats.foldLeft(0L)((m, f) => math.max(m, f.logIdMax))
             val assigned = withLogIdsFrom(base, fresh, batchRows = n)
             val laidOut =
               if (sortWithin.isEmpty) assigned
@@ -715,6 +775,7 @@ object ConsolidatedStore {
             // winner's state (they may hold our keys or our LogID range)
             Staging.retract(spark, path, mine)
           } finally if (fresh ne deduped) fresh.unpersist()
+          }
         } catch {
           // a racing CoW maintenance commit (merge/delete/compaction)
           // archived a file between our log replay and the read — the

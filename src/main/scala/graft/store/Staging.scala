@@ -50,8 +50,12 @@ private[graft] object Staging {
     val writer = df.write
     if (maxRecordsPerFile > 0L)
       writer.option("maxRecordsPerFile", maxRecordsPerFile)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-     else writer).parquet(stageDir)
+    // a failed staged write (e.g. a racing CoW commit archived an input
+    // file mid-job — the optimistic appender redoes such attempts)
+    // must not leave a partial staging dir for repair to reconcile
+    try (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+         else writer).parquet(stageDir)
+    catch { case e: Throwable => abandon(spark, stageDir); throw e }
     (stageDir, StoreMeta.listDataFiles(spark, stageDir).getOrElse(Nil))
   }
 
