@@ -117,13 +117,22 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       assumeNormalized: Boolean = true): DataFrame = {
+    // norms hoisted to the per-ROW projections (r16): cosine() per pair
+    // recomputed BOTH norms per candidate pair (2 extra O(dim) dots ×
+    // |corpus|·|queries|) and its Let spelling is a lambda HOF —
+    // CodegenFallback — which kicked the whole per-pair projection out
+    // of whole-stage codegen. Same IEEE arithmetic (d = qn·cn, 0-guard,
+    // dot/d), evaluated once per row instead of once per pair.
     val q = queries.select(
       col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     val sim =
       if (assumeNormalized) dot(col("qv"), col("cv"))
-      else cosine(col("qv"), col("cv"))
+      else when(col("__qn") * col("__cn") === 0.0, lit(0.0))
+        .otherwise(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", round(sim, 4))
@@ -151,15 +160,19 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int,
       assumeNormalized: Boolean = true): DataFrame = {
+    // norms per row, not per pair — same rationale as [[bruteForceTopK]]
     val q = queries.select(
       col(idCol).as("query_id"), col(labelCol).as("query_label"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("__qn", norm(col("qv")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("__cn", norm(col("cv")))
     val sim =
       if (assumeNormalized) dot(col("qv"), col("cv"))
-      else cosine(col("qv"), col("cv"))
+      else when(col("__qn") * col("__cn") === 0.0, lit(0.0))
+        .otherwise(dot(col("qv"), col("cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     c.crossJoin(broadcast(q))
